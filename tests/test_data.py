@@ -1,0 +1,229 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from hvt import config as C
+from hvt.data import device as D
+from hvt.data import folder as F
+from hvt.data import loader as L
+from hvt.data import synthetic as S
+from hvt.data import transforms as T
+
+NAMES = [
+    "00001_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_badius",
+    "00002_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_cooperii",
+    "00003_plantae_tracheophyta_pinopsida_pinales_pinaceae_pinus_strobus",
+]
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("inat-fixture")
+    rng = np.random.default_rng(0)
+    counts = {"train": 4, "val": 2}
+    for split, k in counts.items():
+        for name in NAMES:
+            d = root / split / name
+            d.mkdir(parents=True)
+            for i in range(k):
+                arr = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"img{i}.jpg")
+    return root
+
+
+def test_scan_flat(image_root):
+    ds = F.scan_image_folder(image_root, "train")
+    assert len(ds) == 12
+    assert ds.num_classes == 3
+    assert ds.labels.shape == (12,)
+    assert sorted(set(ds.labels.tolist())) == [0, 1, 2]
+
+
+def test_scan_hierarchical(image_root):
+    ds = F.scan_image_folder(image_root, "train", hierarchical=True)
+    assert ds.labels.shape == (12, 7)
+    assert ds.num_classes == (2, 2, 2, 2, 2, 2, 3)
+    assert ds.hierarchical
+
+
+def test_train_transform_shape_and_determinism(image_root):
+    tf = T.TrainTransform(crop_size=32)
+    img = Image.open(F.scan_image_folder(image_root, "train").paths[0])
+    a = tf(img, np.random.default_rng((1, 2, 3)))
+    b = tf(img, np.random.default_rng((1, 2, 3)))
+    c = tf(img, np.random.default_rng((9, 9, 9)))
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)  # overwhelmingly likely
+
+
+def test_eval_transform_center_crop(image_root):
+    tf = T.EvalTransform(crop_size=32, resize_size=36)
+    img = Image.open(F.scan_image_folder(image_root, "val").paths[0])
+    out = tf(img)
+    assert out.shape == (32, 32, 3)
+
+
+def test_randaugment_runs():
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 256, (32, 32, 3), dtype=np.uint8))
+    rng = np.random.default_rng(0)
+    for _ in range(20):  # hit many ops
+        out = T.rand_augment(img, rng, depth=2, severity=9)
+        assert out.size == (32, 32)
+
+
+def _loader(image_root, bs, **kw):
+    ds = F.scan_image_folder(image_root, "train")
+    tf = T.TrainTransform(crop_size=24)
+    return L.Loader(ds, tf, bs, seed=7, num_workers=2, **kw)
+
+
+def test_loader_epoch_shapes_and_padding(image_root):
+    loader = _loader(image_root, bs=5, shuffle=True, drop_last=False)
+    assert loader.batches_per_epoch == 3  # ceil(12 / 5)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    for b in batches[:-1]:
+        assert b.images.shape == (5, 24, 24, 3)
+        assert b.mask.sum() == 5
+    last = batches[-1]
+    assert last.mask.sum() == 2  # 12 = 5 + 5 + 2
+    assert (last.images[2:] == 0).all()  # padded rows zeroed
+
+
+def test_loader_drop_last(image_root):
+    loader = _loader(image_root, bs=5, shuffle=False, drop_last=True)
+    assert loader.batches_per_epoch == 2
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert all(b.mask.sum() == 5 for b in batches)
+
+
+def test_loader_deterministic_and_epoch_varies(image_root):
+    loader = _loader(image_root, bs=4, shuffle=True, drop_last=True)
+    a1 = [b.images.copy() for b in loader.epoch(0)]
+    a2 = [b.images.copy() for b in loader.epoch(0)]
+    b1 = [b.images.copy() for b in loader.epoch(1)]
+    for x, y in zip(a1, a2):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a1, b1))
+
+
+def test_loader_host_sharding_partition(image_root):
+    ds = F.scan_image_folder(image_root, "train")
+    tf = T.TrainTransform(crop_size=24)
+    seen = []
+    for pidx in range(2):
+        loader = L.Loader(
+            ds, tf, 3, shuffle=True, drop_last=True, seed=3,
+            num_workers=1, process_index=pidx, process_count=2,
+        )
+        idxs = np.concatenate([loader._epoch_indices(0)])
+        seen.append(set(idxs.tolist()))
+    assert seen[0].isdisjoint(seen[1])
+    assert len(seen[0] | seen[1]) == 12
+
+
+def test_synthetic_dataset_hierarchical():
+    ds = S.build_synthetic(num_samples=10, num_leaf_classes=8, crop_size=16, hierarchical=True)
+    assert ds.labels.shape == (10, 7)
+    assert ds.num_classes == (2, 4, 8, 8, 8, 8, 8)
+    img1, img2 = ds.load(3), ds.load(3)
+    np.testing.assert_array_equal(img1, img2)
+    assert img1.shape == (16, 16, 3)
+
+
+def test_build_loader_from_config(image_root):
+    cfg = C.loads(
+        {
+            "machine": {"datasets": {"fixture": str(image_root)}},
+            "train_dataset": {
+                "path": "fixture",
+                "crop_size": 24,
+                "global_batch_size": 4,
+                "shuffle": True,
+                "drop_last": True,
+            },
+            "loader": {"num_workers": 2},
+        }
+    )
+    loader, info = L.build_loader(cfg, is_train=True, process_index=0, process_count=1)
+    assert info.num_classes == 3
+    batch = next(iter(loader.epoch(0)))
+    assert batch.images.shape == (4, 24, 24, 3)
+    assert batch.labels.dtype == np.int32
+
+
+def test_build_loader_eval_builds_tree_dists(image_root):
+    cfg = C.loads(
+        {
+            "is_train": False,
+            "machine": {"datasets": {"fixture": str(image_root)}},
+            "eval_dataset": {"path": "fixture", "crop_size": 24, "global_batch_size": 2},
+        }
+    )
+    loader, info = L.build_loader(cfg, is_train=False, process_index=0, process_count=1)
+    assert info.tree_dists is not None
+    assert info.tree_dists.shape == (3, 3)
+    assert info.tree_dists[0, 1] == 1  # same genus (accipiter)
+    assert info.tree_dists[0, 2] == 7  # different kingdom
+
+
+# --- device prep -----------------------------------------------------------
+
+
+def test_normalize_values():
+    import jax.numpy as jnp
+
+    prep = D.DevicePrep(mean=(127.5, 127.5, 127.5), std=(127.5, 127.5, 127.5), compute_dtype=jnp.float32)
+    x = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    x[..., 0] = 255
+    out = np.asarray(prep.normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(out[..., 0], 1.0)
+    np.testing.assert_allclose(out[..., 1], -1.0)
+
+
+def test_scale_channel_stats():
+    m, s = D.scale_channel_stats((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))
+    assert m == (127.5, 127.5, 127.5)
+    assert s == (63.75, 63.75, 63.75)
+    m2, s2 = D.scale_channel_stats((127.5,) * 3, (63.75,) * 3)
+    assert m2 == (127.5,) * 3  # already scaled: unchanged
+
+
+def test_smooth_and_prepare_targets():
+    import jax.numpy as jnp
+
+    labels = jnp.asarray([[0, 1], [1, 0]], dtype=jnp.int32)  # (B=2, tiers=2)
+    out = D.prepare_targets(labels, (2, 3), smoothing=0.1)
+    assert isinstance(out, list) and len(out) == 2
+    np.testing.assert_allclose(np.asarray(out[0][0]), [0.95, 0.05], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]).sum(axis=-1), 1.0, atol=1e-6)
+
+    flat = D.prepare_targets(jnp.asarray([2]), 4, smoothing=0.0)
+    np.testing.assert_allclose(np.asarray(flat), [[0, 0, 1, 0]])
+
+
+def test_mixup_and_cutmix_preserve_target_mass():
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    images = jnp.ones((4, 8, 8, 3), dtype=jnp.float32)
+    onehot = jax.nn.one_hot(jnp.asarray([0, 1, 2, 3]), 4)
+    for fn in (D.mixup, D.cutmix):
+        mixed, targets = fn(key, images, onehot)
+        assert mixed.shape == images.shape
+        np.testing.assert_allclose(np.asarray(targets).sum(axis=-1), 1.0, atol=1e-5)
+    # multitask list targets
+    mixed, targets = D.mixup(key, images, [onehot, onehot])
+    assert isinstance(targets, list) and len(targets) == 2
+
+
+def test_progressive_resize_static_shape():
+    import jax.numpy as jnp
+
+    x = jnp.zeros((2, 224, 224, 3))
+    y = D.progressive_resize(x, 0.5)
+    assert y.shape == (2, 112, 112, 3)
+    assert D.progressive_resize(x, 1.0) is x
