@@ -1,0 +1,111 @@
+"""Masked, distributable classification metrics.
+
+The reference uses torchmetrics with ``dist_reduce_fx="sum"`` states
+(reference hierarchy.py:97-180, models.py:59-101); the JAX analog is a dict of
+partial sums computed inside the jitted step (so they ride the same ICI
+all-reduce as the loss) and accumulated on host as plain floats. Metric names
+and semantics match the reference: ``cross-entropy``, ``acc@1``, ``acc@5``,
+``tree-dist`` — fine-grained (last-tier) variants when outputs are multitask
+lists (reference hierarchy.py:97-123,157-180).
+
+Cross-entropy here is the *metric* CE on hard labels — the reference restores
+unsmoothed labels before metric updates (reference algorithmic.py:117-119).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fine_grained(outputs, labels):
+    """Reduce multitask outputs/targets to the finest tier
+    (reference hierarchy.py:371-388)."""
+    if isinstance(outputs, (list, tuple)):
+        outputs = outputs[-1]
+    if labels.ndim > 1:
+        labels = labels[:, -1]
+    return outputs, labels
+
+
+def batch_stats(
+    outputs,
+    labels: jax.Array,
+    mask: jax.Array,
+    tree_dists: Optional[jax.Array] = None,
+) -> dict[str, jax.Array]:
+    """Partial sums for one batch. All values are f32 scalars, safe to sum
+    across batches and devices."""
+    logits, labels = fine_grained(outputs, labels)
+    logits = logits.astype(jnp.float32)
+
+    k = min(5, logits.shape[-1])
+    _, topk = jax.lax.top_k(logits, k)  # (B, k) sorted desc
+    hit1 = (topk[:, 0] == labels).astype(jnp.float32)
+    hitk = jnp.any(topk == labels[:, None], axis=-1).astype(jnp.float32)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+    out = {
+        "correct@1": jnp.sum(hit1 * mask),
+        "correct@5": jnp.sum(hitk * mask),
+        "ce_sum": jnp.sum(nll * mask),
+        "count": jnp.sum(mask),
+    }
+    if tree_dists is not None:
+        preds = topk[:, 0]
+        dists = tree_dists[preds, labels].astype(jnp.float32)
+        out["tree_dist_sum"] = jnp.sum(dists * mask)
+    return out
+
+
+class MetricAccumulator:
+    """Host-side accumulation of per-batch partial sums → final metric dict."""
+
+    def __init__(self):
+        self._sums: dict[str, float] = {}
+
+    def update(self, stats: dict[str, jax.Array]) -> None:
+        for key, val in stats.items():
+            self._sums[key] = self._sums.get(key, 0.0) + float(val)
+
+    def compute(self) -> dict[str, float]:
+        count = max(self._sums.get("count", 0.0), 1.0)
+        out = {
+            "acc@1": self._sums.get("correct@1", 0.0) / count,
+            "acc@5": self._sums.get("correct@5", 0.0) / count,
+            "cross-entropy": self._sums.get("ce_sum", 0.0) / count,
+        }
+        if "tree_dist_sum" in self._sums:
+            out["tree-dist"] = self._sums["tree_dist_sum"] / count
+        if "loss_sum" in self._sums and "batches" in self._sums:
+            out["loss"] = self._sums["loss_sum"] / max(self._sums["batches"], 1.0)
+        return out
+
+    def reset(self) -> None:
+        self._sums.clear()
+
+
+def accuracy_topk(
+    outputs, labels: np.ndarray, topk: int = 1, hierarchy_level: int = -1
+) -> float:
+    """Numpy helper for downstream evals (linear probe / simpleshot)."""
+    if isinstance(outputs, (list, tuple)):
+        outputs = outputs[hierarchy_level]
+    if labels.ndim > 1:
+        labels = labels[:, hierarchy_level]
+    k = min(topk, outputs.shape[-1])
+    pred = np.argsort(-outputs, axis=-1)[:, :k]
+    return float(np.mean(np.any(pred == labels[:, None], axis=-1)))
+
+
+def mean_tree_distance(
+    preds: np.ndarray, labels: np.ndarray, tree_dists: np.ndarray
+) -> float:
+    """Mean pairwise tree distance between predicted and true classes
+    (reference hierarchy.py:126-154)."""
+    return float(np.mean(tree_dists[preds, labels]))

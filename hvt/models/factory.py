@@ -1,0 +1,77 @@
+"""Model factory: config → flax module (reference models.py:16-51).
+
+The reference creates timm models then performs head surgery for multitask
+and wraps frozen variants; in hvt all of that is constructor/call-time
+configuration: ``num_classes`` may be a tuple (multitask head), BlurPool is a
+flag (derived from the algorithms list, like Composer's surgery), and the
+linear-probe / simpleshot variants call the model with ``features_only=True``.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from hvt.models import resnet
+
+VALID_VARIANTS = (
+    "full-tuning",
+    "linear-probe",
+    "simpleshot",
+    "simpleshot-l2n",
+    "simpleshot-cl2n",
+)
+
+
+def _swin(name):
+    def build(num_classes, **kwargs):
+        from hvt.models import swinv2  # deferred: keep resnet-only paths light
+
+        return getattr(swinv2, name)(num_classes, **kwargs)
+
+    return build
+
+
+def _registry():
+    return {
+        "resnet50": resnet.resnet50,
+        "resnet18": resnet.resnet18,
+        "resnet_micro": resnet.resnet_micro,
+        "swinv2_tiny": _swin("swinv2_tiny"),
+        "swinv2_tiny_window8_256": _swin("swinv2_tiny_window8_256"),
+        "swinv2_tiny_window16_256": _swin("swinv2_tiny_window16_256"),
+        "swinv2_small": _swin("swinv2_small"),
+        "swinv2_base": _swin("swinv2_base"),
+    }
+
+
+def build_model(config, num_classes: Union[int, tuple[int, ...]]):
+    """Returns the flax module. Multitask requires hierarchy.variant=multitask
+    (reference models.py:20-23)."""
+    if isinstance(num_classes, tuple) and config.hierarchy.variant != "multitask":
+        raise ValueError(
+            "tuple num_classes requires hierarchy.variant == 'multitask'"
+        )
+    if config.model.variant not in VALID_VARIANTS:
+        raise ValueError(
+            f"unknown model.variant {config.model.variant!r} (valid: {VALID_VARIANTS})"
+        )
+
+    registry = _registry()
+    name = config.model.name
+    if name not in registry:
+        raise ValueError(f"unknown model {name!r} (valid: {sorted(registry)})")
+
+    blurpool = any(a.cls == "BlurPool" for a in config.algorithms)
+    kwargs = dict(config.model.args)
+    kwargs.setdefault("dtype", config.precision.compute_dtype)
+    return registry[name](num_classes, blurpool=blurpool, **kwargs)
+
+
+def features_only(config) -> bool:
+    """Frozen-feature variants (reference models.py:42-49)."""
+    return config.model.variant in (
+        "linear-probe",
+        "simpleshot",
+        "simpleshot-l2n",
+        "simpleshot-cl2n",
+    )

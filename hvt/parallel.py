@@ -1,0 +1,84 @@
+"""Device mesh and sharding layout — the TPU-native replacement for DDP/NCCL.
+
+The reference's only parallelism is DDP data parallelism behind
+``composer.utils.dist`` (SURVEY.md §2.2; reference main.py:44-48,
+data.py:147). Here it is GSPMD: one global `jax.sharding.Mesh`, parameters
+replicated, the batch sharded over the ``data`` axis. XLA compiles the
+gradient reduction to ICI all-reduces — there is no hand-written comm layer.
+
+A ``model`` axis is laid out (default size 1) so model-parallel shardings can
+be introduced without re-plumbing; collectives ride ICI as long as the mesh
+uses the default device order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    mesh_cfg=None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the global mesh. data=-1 means 'all remaining devices'."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+
+    model = getattr(mesh_cfg, "model", 1) if mesh_cfg is not None else 1
+    data = getattr(mesh_cfg, "data", -1) if mesh_cfg is not None else -1
+    if data == -1:
+        if len(devices) % model:
+            raise ValueError(f"{len(devices)} devices not divisible by model={model}")
+        data = len(devices) // model
+    if data * model != len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} does not match {len(devices)} devices"
+        )
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def cpu_mesh(n_devices: int) -> Mesh:
+    """Mesh over virtual CPU devices (tests / multi-chip dry runs).
+
+    Requires XLA_FLAGS=--xla_force_host_platform_device_count>=n. Requests
+    the cpu backend explicitly because this environment force-registers a
+    TPU platform regardless of JAX_PLATFORMS (see .claude/skills/verify).
+    """
+    devices = jax.devices("cpu")[:n_devices]
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"only {len(devices)} cpu devices; set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+        )
+    return Mesh(np.asarray(devices).reshape(n_devices, 1), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Host-local numpy batch → global batch-sharded device arrays.
+
+    Uses make_array_from_process_local_data so each host contributes its own
+    shard (multi-host analog of the per-rank DistributedSampler,
+    reference data.py:147).
+    """
+    sharding = batch_sharding(mesh)
+    images = jax.make_array_from_process_local_data(sharding, batch.images)
+    labels = jax.make_array_from_process_local_data(sharding, batch.labels)
+    mask = jax.make_array_from_process_local_data(sharding, batch.mask)
+    return images, labels, mask

@@ -1,0 +1,166 @@
+"""Orbax checkpointing + pretrained-backbone loading.
+
+Replaces the reference's Composer CheckpointSaver + wandb artifact URIs
+(reference main.py:69-78, monkey_patch.py:33-91, algorithmic.py:35-85):
+
+* periodic/last-only saves of the full TrainState under
+  ``<save_root>/<run_name>/checkpoints/<step>`` with a keep policy,
+* resume via ``load_path`` (reference main.py:118),
+* backbone-only loading with head stripping for downstream runs
+  (reference algorithmic.py:67-85 deletes ``fc.``/``head.`` keys) — here the
+  head is the ``head`` top-level params collection, and ``strict`` controls
+  whether missing/unexpected keys raise or warn.
+
+Checkpoint URIs are local paths; a ``ckpt://<path>[:step]`` scheme replaces
+the reference's ``wandb://`` scheme (SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
+
+
+def _abstract(tree):
+    def conv(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    return jax.tree.map(conv, tree)
+
+
+class Checkpointer:
+    """Save/restore TrainState with an Orbax CheckpointManager."""
+
+    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 1):
+        self.directory = pathlib.Path(directory).absolute()
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep if max_to_keep > 0 else 1,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state) -> None:
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into the structure/shardings of `state` (same-run resume)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self.manager.restore(step, args=ocp.args.StandardRestore(_abstract(state)))
+
+    def close(self):
+        self.manager.close()
+
+
+# ---------------------------------------------------------------------------
+# Cross-run (backbone) loading
+# ---------------------------------------------------------------------------
+
+_CKPT_URI = re.compile(r"^ckpt://(?P<path>[^:]+)(?::(?P<step>\d+))?$")
+
+
+def parse_checkpoint_uri(uri: str) -> tuple[pathlib.Path, Optional[int]]:
+    """'ckpt:///a/b:36' → (/a/b, 36); bare paths pass through."""
+    m = _CKPT_URI.match(uri)
+    if m:
+        return pathlib.Path(m.group("path")), (
+            int(m.group("step")) if m.group("step") else None
+        )
+    return pathlib.Path(uri), None
+
+
+def load_raw(uri: str) -> dict:
+    """Load a checkpoint as a raw numpy pytree (no target structure needed)."""
+    path, step = parse_checkpoint_uri(uri)
+    # Accept either a manager root (checkpoints/<step>/...) or a direct step dir.
+    if (path / "_CHECKPOINT_METADATA").exists() or any(path.glob("*/_CHECKPOINT_METADATA")):
+        with ocp.CheckpointManager(path.absolute()) as mgr:
+            step = mgr.latest_step() if step is None else step
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint steps under {path}")
+            return mgr.restore(step, args=ocp.args.StandardRestore())
+    raise FileNotFoundError(f"no checkpoint found at {uri}")
+
+
+def strip_head(params: dict) -> dict:
+    """Drop the classification-head collection (reference algorithmic.py:70-74)."""
+    return {k: v for k, v in params.items() if k != "head"}
+
+
+def merge_backbone(
+    current: dict, loaded: dict, strict: bool = False
+) -> dict:
+    """Overlay loaded backbone params onto current params by path.
+
+    strict=False logs missing/unexpected keys (reference algorithmic.py:76-85);
+    strict=True raises on any mismatch.
+    """
+    missing: list[str] = []
+    unexpected: list[str] = []
+
+    def walk(cur, new, path):
+        if isinstance(cur, dict) and isinstance(new, dict):
+            out = {}
+            for k in cur:
+                if k in new:
+                    out[k] = walk(cur[k], new[k], f"{path}/{k}")
+                else:
+                    missing.append(f"{path}/{k}")
+                    out[k] = cur[k]
+            for k in new:
+                if k not in cur:
+                    unexpected.append(f"{path}/{k}")
+            return out
+        if hasattr(new, "shape") and hasattr(cur, "shape") and tuple(new.shape) != tuple(
+            cur.shape
+        ):
+            raise ValueError(f"shape mismatch at {path}: {cur.shape} vs {new.shape}")
+        return np.asarray(new) if not isinstance(new, jax.Array) else new
+
+    merged = walk(current, loaded, "")
+    if missing:
+        msg = f"missing keys in checkpoint: {', '.join(missing)}"
+        if strict:
+            raise KeyError(msg)
+        log.warning(msg)
+    if unexpected:
+        msg = f"unexpected keys in checkpoint: {', '.join(unexpected)}"
+        if strict:
+            raise KeyError(msg)
+        log.warning(msg)
+    return merged
+
+
+def load_pretrained_backbone(
+    uri: str, params: dict, strict: bool = False
+) -> dict:
+    """PretrainedBackbone algorithm analog (reference algorithmic.py:35-85):
+    fetch checkpoint, take its params (EMA params if present), strip the
+    head, and merge into the current params."""
+    raw = load_raw(uri)
+    src = raw.get("params", raw)
+    if raw.get("ema_params") is not None:
+        src = raw["ema_params"]
+    src = strip_head(dict(src))
+    target = dict(params)
+    backbone_current = strip_head(target)
+    merged = merge_backbone(backbone_current, src, strict=strict)
+    merged.update({k: target[k] for k in target if k == "head"})
+    return merged

@@ -1,0 +1,47 @@
+"""Exponential moving average of weights, Composer-EMA compatible.
+
+The reference's EMA algorithm (configs/pretrain/inat21.yaml:32-35) uses
+half_life="100ba" applied every update_interval="20ba": each update event
+multiplies the EMA by 0.5**(interval/half_life). Implemented branch-free for
+jit: the update is a select on (step % interval == 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from hvt.train.schedule import parse_duration
+
+
+@dataclasses.dataclass(frozen=True)
+class EmaConfig:
+    half_life_steps: int = 100
+    update_interval_steps: int = 20
+
+    @classmethod
+    def from_args(cls, args: dict) -> "EmaConfig":
+        half = parse_duration(args.get("half_life", "100ba"))
+        interval = parse_duration(args.get("update_interval", "20ba"))
+        if half.unit != "ba" or interval.unit != "ba":
+            raise ValueError("EMA half_life/update_interval must be in batches ('ba')")
+        return cls(int(half.value), int(interval.value))
+
+    @property
+    def decay(self) -> float:
+        return 0.5 ** (self.update_interval_steps / self.half_life_steps)
+
+
+def update(cfg: EmaConfig, step: jax.Array, ema_tree, new_tree):
+    """EMA ← decay·EMA + (1-decay)·new on update steps, identity otherwise."""
+    if ema_tree is None:
+        return None
+    do = (step % cfg.update_interval_steps) == 0
+    d = jnp.where(do, cfg.decay, 1.0)
+
+    def upd(e, p):
+        return (d * e + (1.0 - d) * p.astype(e.dtype)).astype(e.dtype)
+
+    return jax.tree.map(upd, ema_tree, new_tree)

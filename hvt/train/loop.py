@@ -1,0 +1,242 @@
+"""The Trainer: owns the jit-compiled loop the reference delegates to Composer.
+
+Assembles loaders, model, objective, optimizer, schedules, algorithms,
+checkpointing and logging from a Config (the reference's main.py:36-131 does
+the same assembly then calls composer.Trainer), and runs:
+
+* an initial evaluation before training (reference main.py:129-131),
+* epoch loop: host loader → batch-sharded device arrays → one compiled
+  train step per progressive-resize bucket,
+* per-``eval_interval`` evaluation (EMA weights when EMA is on),
+* periodic + last checkpoint saves, resume via ``load_path``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hvt import config as config_lib
+from hvt import metrics as metrics_lib
+from hvt import objectives as objectives_lib
+from hvt import parallel
+from hvt.data import DevicePrep, build_loader
+from hvt.models import build_model
+from hvt.train import algorithms as algorithms_lib
+from hvt.train import checkpoint as checkpoint_lib
+from hvt.train import optim as optim_lib
+from hvt.train import schedule as schedule_lib
+from hvt.train import state as state_lib
+from hvt.train import step as step_lib
+from hvt.utils.logging import RunLogger, SpeedMonitor
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: config_lib.Config,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        log_interval: int = 50,
+    ):
+        config_lib.assert_no_override(config)
+        self.config = config
+        self.mesh = mesh if mesh is not None else parallel.make_mesh(config.mesh)
+        self.log_interval = log_interval
+
+        self.algos = algorithms_lib.parse_algorithms(config)
+        if self.algos.sam_rho is not None:
+            raise NotImplementedError("SAM is not implemented yet")
+
+        # Data ------------------------------------------------------------
+        self.train_loader, self.info = build_loader(config, is_train=True)
+        self.eval_loader, eval_info = build_loader(config, is_train=False)
+        self.steps_per_epoch = self.train_loader.batches_per_epoch
+        self.tree_dists = eval_info.tree_dists
+
+        # Durations / schedule -------------------------------------------
+        self.total_steps = schedule_lib.parse_duration(config.max_duration).to_steps(
+            self.steps_per_epoch
+        )
+        self.total_epochs = max(1, math.ceil(self.total_steps / self.steps_per_epoch))
+        multiplier = schedule_lib.build_multiplier_schedule(
+            config.scheduler, self.steps_per_epoch, self.total_steps
+        )
+        self.lr_multiplier = multiplier
+
+        # Model / objective / optimizer ----------------------------------
+        self.model = build_model(config, self.info.num_classes)
+        class_names = getattr(self.train_loader.dataset, "classes", None)
+        self.objective = objectives_lib.build_objective(config, self.info, class_names)
+        no_decay = getattr(self.model, "no_weight_decay_substrings", ())
+        self.tx = optim_lib.build_optimizer(
+            config.optim,
+            multiplier,
+            grad_clip_norm=self.algos.grad_clip_norm,
+            no_decay_substrings=no_decay,
+        )
+
+        grad_accum = 1 if config.grad_accum == "auto" else int(config.grad_accum)
+        self.prep = DevicePrep.from_config(config.train_dataset, config.precision)
+        self.eval_prep = DevicePrep.from_config(config.eval_dataset, config.precision)
+        self.settings = step_lib.StepSettings(
+            num_classes=self.info.num_classes,
+            smoothing=self.algos.label_smoothing,
+            mixup_alpha=self.algos.mixup_alpha,
+            cutmix_alpha=self.algos.cutmix_alpha,
+            grad_accum=grad_accum,
+            ema=self.algos.ema,
+        )
+        self.train_step = step_lib.build_train_step(
+            self.model, self.objective, self.tx, self.prep, self.settings
+        )
+        self.eval_step = step_lib.build_eval_step(
+            self.model, self.eval_prep, self.tree_dists
+        )
+
+        # State -----------------------------------------------------------
+        self.state = self._init_state()
+        if self.algos.pretrained_backbone is not None:
+            uri, strict = self.algos.pretrained_backbone
+            params = checkpoint_lib.load_pretrained_backbone(
+                uri, jax.device_get(self.state.params), strict=strict
+            )
+            replicated = parallel.replicated(self.mesh)
+            self.state = self.state.replace(
+                params=jax.device_put(params, replicated)
+            )
+
+        # Checkpointing / logging -----------------------------------------
+        save_folder = os.path.join(config.machine.save_root, config.run_name)
+        self.checkpointer = checkpoint_lib.Checkpointer(
+            os.path.join(save_folder, "checkpoints"),
+            max_to_keep=config.save.num_checkpoints_to_keep,
+        )
+        if config.load_path:
+            self.state = self.checkpointer_restore(config.load_path)
+        self.logger = RunLogger(
+            save_folder,
+            config.run_name,
+            rank=jax.process_index(),
+            use_wandb=config.save.wandb,
+            wandb_entity=config.wandb.entity,
+            wandb_project=config.wandb.project,
+            tags=list(config.tags),
+        )
+        self.logger.log_config(config_lib.to_yaml(config))
+        self.speed = SpeedMonitor(window_size=50, num_chips=len(self.mesh.devices.flat))
+        self.base_rng = jax.device_put(
+            jax.random.key(config.seed), parallel.replicated(self.mesh)
+        )
+
+    # -- construction helpers -------------------------------------------
+
+    def _init_state(self) -> state_lib.TrainState:
+        crop = self.config.train_dataset.crop_size
+        sample = jnp.zeros((2, crop, crop, 3), jnp.uint8)
+        rng = jax.random.key(self.config.seed)
+
+        def init():
+            return state_lib.create(
+                self.model, self.tx, rng, self.prep.normalize(sample),
+                ema=self.algos.ema is not None,
+            )
+
+        replicated = parallel.replicated(self.mesh)
+        return jax.jit(init, out_shardings=replicated)()
+
+    def checkpointer_restore(self, load_path: str) -> state_lib.TrainState:
+        path, step = checkpoint_lib.parse_checkpoint_uri(load_path)
+        ckpt = checkpoint_lib.Checkpointer(path)
+        state = ckpt.restore(self.state, step)
+        ckpt.close()
+        return state
+
+    # -- evaluation -------------------------------------------------------
+
+    def evaluate(self) -> dict[str, float]:
+        acc = metrics_lib.MetricAccumulator()
+        params = self.state.eval_params
+        batch_stats = self.state.eval_batch_stats
+        for batch in self.eval_loader.epoch(0):
+            images, labels, mask = parallel.put_batch(self.mesh, batch)
+            stats = self.eval_step(params, batch_stats, images, labels, mask)
+            acc.update(stats)
+        return acc.compute()
+
+    # -- training ---------------------------------------------------------
+
+    def _scale_for_step(self, step: int) -> float:
+        if self.algos.progressive is None:
+            return 1.0
+        return self.algos.progressive.scale_at(step / max(self.total_steps, 1))
+
+    def fit(self) -> dict[str, float]:
+        """eval → train → final metrics (reference main.py:129-131)."""
+        eval_metrics = self.evaluate()
+        self.logger.log(int(self.state.step), eval_metrics, prefix="eval")
+        if not self.config.is_train:
+            return eval_metrics
+
+        eval_every = schedule_lib.parse_duration(self.config.eval_interval)
+        eval_every_ep = (
+            max(1, int(eval_every.value)) if eval_every.unit == "ep" else 1
+        )
+        save_interval = self.config.save.interval
+        save_every_ep = None
+        if save_interval:
+            dur = schedule_lib.parse_duration(save_interval)
+            save_every_ep = max(1, int(round(dur.to_steps(self.steps_per_epoch)
+                                             / self.steps_per_epoch)))
+
+        step = int(self.state.step)
+        start_epoch = step // self.steps_per_epoch
+        train_acc = metrics_lib.MetricAccumulator()
+
+        for epoch in range(start_epoch, self.total_epochs):
+            for batch in self.train_loader.epoch(epoch):
+                if step >= self.total_steps:
+                    break
+                scale = self._scale_for_step(step)
+                images, labels, mask = parallel.put_batch(self.mesh, batch)
+                self.state, stats = self.train_step(
+                    self.state, images, labels, mask, self.base_rng, scale=scale
+                )
+                train_acc.update(stats)
+                self.speed.batch_end(int(stats["count"]))
+                step += 1
+                if step % self.log_interval == 0:
+                    m = train_acc.compute()
+                    m["lr"] = float(
+                        self.config.optim.lr * self.lr_multiplier(step)
+                    )
+                    m["scale"] = scale
+                    m.update(self.speed.metrics())
+                    self.logger.log(step, m, prefix="train")
+
+            epoch_metrics = train_acc.compute()
+            train_acc.reset()
+            self.logger.log(step, epoch_metrics, prefix="train-epoch")
+
+            if (epoch + 1) % eval_every_ep == 0 or step >= self.total_steps:
+                eval_metrics = self.evaluate()
+                self.logger.log(step, eval_metrics, prefix="eval")
+
+            if save_every_ep is not None and (epoch + 1) % save_every_ep == 0:
+                self.checkpointer.save(step, self.state)
+
+            if step >= self.total_steps:
+                break
+
+        # Always save the final state (utils.save_last_only analog,
+        # reference utils.py:38-43).
+        self.checkpointer.save(step, self.state)
+        return eval_metrics
+
+    def close(self):
+        self.checkpointer.close()
+        self.logger.close()

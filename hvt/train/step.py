@@ -1,0 +1,185 @@
+"""The jit-compiled train/eval steps — the framework's hot loop.
+
+This layer replaces Composer's Trainer internals (reference main.py:104-131;
+SURVEY.md §3.1 hot loop): one XLA program per step fuses device-side
+normalization (reference data.py:153-164), progressive resizing
+(configs/pretrain/inat21.yaml:38-42), label smoothing (algorithmic.py:88-119),
+mixup, the model forward/backward, gradient clipping, the optimizer, EMA
+(configs/pretrain/inat21.yaml:32-35), and metric partial sums. Gradient
+reduction over the data mesh axis is inserted by XLA (GSPMD), not written here.
+
+Shapes are static: the progressive-resize scale is a compile-time constant, so
+the training loop holds one compiled executable per scale bucket
+(SURVEY.md §7 'Progressive resizing under jit').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hvt import metrics as metrics_lib
+from hvt.data import device as device_prep
+from hvt.train import ema as ema_lib
+from hvt.train.state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class StepSettings:
+    """Static knobs baked into the compiled step."""
+
+    num_classes: Any  # int | tuple[int, ...]
+    smoothing: float = 0.0
+    mixup_alpha: Optional[float] = None
+    cutmix_alpha: Optional[float] = None
+    grad_accum: int = 1
+    ema: Optional[ema_lib.EmaConfig] = None
+
+
+def _forward(model, params, batch_stats, x, train: bool):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    if train and batch_stats:
+        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    out = model.apply(variables, x, train=train)
+    return out, batch_stats
+
+
+def build_train_step(
+    model,
+    objective: Callable,
+    tx: optax.GradientTransformation,
+    prep: device_prep.DevicePrep,
+    settings: StepSettings,
+) -> Callable:
+    """Returns step(state, images, labels, mask, rng, scale) — jitted with the
+    state donated; `scale` is static (progressive resizing bucket)."""
+
+    def microbatch_loss(params, batch_stats, images, labels, mask, rng, scale):
+        x = prep.normalize(images)
+        if scale < 1.0:
+            x = device_prep.progressive_resize(x, scale)
+        targets = device_prep.prepare_targets(
+            labels, settings.num_classes, settings.smoothing
+        )
+        if settings.mixup_alpha:
+            rng, key = jax.random.split(rng)
+            x, targets = device_prep.mixup(key, x, targets, settings.mixup_alpha)
+        if settings.cutmix_alpha:
+            rng, key = jax.random.split(rng)
+            x, targets = device_prep.cutmix(key, x, targets, settings.cutmix_alpha)
+        out, new_bs = _forward(model, params, batch_stats, x, train=True)
+        loss = objective(out, targets, mask)
+        return loss, (out, new_bs)
+
+    def step(state: TrainState, images, labels, mask, rng, scale: float):
+        rng = jax.random.fold_in(rng, state.step)
+        accum = settings.grad_accum
+
+        if accum == 1:
+            grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+            (loss, (out, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, images, labels, mask, rng, scale
+            )
+            stats = metrics_lib.batch_stats(out, labels, mask)
+        else:
+            # Microbatch scan: grads averaged, BN stats chained through.
+            b = images.shape[0]
+            if b % accum:
+                raise ValueError(f"batch {b} not divisible by grad_accum {accum}")
+            mb = b // accum
+            resh = lambda a: a.reshape(accum, mb, *a.shape[1:])  # noqa: E731
+            mb_data = (resh(images), resh(labels), resh(mask))
+            grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+            def body(carry, xs):
+                bs, grads_acc, loss_acc, stats_acc, i = carry
+                im, la, mk = xs
+                (l, (o, bs2)), g = grad_fn(
+                    state.params, bs, im, la, mk, jax.random.fold_in(rng, i), scale
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                s = metrics_lib.batch_stats(o, la, mk)
+                stats_acc = jax.tree.map(jnp.add, stats_acc, s)
+                return (bs2, grads_acc, l + loss_acc, stats_acc, i + 1), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_stats = {
+                k: jnp.zeros((), jnp.float32)
+                for k in ("correct@1", "correct@5", "ce_sum", "count")
+            }
+            (new_bs, grads, loss_sum, stats, _), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, 0.0, zero_stats, 0),
+                mb_data,
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss_sum / accum
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema_p = new_ema_bs = None
+        if settings.ema is not None:
+            new_ema_p = ema_lib.update(settings.ema, state.step, state.ema_params, new_params)
+            new_ema_bs = ema_lib.update(
+                settings.ema, state.step, state.ema_batch_stats, new_bs
+            )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            ema_params=new_ema_p,
+            ema_batch_stats=new_ema_bs,
+        )
+        stats = dict(stats)
+        stats["loss_sum"] = loss.astype(jnp.float32)
+        stats["batches"] = jnp.ones((), jnp.float32)
+        stats["grad_norm"] = optax.global_norm(grads).astype(jnp.float32)
+        return new_state, stats
+
+    return jax.jit(step, static_argnames=("scale",), donate_argnums=(0,))
+
+
+def build_eval_step(
+    model,
+    prep: device_prep.DevicePrep,
+    tree_dists=None,
+) -> Callable:
+    """Returns eval(params, batch_stats, images, labels, mask) → metric sums.
+
+    tree_dists (class×class) is closed over as a constant — the gather fuses
+    into the step (the reference's TreeDistance metric, hierarchy.py:126-154,
+    without its memory leak).
+    """
+    td = None if tree_dists is None else jnp.asarray(tree_dists)
+
+    def step(params, batch_stats, images, labels, mask):
+        x = prep.normalize(images)
+        out, _ = _forward(model, params, batch_stats, x, train=False)
+        return metrics_lib.batch_stats(out, labels, mask, tree_dists=td)
+
+    return jax.jit(step)
+
+
+def build_feature_step(model, prep: device_prep.DevicePrep) -> Callable:
+    """Frozen pooled features (linear probe / simpleshot; reference
+    models.py:186-205)."""
+
+    def step(params, batch_stats, images):
+        x = prep.normalize(images)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, x, train=False, features_only=True)
+
+    return jax.jit(step)

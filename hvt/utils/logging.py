@@ -1,0 +1,110 @@
+"""Run logging + throughput instrumentation.
+
+Replaces the reference's logger stack (reference main.py:79-96): a
+per-process file logger (FileLogger analog: ``logs/log{rank}.txt``), stdout
+on rank 0, an optional wandb sink (active only if wandb is importable — it
+is not part of this environment), and a SpeedMonitor measuring samples/sec
+over a sliding window (reference main.py:92, window_size=50) plus
+images/sec/chip — the north-star metric (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import pathlib
+import time
+from typing import Any, Optional
+
+try:  # wandb is optional (absent in this environment)
+    import wandb  # type: ignore
+
+    _HAS_WANDB = True
+except ImportError:
+    wandb = None
+    _HAS_WANDB = False
+
+
+class RunLogger:
+    def __init__(
+        self,
+        save_folder: str | pathlib.Path,
+        run_name: str,
+        rank: int = 0,
+        use_wandb: bool = False,
+        wandb_entity: str = "",
+        wandb_project: str = "",
+        tags: Optional[list[str]] = None,
+    ):
+        self.rank = rank
+        self.run_name = run_name
+        log_dir = pathlib.Path(save_folder) / "logs"
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self._file = open(log_dir / f"log{rank}.txt", "a")
+        self._wandb_run = None
+        if use_wandb and _HAS_WANDB and rank == 0:
+            self._wandb_run = wandb.init(
+                name=run_name, entity=wandb_entity or None,
+                project=wandb_project or None, tags=tags or [],
+            )
+
+    def log(self, step: int, metrics: dict[str, Any], prefix: str = "") -> None:
+        record = {
+            "step": step,
+            "time": time.time(),
+            **{(f"{prefix}/{k}" if prefix else k): _scalar(v) for k, v in metrics.items()},
+        }
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self.rank == 0:
+            printable = ", ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in record.items()
+                if k not in ("time",)
+            )
+            print(f"[{self.run_name}] {printable}", flush=True)
+        if self._wandb_run is not None:
+            self._wandb_run.log(record, step=step)
+
+    def log_config(self, config_yaml: str) -> None:
+        if self.rank == 0:
+            print(config_yaml, flush=True)
+        self._file.write(config_yaml + "\n")
+        self._file.flush()
+
+    def close(self) -> None:
+        self._file.close()
+        if self._wandb_run is not None:
+            self._wandb_run.finish()
+
+
+def _scalar(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+class SpeedMonitor:
+    """Sliding-window samples/sec (reference SpeedMonitor, window_size=50)."""
+
+    def __init__(self, window_size: int = 50, num_chips: int = 1):
+        self.window: collections.deque = collections.deque(maxlen=window_size)
+        self.num_chips = max(1, num_chips)
+
+    def batch_end(self, num_samples: int) -> None:
+        self.window.append((time.perf_counter(), num_samples))
+
+    def metrics(self) -> dict[str, float]:
+        if len(self.window) < 2:
+            return {}
+        t0, _ = self.window[0]
+        t1 = self.window[-1][0]
+        # samples completed between the first and last tick
+        samples = sum(n for _, n in list(self.window)[1:])
+        elapsed = max(t1 - t0, 1e-9)
+        ips = samples / elapsed
+        return {
+            "samples_per_sec": ips,
+            "samples_per_sec_per_chip": ips / self.num_chips,
+        }

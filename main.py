@@ -1,0 +1,27 @@
+"""Pretrain / fine-tune entry point (reference main.py:36-148).
+
+Usage (same CLI as the reference, README.md:25-34):
+
+    python main.py --machine configs/machines/local.yaml \
+        --exp configs/pretrain/inat21.yaml configs/pretrain/r50_multitask_base.yaml
+"""
+
+import argparse
+
+from hvt import config as config_lib
+from hvt.train.loop import Trainer
+
+
+def main(config: config_lib.Config) -> dict:
+    trainer = Trainer(config)
+    try:
+        return trainer.fit()
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    config_lib.add_exp_args(parser)
+    args = parser.parse_args()
+    main(config_lib.load(machine=args.machine, exps=args.exp))

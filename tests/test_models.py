@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvt import config as C
+from hvt.models import build_model
+from hvt.models import resnet as R
+
+
+def _count(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="module")
+def r50_vars():
+    model = R.resnet50(1000, dtype=jnp.float32)
+    return model, model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=True)
+
+
+def test_resnet50_param_count_matches_torch(r50_vars):
+    # torchvision resnet50 (1000 classes) has exactly 25,557,032 trainable params.
+    _, variables = r50_vars
+    assert _count(variables["params"]) == 25_557_032
+
+
+def test_resnet50_forward_shapes(r50_vars):
+    model, variables = r50_vars
+    x = jnp.zeros((2, 64, 64, 3))
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 1000)
+    assert logits.dtype == jnp.float32
+    feats = model.apply(variables, x, train=False, features_only=True)
+    assert feats.shape == (2, 2048)
+
+
+def test_resnet50_batchstats_update(r50_vars):
+    model, variables = r50_vars
+    x = jnp.ones((2, 64, 64, 3))
+    _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    leaves_before = jax.tree.leaves(variables["batch_stats"])
+    leaves_after = jax.tree.leaves(mut["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_before, leaves_after)
+    )
+
+
+def test_multitask_head_returns_list():
+    model = R.resnet_micro((2, 3, 5))
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    out = model.apply(variables, jnp.zeros((2, 32, 32, 3)), train=False)
+    assert isinstance(out, list) and len(out) == 3
+    assert [o.shape[-1] for o in out] == [2, 3, 5]
+
+
+def test_blurpool_same_output_shape():
+    a = R.resnet_micro(10)
+    b = R.resnet_micro(10, blurpool=True)
+    va = a.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    vb = b.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    x = jnp.zeros((2, 32, 32, 3))
+    assert a.apply(va, x, train=False).shape == b.apply(vb, x, train=False).shape
+    # blurpool adds no parameters (fixed binomial filter)
+    assert _count(va["params"]) == _count(vb["params"])
+
+
+def test_bn_scale_init_reference_quirk():
+    """Reference models.py:211-213 initializes BN scale ~ U(0,1)."""
+    model = R.resnet_micro(10, bn_scale_init="uniform01")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    scales = [
+        np.asarray(leaf)
+        for path, leaf in flat
+        if str(path[-1]) == ".scale" or getattr(path[-1], "key", "") == "scale"
+    ]
+    assert scales, "no BN scale leaves found"
+    allvals = np.concatenate([s.ravel() for s in scales])
+    assert allvals.min() >= 0.0 and allvals.max() <= 1.0
+    assert allvals.std() > 0.05  # not constant ones
+
+
+def test_factory_variants_and_errors():
+    cfg = C.loads({"model": {"name": "resnet_micro"}})
+    m = build_model(cfg, 10)
+    assert isinstance(m, R.BasicResNet)
+
+    bad = C.loads({"model": {"name": "resnet_micro", "variant": "linear-probing"}})
+    with pytest.raises(ValueError, match="variant"):
+        build_model(bad, 10)
+
+    with pytest.raises(ValueError, match="multitask"):
+        build_model(C.loads({"model": {"name": "resnet_micro"}}), (2, 3))
+
+    cfg_mt = C.loads(
+        {"model": {"name": "resnet_micro"}, "hierarchy": {"variant": "multitask"}}
+    )
+    m2 = build_model(cfg_mt, (2, 3))
+    assert m2.num_classes == (2, 3)
+
+
+def test_factory_blurpool_from_algorithms():
+    cfg = C.loads(
+        {"model": {"name": "resnet_micro"}, "algorithms": [{"cls": "BlurPool"}]}
+    )
+    assert build_model(cfg, 10).blurpool

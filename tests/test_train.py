@@ -1,0 +1,297 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hvt import config as C
+from hvt import metrics as M
+from hvt import parallel
+from hvt.train import optim as optim_lib
+from hvt.train import schedule as S
+from hvt.train.ema import EmaConfig, update as ema_update
+
+
+# --- schedule --------------------------------------------------------------
+
+
+def test_parse_duration():
+    assert S.parse_duration("36ep") == S.Duration(36, "ep")
+    assert S.parse_duration("100ba") == S.Duration(100, "ba")
+    assert S.parse_duration(5) == S.Duration(5, "ba")
+    assert S.parse_duration("0.4dur").to_steps(10, total_steps=100) == 40
+    with pytest.raises(ValueError):
+        S.parse_duration("10min")
+    assert S.Duration(8, "ep").to_steps(100) == 800
+
+
+def test_cosine_with_warmup_values():
+    sched = S.cosine_with_warmup(warmup_steps=10, total_steps=110, alpha_f=0.0)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(5)) == pytest.approx(0.5)
+    assert float(sched(10)) == pytest.approx(1.0)
+    assert float(sched(60)) == pytest.approx(0.5, abs=1e-6)  # cosine midpoint
+    assert float(sched(110)) == pytest.approx(0.0, abs=1e-6)
+
+    alpha = S.cosine_with_warmup(10, 110, alpha_f=0.1)
+    assert float(alpha(110)) == pytest.approx(0.1, abs=1e-6)
+
+
+def test_constant_with_warmup_values():
+    sched = S.constant_with_warmup(warmup_steps=4)
+    assert float(sched(2)) == pytest.approx(0.5)
+    assert float(sched(4)) == 1.0
+    assert float(sched(400)) == 1.0
+
+
+def test_build_multiplier_schedule_from_config():
+    cfg = C.loads({"scheduler": {"args": {"t_warmup": "2ep", "alpha_f": 0.0}}})
+    sched = S.build_multiplier_schedule(cfg.scheduler, steps_per_epoch=5, total_steps=50)
+    assert float(sched(10)) == pytest.approx(1.0)  # end of 2-epoch warmup
+
+    cfg2 = C.loads(
+        {"scheduler": {"name": "ConstantWithWarmupScheduler", "args": {"t_warmup": "1ep"}}}
+    )
+    sched2 = S.build_multiplier_schedule(cfg2.scheduler, 5, 50)
+    assert float(sched2(30)) == 1.0
+
+
+# --- optimizers ------------------------------------------------------------
+
+
+def _flat_params():
+    return {
+        "dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))},
+        "bn": {"scale": jnp.ones((3,))},
+    }
+
+
+def test_decay_mask_ndim_rule():
+    mask = optim_lib.decay_mask(_flat_params())
+    assert mask["dense"]["kernel"] is True or mask["dense"]["kernel"] == True  # noqa: E712
+    assert not mask["dense"]["bias"]
+    assert not mask["bn"]["scale"]
+
+
+def test_decay_mask_extra_substrings():
+    params = {"attn": {"logit_scale": jnp.ones((2, 2))}, "mlp": {"kernel": jnp.ones((2, 2))}}
+    mask = optim_lib.decay_mask(params, extra_no_decay=("logit_scale",))
+    assert not mask["attn"]["logit_scale"]
+    assert mask["mlp"]["kernel"]
+
+
+def test_decoupled_sgdw_decay_scales_with_multiplier_not_lr():
+    """Composer DecoupledSGDW: decay per step = wd * multiplier(step) — not
+    wd * lr. With lr=2.0 and zero grads, one step shrinks params by exactly
+    wd * mult."""
+    cfg = C.loads({"optim": {"name": "DecoupledSGDW", "lr": 2.0, "momentum": 0.0,
+                              "weight_decay": 0.1}})
+    mult = lambda step: jnp.asarray(0.5)  # constant multiplier  # noqa: E731
+    tx = optim_lib.build_optimizer(cfg.optim, mult)
+    params = {"w": jnp.ones((2, 2))}
+    state = tx.init(params)
+    grads = {"w": jnp.zeros((2, 2))}
+    updates, _ = tx.update(grads, state, params)
+    import optax
+
+    new = optax.apply_updates(params, updates)
+    # decay = wd * mult = 0.05 (NOT wd * lr * mult = 0.1)
+    np.testing.assert_allclose(np.asarray(new["w"]), 0.95, rtol=1e-6)
+
+
+def test_sgd_nesterov_coupled_decay_matches_torch():
+    import torch
+
+    cfg = C.loads({"optim": {"name": "sgd", "lr": 0.1, "momentum": 0.9,
+                              "weight_decay": 0.01}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    w0 = np.ones((2, 2), dtype=np.float32) * 0.5
+    g = np.full((2, 2), 0.3, dtype=np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    import optax
+
+    for _ in range(3):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, nesterov=True, weight_decay=0.01)
+    for _ in range(3):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5)
+
+
+def test_adamw_matches_torch():
+    import optax
+    import torch
+
+    cfg = C.loads({"optim": {"name": "adamw", "lr": 0.01, "weight_decay": 0.05}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    w0 = np.linspace(-1, 1, 6, dtype=np.float32).reshape(2, 3)
+    g = np.full((2, 3), 0.2, dtype=np.float32)
+
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for _ in range(4):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.AdamW([tw], lr=0.01, weight_decay=0.05)
+    for _ in range(4):
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-4)
+
+
+def test_grad_clip_applied():
+    cfg = C.loads({"optim": {"name": "DecoupledSGDW", "lr": 1.0, "momentum": 0.0,
+                              "weight_decay": 0.0}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0), grad_clip_norm=1.0)
+    params = {"w": jnp.zeros((4,4))}
+    state = tx.init(params)
+    big = {"w": jnp.full((4, 4), 100.0)}
+    updates, _ = tx.update(big, state, params)
+    import optax
+
+    assert float(optax.global_norm(updates)) == pytest.approx(1.0, rel=1e-5)
+
+
+# --- EMA -------------------------------------------------------------------
+
+
+def test_ema_config_and_update():
+    cfg = EmaConfig.from_args({"half_life": "100ba", "update_interval": "20ba"})
+    assert cfg.decay == pytest.approx(0.5 ** 0.2)
+
+    ema = {"w": jnp.zeros((2,))}
+    new = {"w": jnp.ones((2,))}
+    on = ema_update(cfg, jnp.asarray(0), ema, new)  # step 0 → update fires
+    np.testing.assert_allclose(np.asarray(on["w"]), 1 - cfg.decay, rtol=1e-6)
+    off = ema_update(cfg, jnp.asarray(1), ema, new)  # step 1 → identity
+    np.testing.assert_allclose(np.asarray(off["w"]), 0.0)
+    assert ema_update(cfg, jnp.asarray(0), None, new) is None
+
+
+# --- metrics ---------------------------------------------------------------
+
+
+def test_batch_stats_and_accumulator():
+    logits = jnp.asarray([
+        [5.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 5.0, 4.0, 3.0, 2.0, 1.0],
+        [0.0, 1.0, 2.0, 3.0, 4.0, 5.0],
+    ])
+    labels = jnp.asarray([0, 2, 0])
+    mask = jnp.asarray([1.0, 1.0, 0.0])  # last row padded
+    tree = jnp.asarray(np.arange(36).reshape(6, 6), dtype=jnp.uint8)
+
+    stats = M.batch_stats(logits, labels, mask, tree_dists=tree)
+    assert float(stats["count"]) == 2.0
+    assert float(stats["correct@1"]) == 1.0  # only row 0 correct
+    assert float(stats["correct@5"]) == 2.0  # row 1 target=2 in top-5
+    # tree dist: row0 pred 0 target 0 -> 0; row1 pred 1 target 2 -> tree[1,2]=8
+    assert float(stats["tree_dist_sum"]) == 8.0
+
+    acc = M.MetricAccumulator()
+    acc.update(stats)
+    acc.update(stats)
+    out = acc.compute()
+    assert out["acc@1"] == pytest.approx(0.5)
+    assert out["acc@5"] == pytest.approx(1.0)
+    assert out["tree-dist"] == pytest.approx(4.0)
+
+
+def test_batch_stats_multitask_uses_last_tier():
+    outputs = [jnp.asarray([[9.0, 0.0]]), jnp.asarray([[0.0, 9.0, 0.0]])]
+    labels = jnp.asarray([[0, 1]])
+    stats = M.batch_stats(outputs, labels, jnp.asarray([1.0]))
+    assert float(stats["correct@1"]) == 1.0
+
+
+def test_accuracy_topk_numpy():
+    out = np.asarray([[0.1, 0.9], [0.8, 0.2]])
+    assert M.accuracy_topk(out, np.asarray([1, 0])) == 1.0
+    assert M.accuracy_topk(out, np.asarray([0, 1])) == 0.0
+
+
+# --- end-to-end micro training --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def micro_config(tmp_path_factory):
+    save_root = tmp_path_factory.mktemp("runs")
+    return C.loads(
+        {
+            "run_name": "micro",
+            "max_duration": "4ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": str(save_root)},
+            "train_dataset": {
+                "source": "synthetic",
+                "synthetic_num_classes": 4,
+                "synthetic_num_samples": 32,
+                "crop_size": 32,
+                "global_batch_size": 8,
+                "drop_last": True,
+                "shuffle": True,
+            },
+            "eval_dataset": {
+                "source": "synthetic",
+                "synthetic_num_classes": 4,
+                "synthetic_num_samples": 16,
+                "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "DecoupledSGDW", "lr": 0.05, "momentum": 0.9,
+                      "weight_decay": 1e-4},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [
+                {"cls": "EMA", "args": {"half_life": "4ba", "update_interval": "2ba"}},
+                {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
+                {"cls": "GradientClipping",
+                 "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
+            ],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1, "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+
+
+def test_trainer_fit_and_resume(micro_config):
+    from hvt.train.loop import Trainer
+
+    mesh = parallel.cpu_mesh(2)
+    tr = Trainer(micro_config, mesh=mesh, log_interval=2)
+    assert tr.total_steps == 4
+    metrics = tr.fit()
+    assert np.isfinite(metrics["cross-entropy"])
+    assert int(tr.state.step) == 4
+    assert tr.state.ema_params is not None
+    step_dir = tr.checkpointer.latest_step()
+    assert step_dir == 4
+    tr.close()
+
+    # Resume from the saved checkpoint into a fresh trainer.
+    resumed_cfg = C.loads(
+        C.to_dict(micro_config),
+        {"load_path": str(
+            __import__("pathlib").Path(micro_config.machine.save_root) / "micro" / "checkpoints"
+        )},
+    )
+    tr2 = Trainer(resumed_cfg, mesh=mesh, log_interval=2)
+    assert int(tr2.state.step) == 4
+    # params actually restored (differ from fresh init)
+    fresh = Trainer(micro_config, mesh=mesh, log_interval=2)
+    l2 = jax.tree.leaves(tr2.state.params)
+    lf = jax.tree.leaves(fresh.state.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(l2, lf))
+    tr2.close()
+    fresh.close()
