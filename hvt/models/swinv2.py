@@ -1,0 +1,366 @@
+"""SwinV2 in flax.linen — TPU-first rebuild of the vendored reference model.
+
+Architecture parity with reference swinv2.py:43-868 (itself vendored from
+microsoft/Swin-Transformer and modified for hierarchical heads):
+
+* cosine attention with learnable per-head ``logit_scale`` clamped at
+  log(100) (reference swinv2.py:135-138,228-231),
+* continuous relative position bias: 2-layer MLP (512 hidden, ReLU, output
+  bias-free) over log-spaced relative coordinates, 16·sigmoid scaled
+  (reference swinv2.py:141-190,233-247),
+* qkv projection with q/v bias only (k bias-free)
+  (reference swinv2.py:192-219),
+* shifted windows via cyclic roll + precomputed additive masks
+  (reference swinv2.py:357-388,399-429),
+* res-post-norm with zero-initialized norm scale/bias so each block starts
+  as identity (reference swinv2.py:431-434,603-608),
+* patch merging 2×2 gather → Linear(4C→2C, no bias) → LayerNorm
+  (reference swinv2.py:475-496); patch embed as a strided conv
+  (reference swinv2.py:640-657),
+* head: Dense, or MultitaskHead when num_classes is a tuple
+  (reference swinv2.py:784-795).
+
+TPU-first differences: NHWC token layout end-to-end (no B,L,C round-trips),
+the window-attention inner loop lives in hvt.ops.window_attention (jnp
+reference or fused Pallas kernel), resolutions are derived from the input
+shape (one compiled program per progressive-resize bucket), and per-stage
+``jax.checkpoint`` replaces torch activation checkpointing
+(reference swinv2.py:584-585).
+
+Weight init parity: Dense trunc_normal(0.02) + zero bias, LayerNorm ones
+(reference swinv2.py:801-808), respostnorm zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hvt.models.heads import MultitaskHead
+from hvt.ops import window_attention as wa
+
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+zeros_init = nn.initializers.zeros
+ones_init = nn.initializers.ones
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: Any = None
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc02,
+                     bias_init=zeros_init, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc02,
+                     bias_init=zeros_init, name="fc2")(x)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: int
+    num_heads: int
+    pretrained_window: int = 0
+    dtype: Any = None
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: (nW·B, N, C); mask: (nW, N, N) additive or None."""
+        nwb, n, c = x.shape
+        head_dim = c // self.num_heads
+
+        qkv_kernel = self.param("qkv_kernel", trunc02, (c, 3 * c))
+        q_bias = self.param("q_bias", zeros_init, (c,))
+        v_bias = self.param("v_bias", zeros_init, (c,))
+        logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(10.0), jnp.float32),
+            (self.num_heads, 1, 1),
+        )
+        cpb_w1 = self.param("cpb_w1", trunc02, (2, 512))
+        cpb_b1 = self.param("cpb_b1", zeros_init, (512,))
+        cpb_w2 = self.param("cpb_w2", trunc02, (512, self.num_heads))
+
+        qkv = x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
+        bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+        qkv = qkv + bias.astype(qkv.dtype)
+        qkv = qkv.reshape(nwb, n, 3, self.num_heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+        coords = jnp.asarray(
+            wa.relative_coords_table(self.window, self.pretrained_window)
+        )
+        rel_index = jnp.asarray(wa.relative_position_index(self.window))
+        rel_bias = wa.cpb_bias(cpb_w1, cpb_b1, cpb_w2, coords, rel_index, self.num_heads)
+
+        out = wa.window_attention(
+            q, k, v, logit_scale, rel_bias, mask, use_pallas=self.use_pallas
+        )  # (nwb, heads, N, head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc02,
+                       bias_init=zeros_init, name="proj")(out)
+        return out
+
+
+def drop_path(x, rate: float, deterministic: bool, rng=None):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    pretrained_window: int = 0
+    dtype: Any = None
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, H, W, C) token grid."""
+        b, h, w, c = x.shape
+        window, shift = self.window, self.shift
+        if min(h, w) <= window:
+            # window larger than resolution → global attention, no shift
+            # (reference swinv2.py:328-334)
+            window, shift = min(h, w), 0
+
+        shortcut = x
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        x_windows = wa.window_partition(x, window)  # (nW·B, w², C)
+
+        mask = None
+        if shift > 0:
+            mask = jnp.asarray(wa.shift_attn_mask((h, w), window, shift))
+
+        attn = WindowAttention(
+            dim=c,
+            window=window,
+            num_heads=self.num_heads,
+            pretrained_window=self.pretrained_window,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+            name="attn",
+        )(x_windows, mask)
+
+        x = wa.window_reverse(attn, window, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+
+        # res-post-norm, zero-init (reference swinv2.py:431,603-608)
+        x = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init, bias_init=zeros_init,
+                         dtype=self.dtype, name="norm1")(x)
+        use_dp = self.drop_path_rate > 0.0 and not deterministic
+        rng = self.make_rng("dropout") if use_dp else None
+        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+
+        y = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype,
+                name="mlp")(x, deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init, bias_init=zeros_init,
+                         dtype=self.dtype, name="norm2")(y)
+        rng = self.make_rng("dropout") if use_dp else None
+        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        """(B, H, W, C) → (B, H/2, W/2, 2C) (reference swinv2.py:475-496)."""
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, f"odd resolution {h}x{w}"
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        # concat order matches the reference: (0,0), (1,0), (0,1), (1,1)
+        x = jnp.concatenate(
+            [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
+            axis=-1,
+        )
+        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, kernel_init=trunc02,
+                     name="reduction")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class SwinTransformerV2(nn.Module):
+    num_classes: Union[int, tuple[int, ...]] = 1000
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
+    dtype: Any = jnp.bfloat16
+    use_pallas: bool = True
+    remat: bool = False
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    @property
+    def no_weight_decay_substrings(self) -> tuple[str, ...]:
+        """Optimizer no-decay names (reference swinv2.py:810-816)."""
+        return ("absolute_pos_embed", "cpb_", "logit_scale")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, features_only: bool = False):
+        b = x.shape[0]
+        x = x.astype(self.dtype)
+        # Patch embed: strided conv + optional norm (reference swinv2.py:640-657).
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=trunc02,
+            bias_init=zeros_init,
+            name="patch_embed",
+        )(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+
+        if self.ape:
+            hp, wp = x.shape[1], x.shape[2]
+            pos = self.param(
+                "absolute_pos_embed", trunc02, (1, hp, wp, self.embed_dim)
+            )
+            x = x + pos.astype(x.dtype)
+
+        # Stochastic-depth decay schedule (reference swinv2.py:752-755).
+        total_depth = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_depth)
+
+        block_cls = (
+            nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
+        )
+        block_idx = 0
+        for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            for i in range(depth):
+                x = block_cls(
+                    dim=x.shape[-1],
+                    num_heads=heads,
+                    window=self.window_size,
+                    shift=0 if i % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=float(dpr[block_idx]),
+                    pretrained_window=self.pretrained_window_sizes[stage],
+                    dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    name=f"stage{stage}_block{i}",
+                )(x, not train)
+                block_idx += 1
+            if stage < len(self.depths) - 1:
+                x = PatchMerging(dim=x.shape[-1], dtype=self.dtype,
+                                 name=f"stage{stage}_merge")(x)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = jnp.mean(x.reshape(b, -1, x.shape[-1]), axis=1)  # token avgpool
+        x = x.astype(jnp.float32)
+        if features_only:
+            return x
+
+        if isinstance(self.num_classes, tuple):
+            return MultitaskHead(self.num_classes, dtype=jnp.float32, name="head")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, kernel_init=trunc02,
+                        bias_init=zeros_init, name="head")(x)
+
+
+def _variant(embed_dim, depths, num_heads, window_size):
+    def build(
+        num_classes,
+        *,
+        blurpool: bool = False,  # accepted for factory uniformity; swin has no blurpool
+        dtype: Any = jnp.bfloat16,
+        **kwargs,
+    ):
+        del blurpool
+        kwargs.pop("bn_scale_init", None)
+        if isinstance(dtype, str):
+            dtype = jnp.dtype(dtype)
+        return SwinTransformerV2(
+            num_classes=num_classes,
+            embed_dim=embed_dim,
+            depths=depths,
+            num_heads=num_heads,
+            window_size=window_size,
+            dtype=dtype,
+            **kwargs,
+        )
+
+    return build
+
+
+# Reference defaults: depths [2,2,6,2], heads [3,6,12,24], window 7
+# (reference swinv2.py:706-708).
+swinv2_tiny = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 7)
+swinv2_tiny_window8_256 = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 8)
+swinv2_tiny_window16_256 = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 16)
+swinv2_small = _variant(96, (2, 2, 18, 2), (3, 6, 12, 24), 7)
+swinv2_base = _variant(128, (2, 2, 18, 2), (4, 8, 16, 32), 7)
+swinv2_micro = _variant(16, (1, 1), (2, 4), 4)  # tests only
+
+
+def analytic_flops(model: SwinTransformerV2, img_size: int) -> int:
+    """Analytic FLOPs accounting (reference swinv2.py:847-867)."""
+    flops = 0
+    res = img_size // model.patch_size
+    dim = model.embed_dim
+    # patch embed
+    flops += res * res * dim * 3 * model.patch_size**2
+    if model.patch_norm:
+        flops += res * res * dim
+    for stage, (depth, heads) in enumerate(zip(model.depths, model.num_heads)):
+        window = min(model.window_size, res)
+        n = window * window
+        n_windows = (res * res) / n
+        for _ in range(depth):
+            # norms
+            flops += 2 * dim * res * res
+            # qkv + proj
+            per_window = n * dim * 3 * dim + n * dim * dim
+            # attn matmuls
+            per_window += 2 * heads * n * n * (dim // heads)
+            flops += int(n_windows * per_window)
+            # mlp
+            flops += int(2 * res * res * dim * dim * model.mlp_ratio)
+        if stage < len(model.depths) - 1:
+            flops += (res // 2) * (res // 2) * 4 * dim * 2 * dim
+            flops += res * res * dim // 2
+            res //= 2
+            dim *= 2
+    flops += dim * res * res  # final norm
+    ncls = model.num_classes
+    if isinstance(ncls, tuple):
+        flops += sum(model.num_features * n for n in ncls)
+    else:
+        flops += model.num_features * ncls
+    return flops

@@ -1,0 +1,122 @@
+"""Torch SwinV2 checkpoint interop.
+
+The reference loads Microsoft-format SwinV2 checkpoints through its
+``swin://<path>`` URI scheme, filtering non-persistent buffers
+(reference swinv2.py:870-895). This module provides the same capability for
+hvt: parse the URI, read the torch state dict, drop the non-persistent
+buffers, and convert tensor layouts to this package's flax parameter tree
+(torch Linear stores (out, in); flax Dense stores (in, out); conv kernels go
+OIHW → HWIO).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+# Buffers that are derived, not learned (reference swinv2.py:887-894).
+NON_PERSISTENT = ("relative_position_index", "relative_coords_table", "logit_clamp_max")
+
+_SWIN_URI = re.compile(r"^swin://(.+)$")
+
+
+def parse_swin_uri(uri: str) -> str:
+    m = _SWIN_URI.match(uri)
+    if not m:
+        raise ValueError(f"uri {uri!r} doesn't match swin://<path>")
+    return m.group(1)
+
+
+def filter_buffers(state_dict: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    return {
+        k: v for k, v in state_dict.items()
+        if not any(name in k for name in NON_PERSISTENT)
+    }
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def convert_swin_state_dict(
+    state_dict: Mapping[str, np.ndarray], depths: tuple[int, ...]
+) -> dict:
+    """Torch SwinV2 state dict → hvt.models.swinv2 flax params tree."""
+    sd = {k: _np(v) for k, v in filter_buffers(state_dict).items()}
+    params: dict = {}
+
+    def dense(prefix, has_bias=True):
+        out = {"kernel": sd[f"{prefix}.weight"].T}
+        if has_bias:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def norm(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    params["patch_embed"] = {
+        # OIHW → HWIO
+        "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+    if "patch_embed.norm.weight" in sd:
+        params["patch_norm"] = norm("patch_embed.norm")
+    if "absolute_pos_embed" in sd:
+        ape = sd["absolute_pos_embed"]  # (1, L, C)
+        side = int(round(np.sqrt(ape.shape[1])))
+        params["absolute_pos_embed"] = ape.reshape(1, side, side, ape.shape[-1])
+
+    for s, depth in enumerate(depths):
+        for i in range(depth):
+            p = f"layers.{s}.blocks.{i}"
+            params[f"stage{s}_block{i}"] = {
+                "norm1": norm(f"{p}.norm1"),
+                "norm2": norm(f"{p}.norm2"),
+                "attn": {
+                    "qkv_kernel": sd[f"{p}.attn.qkv.weight"].T,
+                    "q_bias": sd[f"{p}.attn.q_bias"],
+                    "v_bias": sd[f"{p}.attn.v_bias"],
+                    "logit_scale": sd[f"{p}.attn.logit_scale"],
+                    "cpb_w1": sd[f"{p}.attn.cpb_mlp.0.weight"].T,
+                    "cpb_b1": sd[f"{p}.attn.cpb_mlp.0.bias"],
+                    "cpb_w2": sd[f"{p}.attn.cpb_mlp.2.weight"].T,
+                    "proj": dense(f"{p}.attn.proj"),
+                },
+                "mlp": {
+                    "fc1": dense(f"{p}.mlp.fc1"),
+                    "fc2": dense(f"{p}.mlp.fc2"),
+                },
+            }
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            params[f"stage{s}_merge"] = {
+                "reduction": dense(f"layers.{s}.downsample.reduction", has_bias=False),
+                "norm": norm(f"layers.{s}.downsample.norm"),
+            }
+
+    params["norm"] = norm("norm")
+    if "head.weight" in sd:
+        params["head"] = dense("head")
+    else:
+        tiers = {}
+        t = 0
+        while f"head.heads.{t}.weight" in sd:
+            tiers[f"tier{t}"] = dense(f"head.heads.{t}")
+            t += 1
+        if tiers:
+            params["head"] = tiers
+    return params
+
+
+def load_swin_checkpoint(uri: str, depths: tuple[int, ...]) -> dict:
+    """swin://path → flax params. The .pt file holds {"model": state_dict}
+    (reference swinv2.py:883-885)."""
+    import torch
+
+    path = parse_swin_uri(uri)
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    state_dict = blob.get("model", blob)
+    return convert_swin_state_dict(state_dict, depths)

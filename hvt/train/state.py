@@ -36,7 +36,9 @@ class TrainState(struct.PyTreeNode):
 
 
 def create(model, tx, rng, sample_input, ema: bool) -> TrainState:
-    variables = model.init(rng, sample_input, train=True)
+    # init with train=False: variable collections (incl. batch_stats) are
+    # created either way, and eval mode needs no dropout rngs.
+    variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -41,14 +41,17 @@ class StepSettings:
     ema: Optional[ema_lib.EmaConfig] = None
 
 
-def _forward(model, params, batch_stats, x, train: bool):
+def _forward(model, params, batch_stats, x, train: bool, rng=None):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    rngs = {"dropout": rng} if (train and rng is not None) else None
     if train and batch_stats:
-        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        out, mut = model.apply(
+            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+        )
         return out, mut["batch_stats"]
-    out = model.apply(variables, x, train=train)
+    out = model.apply(variables, x, train=train, rngs=rngs)
     return out, batch_stats
 
 
@@ -75,7 +78,8 @@ def build_train_step(
         if settings.cutmix_alpha:
             rng, key = jax.random.split(rng)
             x, targets = device_prep.cutmix(key, x, targets, settings.cutmix_alpha)
-        out, new_bs = _forward(model, params, batch_stats, x, train=True)
+        rng, dropout_rng = jax.random.split(rng)
+        out, new_bs = _forward(model, params, batch_stats, x, train=True, rng=dropout_rng)
         loss = objective(out, targets, mask)
         return loss, (out, new_bs)
 

@@ -10,3 +10,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize force-registers a TPU platform and resets
+# jax_platforms to "axon,cpu" — pin the cpu backend back for tests, so
+# parity tests get exact f32 (the TPU would do bf16 MXU passes).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

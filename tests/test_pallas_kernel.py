@@ -1,0 +1,57 @@
+"""Pallas windowed-attention kernel vs the jnp reference (interpret mode on
+CPU; the same comparison runs on real TPU hardware via bench/CLI drives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvt.ops import window_attention as wa
+from hvt.ops import window_attention_pallas as wap
+
+
+@pytest.mark.parametrize(
+    "nwb,h,n,d,with_mask",
+    [(4, 2, 16, 8, False), (8, 3, 49, 32, False), (8, 2, 16, 8, True)],
+)
+def test_kernel_matches_reference(nwb, h, n, d, with_mask):
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(nwb, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+    ls = jnp.asarray(rng.normal(size=(h, 1, 1)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(h, n, n)).astype(np.float32))
+    mask = None
+    if with_mask:
+        m = np.zeros((4, n, n), np.float32)
+        m[1, :, : n // 2] = -100.0
+        m[3, : n // 3, :] = -100.0
+        mask = jnp.asarray(m)
+
+    want = np.asarray(wa.window_attention_reference(q, k, v, ls, bias, mask))
+    got = np.asarray(
+        wap.window_attention_kernel(q, k, v, ls, bias, mask, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_kernel_gradients_match_reference():
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(4, 2, 16, 8)).astype(np.float32))
+        for _ in range(3)
+    )
+    ls = jnp.asarray(rng.normal(size=(2, 1, 1)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+
+    def loss_ref(*args):
+        return (wa.window_attention_reference(*args, None) ** 2).sum()
+
+    def loss_ker(*args):
+        return (wap.window_attention_kernel(*args, None, interpret=True) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, ls, bias)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2, 3, 4))(q, k, v, ls, bias)
+    for a, b in zip(g_ref, g_ker):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

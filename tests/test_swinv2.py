@@ -1,0 +1,237 @@
+"""SwinV2 parity tests: flax implementation vs the reference torch module.
+
+The reference's vendored swinv2.py is imported directly (with a tiny timm
+shim) and used as the numerical oracle: same weights → same logits.
+"""
+
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from hvt.models import swinv2 as S
+from hvt.models import torch_compat
+from hvt.ops import window_attention as wa
+
+
+# --- import the reference torch model with a timm shim ---------------------
+
+
+def _load_reference_swin():
+    if "timm.models.layers" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x  # eval-mode identity (parity tests run in eval)
+
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        def trunc_normal_(tensor, std=1.0, **kw):
+            with torch.no_grad():
+                tensor.normal_(0, std).clamp_(-2 * std, 2 * std)
+            return tensor
+
+        layers.DropPath = DropPath
+        layers.to_2tuple = to_2tuple
+        layers.trunc_normal_ = trunc_normal_
+        timm.models = models
+        models.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+
+    spec = importlib.util.spec_from_file_location("ref_swinv2", "/root/reference/swinv2.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+REF = _load_reference_swin()
+
+# Small-but-real config: 2 stages → exercises shift, masks, patch merging.
+CFG = dict(embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=4)
+IMG = 32  # patches 8x8; stage2 4x4 == window → global attention there
+
+
+def _make_pair(num_classes=10, seed=0):
+    torch.manual_seed(seed)
+    ref = REF.SwinTransformerV2(
+        img_size=IMG,
+        patch_size=4,
+        num_classes=num_classes,
+        embed_dim=CFG["embed_dim"],
+        depths=list(CFG["depths"]),
+        num_heads=list(CFG["num_heads"]),
+        window_size=CFG["window_size"],
+        drop_path_rate=0.0,
+    ).eval()
+
+    ours = S.SwinTransformerV2(
+        num_classes=num_classes,
+        embed_dim=CFG["embed_dim"],
+        depths=CFG["depths"],
+        num_heads=CFG["num_heads"],
+        window_size=CFG["window_size"],
+        drop_path_rate=0.0,
+        dtype=jnp.float32,
+        use_pallas=False,
+    )
+    params = torch_compat.convert_swin_state_dict(ref.state_dict(), CFG["depths"])
+    return ref, ours, params
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _make_pair()
+
+
+def test_logits_match_reference(pair):
+    ref, ours, params = pair
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_features_match_reference(pair):
+    ref, ours, params = pair
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.forward_features(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x), train=False, features_only=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_multitask_head_matches_reference():
+    ref, ours, params = _make_pair(num_classes=(2, 3, 5))
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2)))
+    got = ours.apply({"params": params}, jnp.asarray(x), train=False)
+    assert isinstance(got, list) and len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_window_attention_matches_reference_module():
+    torch.manual_seed(3)
+    dim, heads, window = 8, 2, 4
+    ref_attn = REF.WindowAttention(dim, (window, window), heads).eval()
+
+    n = window * window
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(6, n, dim)).astype(np.float32)  # 6 windows
+
+    with torch.no_grad():
+        want = ref_attn(torch.tensor(x)).numpy()
+
+    sd = {f"attn.{k}": v for k, v in ref_attn.state_dict().items()}
+    qkv = wa  # alias
+    # run through our flax WindowAttention with converted weights
+    module = S.WindowAttention(dim=dim, window=window, num_heads=heads,
+                               dtype=jnp.float32, use_pallas=False)
+    params = {
+        "qkv_kernel": sd["attn.qkv.weight"].numpy().T,
+        "q_bias": sd["attn.q_bias"].numpy(),
+        "v_bias": sd["attn.v_bias"].numpy(),
+        "logit_scale": sd["attn.logit_scale"].numpy(),
+        "cpb_w1": sd["attn.cpb_mlp.0.weight"].numpy().T,
+        "cpb_b1": sd["attn.cpb_mlp.0.bias"].numpy(),
+        "cpb_w2": sd["attn.cpb_mlp.2.weight"].numpy().T,
+        "proj": {
+            "kernel": sd["attn.proj.weight"].numpy().T,
+            "bias": sd["attn.proj.bias"].numpy(),
+        },
+    }
+    got = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_shift_mask_matches_reference():
+    """Our numpy mask vs the mask the reference block registers."""
+    blk = REF.SwinTransformerBlock(
+        dim=8, input_resolution=(8, 8), num_heads=2, window_size=4, shift_size=2
+    )
+    want = blk.attn_mask.numpy()
+    got = wa.shift_attn_mask((8, 8), 4, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)))
+    wins = wa.window_partition(x, 4)
+    assert wins.shape == (2 * 4, 16, 5)
+    back = wa.window_reverse(wins, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_no_weight_decay_substrings():
+    model = S.swinv2_tiny(10)
+    assert "logit_scale" in model.no_weight_decay_substrings
+    assert "cpb_" in model.no_weight_decay_substrings
+
+
+def test_analytic_flops_positive():
+    model = S.swinv2_tiny(1000, dtype=jnp.float32)
+    flops = S.analytic_flops(model, 224)
+    # SwinV2-T is ~4.4-4.7 GFLOPs at 224^2 (paper); sanity band
+    assert 3e9 < flops < 7e9
+
+
+def test_swin_train_step_smoke():
+    """Micro swin trains one step through the standard step builder."""
+    from hvt import config as C
+    from hvt import objectives, parallel
+    from hvt.data import DevicePrep
+    from hvt.train import optim as optim_lib
+    from hvt.train import state as state_lib
+    from hvt.train import step as step_lib
+
+    cfg = C.loads({"optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.01}})
+    model = S.swinv2_micro(5, dtype=jnp.float32, drop_path_rate=0.1)
+    prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
+    tx = optim_lib.build_optimizer(
+        cfg.optim, lambda s: jnp.asarray(1.0),
+        no_decay_substrings=model.no_weight_decay_substrings,
+    )
+    mesh = parallel.cpu_mesh(1)
+    rng = jax.random.key(0)
+    state = jax.jit(
+        lambda: state_lib.create(
+            model, tx, rng,
+            prep.normalize(jnp.zeros((2, 16, 16, 3), jnp.uint8)), ema=False
+        ),
+        out_shardings=parallel.replicated(mesh),
+    )()
+    settings = step_lib.StepSettings(num_classes=5, smoothing=0.1)
+    step = step_lib.build_train_step(
+        model, objectives.soft_cross_entropy, tx, prep, settings
+    )
+    sharded = parallel.batch_sharding(mesh)
+    images = jax.device_put(np.zeros((4, 16, 16, 3), np.uint8), sharded)
+    labels = jax.device_put(np.asarray([0, 1, 2, 3], np.int32), sharded)
+    mask = jax.device_put(np.ones((4,), np.float32), sharded)
+    new_state, stats = step(state, images, labels, mask,
+                            jax.device_put(rng, parallel.replicated(mesh)), scale=1.0)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(stats["loss_sum"]))
