@@ -1,0 +1,147 @@
+"""Frozen-feature extraction with on-disk caching.
+
+Mirrors the reference's feature pipelines (reference linear_probe.py:43-168,
+simpleshot.py:27-136): eval-style transforms, a frozen pretrained backbone
+producing pre-logits pooled features, cached as
+``<save_root>/<kind>-features/<run_name>/<dataset>-{train|eval}-features.npy``.
+
+The extraction step runs on TPU (the only device use in these workloads,
+reference linear_probe.py:156-163); classifier fitting stays in sklearn on
+host, as in the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import jax
+import numpy as np
+
+from hvt import config as config_lib
+from hvt import parallel
+from hvt.data import DevicePrep, build_loader
+from hvt.models import build_model
+from hvt.train import checkpoint as checkpoint_lib
+from hvt.train import state as state_lib
+from hvt.train import step as step_lib
+
+
+def cache_path(config: config_lib.Config, kind: str, is_train: bool) -> str:
+    """(reference linear_probe.py:43-54 / simpleshot.py:27-38)."""
+    save_dir = os.path.join(config.machine.save_root, f"{kind}-features", config.run_name)
+    os.makedirs(save_dir, exist_ok=True)
+    data_cfg = config.train_dataset if is_train else config.eval_dataset
+    split = "train" if is_train else "eval"
+    return os.path.join(save_dir, f"{data_cfg.path or 'synthetic'}-{split}-features.npy")
+
+
+def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
+    """Load the pretrained backbone per config (PretrainedBackbone algorithm
+    args or model.pretrained_checkpoint), supporting ckpt:// and swin:// URIs."""
+    uri = None
+    strict = False
+    for algo in config.algorithms:
+        if algo.cls == "PretrainedBackbone":
+            uri = str(algo.args["checkpoint"])
+            strict = bool(algo.args.get("strict", False))
+    if uri is None:
+        uri = config.model.pretrained_checkpoint
+    if not uri:
+        return params
+
+    if uri.startswith("swin://"):
+        from hvt.models import torch_compat
+
+        loaded = torch_compat.load_swin_checkpoint(uri, depths=None)
+        loaded = checkpoint_lib.strip_head(loaded)
+        merged = checkpoint_lib.merge_backbone(
+            checkpoint_lib.strip_head(dict(params)), loaded, strict=strict
+        )
+        merged.update({k: params[k] for k in params if k == "head"})
+        return merged
+    return checkpoint_lib.load_pretrained_backbone(uri, params, strict=strict)
+
+
+def extract_features(
+    config: config_lib.Config,
+    is_train: bool,
+    kind: str,
+    hierarchical_labels: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (features (N, D), labels (N,) or (N, 7)). Cached on disk; labels are
+    re-scanned each call (they're cheap), matching reference
+    linear_probe.py:132-141."""
+    # The loaders pad the final batch; mask rows are dropped at the end.
+    cfg_dict = config_lib.to_dict(config)
+    if hierarchical_labels:
+        cfg_dict["hierarchy"] = dict(cfg_dict["hierarchy"], variant="multitask")
+    else:
+        cfg_dict["hierarchy"] = dict(cfg_dict["hierarchy"], variant="")
+    cfg_dict["is_train"] = True  # skip tree-dist building inside the loader
+    loader_cfg = config_lib.loads(cfg_dict)
+
+    loader, _info = build_loader(loader_cfg, is_train=is_train)
+    labels_parts = [
+        batch.labels[batch.mask > 0] for batch in loader.epoch(0)
+    ]
+    labels = np.concatenate(labels_parts, axis=0)
+
+    cache = cache_path(config, kind, is_train)
+    if os.path.isfile(cache):
+        print(f"Using cached features at {cache}.")
+        return np.load(cache), labels
+
+    # Features are head-independent: build with a dummy 2-class head
+    # (reference linear_probe.py:143-144).
+    flat_cfg = config_lib.loads(
+        dict(cfg_dict, hierarchy=dict(cfg_dict["hierarchy"], variant=""))
+    )
+    model = build_model(flat_cfg, 2)
+    data_cfg = config.train_dataset if is_train else config.eval_dataset
+    mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
+    prep = DevicePrep.from_config(data_cfg, config.precision)
+
+    crop = data_cfg.crop_size
+    rng = jax.random.key(config.seed)
+    variables = jax.jit(
+        lambda: model.init(rng, prep.normalize(
+            jax.numpy.zeros((2, crop, crop, 3), jax.numpy.uint8)), train=False),
+        out_shardings=parallel.replicated(mesh),
+    )()
+    params = load_pretrained_params(config, jax.device_get(variables["params"]))
+    params = jax.device_put(params, parallel.replicated(mesh))
+    batch_stats = variables.get("batch_stats", {})
+
+    feature_step = step_lib.build_feature_step(model, prep)
+    sharded = parallel.batch_sharding(mesh)
+    feats = []
+    for batch in loader.epoch(0):
+        images = jax.device_put(batch.images, sharded)
+        out = np.asarray(feature_step(params, batch_stats, images))
+        feats.append(out[batch.mask > 0])
+    features = np.concatenate(feats, axis=0).astype(np.float32)
+
+    np.save(cache, features)
+    return features, labels
+
+
+def l2_normalize(features: np.ndarray) -> np.ndarray:
+    """(reference simpleshot.py:139-145)."""
+    assert features.ndim == 2
+    norms = np.linalg.norm(features, ord=2, axis=1, keepdims=True)
+    return features / norms
+
+
+def center(features: np.ndarray) -> np.ndarray:
+    """Divides by the per-example mean — preserving the reference's quirk
+    (reference simpleshot.py:148-154 divides rather than subtracting the
+    train mean; SURVEY.md §2.4 quirk 5)."""
+    assert features.ndim == 2
+    mean = np.mean(features, axis=1, keepdims=True)
+    return features / mean
+
+
+def tree_distance(labels: np.ndarray, preds: np.ndarray, *, tree_dists: np.ndarray) -> float:
+    """(reference linear_probe.py:57-58)."""
+    return float(np.sum(tree_dists[preds, labels]) / labels.size)

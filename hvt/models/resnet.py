@@ -154,7 +154,7 @@ class ResNet(nn.Module):
 
     @property
     def num_features(self) -> int:
-        return self.width * 8 * 4
+        return self.width * 2 ** (len(self.stage_sizes) - 1) * 4
 
     @nn.compact
     def __call__(
@@ -295,7 +295,7 @@ class BasicResNet(ResNet):
 
     @property
     def num_features(self) -> int:
-        return self.width * 8
+        return self.width * 2 ** (len(self.stage_sizes) - 1)
 
     @nn.compact
     def __call__(self, x, train=False, features_only=False):

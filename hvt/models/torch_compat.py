@@ -42,11 +42,27 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def infer_depths(state_dict: Mapping[str, np.ndarray]) -> tuple[int, ...]:
+    """Stage depths from ``layers.{s}.blocks.{i}.*`` key names."""
+    counts: dict[int, int] = {}
+    pat = re.compile(r"^layers\.(\d+)\.blocks\.(\d+)\.")
+    for key in state_dict:
+        m = pat.match(key)
+        if m:
+            s, i = int(m.group(1)), int(m.group(2))
+            counts[s] = max(counts.get(s, 0), i + 1)
+    if not counts:
+        raise ValueError("no layers.*.blocks.* keys — not a Swin state dict?")
+    return tuple(counts[s] for s in sorted(counts))
+
+
 def convert_swin_state_dict(
-    state_dict: Mapping[str, np.ndarray], depths: tuple[int, ...]
+    state_dict: Mapping[str, np.ndarray], depths: tuple[int, ...] | None = None
 ) -> dict:
     """Torch SwinV2 state dict → hvt.models.swinv2 flax params tree."""
     sd = {k: _np(v) for k, v in filter_buffers(state_dict).items()}
+    if depths is None:
+        depths = infer_depths(sd)
     params: dict = {}
 
     def dense(prefix, has_bias=True):
@@ -111,7 +127,7 @@ def convert_swin_state_dict(
     return params
 
 
-def load_swin_checkpoint(uri: str, depths: tuple[int, ...]) -> dict:
+def load_swin_checkpoint(uri: str, depths: tuple[int, ...] | None = None) -> dict:
     """swin://path → flax params. The .pt file holds {"model": state_dict}
     (reference swinv2.py:883-885)."""
     import torch

@@ -45,6 +45,17 @@ def make_mesh(
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
+def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Largest data-axis size that divides batch_size (bulk inference jobs
+    where the batch is small or oddly sized)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]).reshape(n, 1), (DATA_AXIS, MODEL_AXIS))
+
+
 def cpu_mesh(n_devices: int) -> Mesh:
     """Mesh over virtual CPU devices (tests / multi-chip dry runs).
 

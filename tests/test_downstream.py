@@ -1,0 +1,208 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from hvt import config as C
+from hvt import hierarchy as H
+from hvt.downstream import centroid as centroid_lib
+from hvt.downstream import features as F
+
+NAMES = [
+    "00001_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_badius",
+    "00002_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_cooperii",
+    "00003_animalia_chordata_aves_accipitriformes_pandionidae_pandion_haliaetus",
+    "00004_plantae_tracheophyta_pinopsida_pinales_pinaceae_pinus_strobus",
+]
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("downstream-ds")
+    rng = np.random.default_rng(0)
+    for split, k in [("train", 5), ("val", 2)]:
+        for name in NAMES:
+            d = root / split / name
+            d.mkdir(parents=True)
+            for i in range(k):
+                Image.fromarray(
+                    rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+                ).save(d / f"{i}.jpg")
+    return root
+
+
+def _probe_config(root, save_root, variant="linear-probe"):
+    return C.loads(
+        {
+            "run_name": "probe_test",
+            "seed": 0,
+            "model": {"name": "resnet_micro", "variant": variant},
+            "machine": {"datasets": {"fix": str(root)}, "save_root": str(save_root)},
+            "train_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                              "global_batch_size": 4},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 4},
+            "loader": {"num_workers": 1},
+        }
+    )
+
+
+def test_extract_features_and_cache(ds_root, tmp_path):
+    cfg = _probe_config(ds_root, tmp_path)
+    feats, labels = F.extract_features(cfg, is_train=True, kind="linear-probe")
+    assert feats.shape == (20, 16)  # resnet_micro: width 8, 2 stages -> 16
+    assert labels.shape == (20,)
+    # cache hit second time (file mtime unchanged, same values)
+    import os
+
+    cache = F.cache_path(cfg, "linear-probe", True)
+    assert os.path.isfile(cache)
+    feats2, _ = F.extract_features(cfg, is_train=True, kind="linear-probe")
+    np.testing.assert_array_equal(feats, feats2)
+
+
+def test_extract_features_hierarchical_labels(ds_root, tmp_path):
+    cfg = _probe_config(ds_root, tmp_path, variant="simpleshot")
+    _, labels = F.extract_features(
+        cfg, is_train=False, kind="simpleshot", hierarchical_labels=True
+    )
+    assert labels.shape == (8, 7)
+
+
+def test_center_and_l2_normalize():
+    x = np.asarray([[1.0, 3.0], [2.0, 2.0]])
+    c = F.center(x)
+    np.testing.assert_allclose(c, [[0.5, 1.5], [1.0, 1.0]])  # divide-by-mean quirk
+    n = F.l2_normalize(x)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0)
+
+
+def test_linear_probe_end_to_end(ds_root, tmp_path):
+    import linear_probe
+
+    cfg = _probe_config(ds_root, tmp_path, variant="linear-probing")
+    metrics = linear_probe.main(cfg)
+    assert 0.0 <= metrics["acc@1"] <= 1.0
+    assert "tree-dist" in metrics
+
+
+def test_simpleshot_flat_end_to_end(ds_root, tmp_path):
+    import simpleshot
+
+    cfg = _probe_config(ds_root, tmp_path, variant="simpleshot-cl2n")
+    metrics = simpleshot.main(cfg)
+    assert 0.0 <= metrics["acc@1"] <= 1.0
+
+
+def test_simpleshot_hierarchical_end_to_end(ds_root, tmp_path):
+    import simpleshot
+
+    cfg = C.loads(
+        C.to_dict(_probe_config(ds_root, tmp_path, variant="simpleshot")),
+        {"simpleshot": {"hierarchical": True}},
+    )
+    metrics = simpleshot.main(cfg)
+    assert 0.0 <= metrics["acc@1"] <= 1.0
+    assert "tree-dist" in metrics
+
+
+def test_variant_validation(ds_root, tmp_path):
+    import linear_probe
+    import simpleshot
+
+    cfg = _probe_config(ds_root, tmp_path, variant="full-tuning")
+    with pytest.raises(ValueError):
+        linear_probe.main(cfg)
+    with pytest.raises(ValueError):
+        simpleshot.main(cfg)
+
+
+# --- hierarchical nearest centroid ----------------------------------------
+
+
+def _toy_taxonomy():
+    names = [
+        "00000_a_p0_c0_o0_f0_g0_s0",
+        "00001_a_p0_c0_o0_f0_g0_s1",
+        "00002_a_p1_c1_o1_f1_g1_s2",
+        "00003_b_p2_c2_o2_f2_g2_s3",
+    ]
+    table, num_classes = H.assign_tier_indices(names)
+    # parent lookups from the table
+    lookups = []
+    for t in range(1, H.N_TIERS):
+        vec = np.zeros((num_classes[t],), dtype=np.int64)
+        vec[table[:, t]] = table[:, t - 1]
+        lookups.append(vec)
+    return table, num_classes, lookups
+
+
+def test_hierarchical_centroid_fit_predict_recovers_clusters():
+    table, num_classes, lookups = _toy_taxonomy()
+    rng = np.random.default_rng(0)
+    # 4 species clusters in 2D, far apart
+    centers = np.asarray([[0, 0], [10, 0], [0, 10], [10, 10]], dtype=np.float64)
+    X, y = [], []
+    for s in range(4):
+        pts = centers[s] + 0.1 * rng.normal(size=(20, 2))
+        X.append(pts)
+        y.append(np.tile(table[s], (20, 1)))
+    X, y = np.concatenate(X), np.concatenate(y)
+
+    clf = centroid_lib.HierarchicalNearestCentroid(lookups).fit(X, y)
+    preds = clf.predict(centers + 0.05)
+    np.testing.assert_array_equal(preds, table)
+
+
+def test_hierarchical_centroid_parent_constraint_binds():
+    """A point nearest to species s2 overall, but whose kingdom prediction is
+    'a'... the constraint must keep predictions consistent with the
+    predicted ancestor path."""
+    table, num_classes, lookups = _toy_taxonomy()
+    # Train clusters: species 0/1 near origin (kingdom a), species 3 at (6,0)
+    # (kingdom b), species 2 (kingdom a, phylum p1) at (100,100) far away.
+    X = np.asarray(
+        [[0, 0], [0, 1], [100, 100], [6, 0]], dtype=np.float64
+    )
+    y = table.copy()
+    clf = centroid_lib.HierarchicalNearestCentroid(lookups).fit(
+        np.repeat(X, 2, axis=0), np.repeat(y, 2, axis=0)
+    )
+    # Query at (3.4, 0): kingdom centroids are a=(33.3,33.7), b=(6,0) →
+    # nearest kingdom is b → species must be s3 even though s0/s1 are closer.
+    preds = clf.predict(np.asarray([[3.4, 0.0]]))
+    assert preds[0, 0] == table[3, 0]  # kingdom b
+    assert preds[0, -1] == table[3, -1]  # species s3 (constraint binds)
+
+
+def test_hierarchical_centroid_matches_bruteforce_topdown():
+    table, num_classes, lookups = _toy_taxonomy()
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(50, 3))
+    y = table[rng.integers(0, 4, size=50)]
+    clf = centroid_lib.HierarchicalNearestCentroid(lookups).fit(X, y)
+    queries = rng.normal(size=(10, 3))
+    preds = clf.predict(queries)
+
+    # Brute-force oracle: top-down constrained argmin per example.
+    for qi, q in enumerate(queries):
+        prev = None
+        for t in range(H.N_TIERS):
+            present = clf.classes_[t]
+            cents = clf.centroids_[t]
+            d = np.linalg.norm(cents - q, axis=1)
+            if t > 0:
+                parents = lookups[t - 1][present]
+                ok = parents == prev
+                if ok.any():
+                    d = np.where(ok, d, np.inf)
+            choice = present[np.argmin(d)]
+            assert preds[qi, t] == choice, (qi, t)
+            prev = choice
+
+
+def test_hierarchical_centroid_requires_two_classes():
+    table, num_classes, lookups = _toy_taxonomy()
+    X = np.zeros((4, 2))
+    y = np.tile(table[0], (4, 1))  # single class everywhere
+    with pytest.raises(ValueError):
+        centroid_lib.HierarchicalNearestCentroid(lookups).fit(X, y)
