@@ -47,6 +47,10 @@ class ModelConfig:
     variant: str = "full-tuning"
     # Checkpoint URI understood by hvt.train.checkpoint (local path or ckpt://).
     pretrained_checkpoint: Optional[str] = None
+    # "" (cross-entropy) or "binary_cross_entropy". The reference's recipe
+    # YAMLs set this but its schema rejects it (SURVEY.md §2.4 quirk 2);
+    # here it is a real knob.
+    loss_name: str = ""
     # Free-form overrides forwarded to the model constructor (e.g. drop_path_rate).
     args: Args = field(default_factory=dict)
 

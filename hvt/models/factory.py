@@ -64,6 +64,16 @@ def build_model(config, num_classes: Union[int, tuple[int, ...]]):
     blurpool = any(a.cls == "BlurPool" for a in config.algorithms)
     kwargs = dict(config.model.args)
     kwargs.setdefault("dtype", config.precision.compute_dtype)
+    for algo in config.algorithms:
+        if algo.cls == "StochasticDepth":
+            if name.startswith("resnet"):
+                kwargs.setdefault(
+                    "stochastic_depth_rate", float(algo.args.get("drop_rate", 0.1))
+                )
+            else:
+                kwargs.setdefault(
+                    "drop_path_rate", float(algo.args.get("drop_rate", 0.1))
+                )
     return registry[name](num_classes, blurpool=blurpool, **kwargs)
 
 

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hvt.models import common
 from hvt.models.heads import MultitaskHead
 
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
@@ -118,6 +119,7 @@ class Bottleneck(nn.Module):
     features: int  # inner width; output is 4x
     stride: int = 1
     blurpool: bool = False
+    drop_path_rate: float = 0.0
     dtype: Any = None
     bn_scale_init: Callable = uniform01
 
@@ -139,6 +141,8 @@ class Bottleneck(nn.Module):
         y = conv(self.features, 1, name="conv1")(x, train)
         y = conv(self.features, 3, stride=self.stride, name="conv2")(y, train)
         y = conv(out_features, 1, act=False, name="conv3")(y, train)
+        if self.drop_path_rate > 0.0 and train:
+            y = common.drop_path(y, self.drop_path_rate, False, self.make_rng("dropout"))
         return nn.relu(y + shortcut)
 
 
@@ -149,6 +153,9 @@ class ResNet(nn.Module):
     num_classes: Union[int, tuple[int, ...]] = 1000
     width: int = 64
     blurpool: bool = False
+    # Linear per-block stochastic depth up to this rate (the StochasticDepth
+    # algorithm, configs/recipes/hot.yaml:48-53; 'sample' method).
+    stochastic_depth_rate: float = 0.0
     dtype: Any = jnp.bfloat16
     bn_scale_init_name: str = "uniform01"
 
@@ -183,16 +190,21 @@ class ResNet(nn.Module):
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        total_blocks = sum(self.stage_sizes)
+        block_idx = 0
         for stage, blocks in enumerate(self.stage_sizes):
             for block in range(blocks):
+                dp = self.stochastic_depth_rate * block_idx / max(total_blocks - 1, 1)
                 x = Bottleneck(
                     features=self.width * (2**stage),
                     stride=2 if stage > 0 and block == 0 else 1,
                     blurpool=self.blurpool,
+                    drop_path_rate=dp,
                     dtype=self.dtype,
                     bn_scale_init=bn_scale_init,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
+                block_idx += 1
 
         # Global average pool → pre-logits features (timm forward_head
         # with pre_logits=True; reference models.py:199-203).
@@ -215,6 +227,7 @@ def resnet50(
     num_classes: Union[int, tuple[int, ...]],
     *,
     blurpool: bool = False,
+    stochastic_depth_rate: float = 0.0,
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
     **unused,
@@ -223,6 +236,7 @@ def resnet50(
         stage_sizes=(3, 4, 6, 3),
         num_classes=num_classes,
         blurpool=blurpool,
+        stochastic_depth_rate=stochastic_depth_rate,
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
     )

@@ -116,14 +116,7 @@ class WindowAttention(nn.Module):
         return out
 
 
-def drop_path(x, rate: float, deterministic: bool, rng=None):
-    """Per-sample stochastic depth (timm DropPath semantics)."""
-    if deterministic or rate == 0.0:
-        return x
-    keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep, shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+from hvt.models.common import drop_path  # noqa: E402  (shared with ResNet)
 
 
 class SwinBlock(nn.Module):

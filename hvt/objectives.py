@@ -147,9 +147,33 @@ class HXELoss:
         return _masked_mean(per_example, mask)
 
 
+def binary_cross_entropy(
+    logits: jax.Array, targets: jax.Array, mask: jax.Array | None = None
+) -> jax.Array:
+    """Per-class sigmoid BCE summed over classes, masked mean over batch.
+
+    The MosaicML ResNet recipes train with BCE targets
+    (configs/recipes/hot.yaml:4 names it; the reference's schema rejects the
+    key — here it works)."""
+    logits = logits.astype(jnp.float32)
+    per_class = (
+        jnp.maximum(logits, 0.0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    per_example = jnp.sum(per_class, axis=-1)
+    if mask is None:
+        return jnp.mean(per_example)
+    return _masked_mean(per_example, mask)
+
+
 def build_objective(config, dataset_info, class_names: Sequence[str] | None = None):
     """Select the loss per config.hierarchy.variant (reference models.py:103-114)."""
     variant = config.hierarchy.variant
+    if variant == "" and config.model.loss_name == "binary_cross_entropy":
+        return binary_cross_entropy
+    if config.model.loss_name not in ("", "binary_cross_entropy", "cross_entropy", "soft_cross_entropy"):
+        raise ValueError(f"unknown model.loss_name {config.model.loss_name!r}")
     if variant == "multitask":
         coeffs = tuple(config.hierarchy.multitask_coeffs)
 

@@ -49,8 +49,6 @@ class Trainer:
         self.log_interval = log_interval
 
         self.algos = algorithms_lib.parse_algorithms(config)
-        if self.algos.sam_rho is not None:
-            raise NotImplementedError("SAM is not implemented yet")
 
         # Data ------------------------------------------------------------
         self.train_loader, self.info = build_loader(config, is_train=True)
@@ -90,7 +88,11 @@ class Trainer:
             cutmix_alpha=self.algos.cutmix_alpha,
             grad_accum=grad_accum,
             ema=self.algos.ema,
+            sam_rho=self.algos.sam_rho,
+            sam_interval=self.algos.sam_interval,
         )
+        if self.algos.sam_rho is not None and grad_accum != 1:
+            raise NotImplementedError("SAM with grad_accum > 1 is not supported")
         self.train_step = step_lib.build_train_step(
             self.model, self.objective, self.tx, self.prep, self.settings
         )

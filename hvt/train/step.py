@@ -39,6 +39,11 @@ class StepSettings:
     cutmix_alpha: Optional[float] = None
     grad_accum: int = 1
     ema: Optional[ema_lib.EmaConfig] = None
+    # Sharpness-aware minimization: every `sam_interval` steps, recompute
+    # gradients at params + rho·g/|g| (the SAM algorithm the reference's
+    # recipes request, configs/recipes/hot.yaml:36-39).
+    sam_rho: Optional[float] = None
+    sam_interval: int = 1
 
 
 def _forward(model, params, batch_stats, x, train: bool, rng=None):
@@ -93,6 +98,23 @@ def build_train_step(
                 state.params, state.batch_stats, images, labels, mask, rng, scale
             )
             stats = metrics_lib.batch_stats(out, labels, mask)
+
+            if settings.sam_rho:
+                rho = settings.sam_rho
+
+                def sam_grads(g):
+                    gnorm = jnp.maximum(optax.global_norm(g), 1e-12)
+                    adv = jax.tree.map(
+                        lambda p, gi: p + (rho / gnorm) * gi.astype(p.dtype),
+                        state.params, g,
+                    )
+                    (_, _aux), g2 = grad_fn(
+                        adv, state.batch_stats, images, labels, mask, rng, scale
+                    )
+                    return g2
+
+                do_sam = (state.step % settings.sam_interval) == 0
+                grads = jax.lax.cond(do_sam, sam_grads, lambda g: g, grads)
         else:
             # Microbatch scan: grads averaged, BN stats chained through.
             b = images.shape[0]
