@@ -18,6 +18,7 @@ outpaces one reference-class GPU chip.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -27,11 +28,11 @@ import numpy as np
 # Fixed comparison point (see module docstring).
 A100_R50_IMAGES_PER_SEC = 3023.0
 
-BATCH_PER_CHIP = 128
-IMAGE_SIZE = 224
+BATCH_PER_CHIP = int(os.environ.get("HVT_BENCH_BATCH", 256))
+IMAGE_SIZE = int(os.environ.get("HVT_BENCH_IMAGE_SIZE", 224))
 NUM_CLASSES = 10000  # iNat21
 WARMUP_STEPS = 5
-MEASURE_STEPS = 20
+MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 20))
 
 
 def main():

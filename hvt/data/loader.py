@@ -25,8 +25,27 @@ from PIL import Image
 from hvt import config as config_lib
 from hvt import hierarchy
 from hvt.data import folder as folder_lib
+from hvt.data import native as native_lib
 from hvt.data import synthetic as synthetic_lib
 from hvt.data import transforms as T
+
+
+def _native_eligible(dataset, transform) -> bool:
+    """The C++ core covers plain train/eval transforms over JPEG folders;
+    RandAugment/ColOut (PIL-op based) keep the Python path."""
+    if not isinstance(dataset, folder_lib.FolderDataset):
+        return False
+    if isinstance(transform, T.EvalTransform):
+        pass
+    elif isinstance(transform, T.TrainTransform):
+        if transform.randaugment_depth > 0 or transform.colout_p is not None:
+            return False
+    else:
+        return False
+    sample = dataset.paths[:8]
+    if not all(p.lower().endswith((".jpg", ".jpeg")) for p in sample):
+        return False
+    return native_lib.available()
 
 
 @dataclasses.dataclass
@@ -79,6 +98,8 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
 
+        self.use_native = _native_eligible(dataset, transform)
+
         n_local = len(range(process_index, len(dataset), process_count))
         if drop_last:
             self.batches_per_epoch = n_local // local_batch_size
@@ -111,12 +132,43 @@ class Loader:
         rng = np.random.default_rng((self.seed, epoch, int(index)))
         return _decode_folder_sample(self.dataset, index, self.transform, rng)
 
+    def _native_batch_images(self, epoch: int, idxs: np.ndarray) -> np.ndarray:
+        tf = self.transform
+        is_train = isinstance(tf, T.TrainTransform)
+        paths = [self.dataset.paths[int(i)] for i in idxs]
+        # Per-sample seed mixes (seed, epoch, index); splitmix64 finishes the
+        # diffusion on the C side.
+        seeds = [
+            ((self.seed & 0xFFFFF) << 44) ^ ((epoch & 0xFFFFF) << 24) ^ int(i)
+            for i in idxs
+        ]
+        images, failures = native_lib.load_batch(
+            paths,
+            seeds,
+            is_train=is_train,
+            resize_size=tf.resize_size,
+            out_size=tf.crop_size,
+            num_threads=self.num_workers,
+        )
+        if failures:
+            # Rare corrupt files: decode the failed slots via PIL.
+            for row, i in enumerate(idxs):
+                if not images[row].any():
+                    rng = np.random.default_rng((self.seed, epoch, int(i)))
+                    images[row] = _decode_folder_sample(
+                        self.dataset, int(i), self.transform, rng
+                    )
+        return images
+
     def _make_batch(self, pool: ThreadPoolExecutor, epoch: int, idxs: np.ndarray) -> Batch:
         bs = self.local_batch_size
         n_valid = len(idxs)
-        images = None
-        arrays = list(pool.map(lambda i: self._load_one(epoch, int(i)), idxs))
-        h, w, c = arrays[0].shape
+        if self.use_native:
+            arrays = self._native_batch_images(epoch, idxs)
+            h, w, c = arrays[0].shape
+        else:
+            arrays = list(pool.map(lambda i: self._load_one(epoch, int(i)), idxs))
+            h, w, c = arrays[0].shape
         images = np.zeros((bs, h, w, c), dtype=np.uint8)
         for row, arr in enumerate(arrays):
             images[row] = arr

@@ -42,10 +42,16 @@ def batch_stats(
     logits, labels = fine_grained(outputs, labels)
     logits = logits.astype(jnp.float32)
 
+    # Rank counting instead of top-k: the target is in the top-k iff fewer
+    # than k classes score strictly higher. One fused pass over the logits —
+    # lax.top_k sorts and is several ms at (B, 10k) on TPU. Ties (exact float
+    # equality between distinct classes) resolve optimistically; measure-zero
+    # for real logits.
     k = min(5, logits.shape[-1])
-    _, topk = jax.lax.top_k(logits, k)  # (B, k) sorted desc
-    hit1 = (topk[:, 0] == labels).astype(jnp.float32)
-    hitk = jnp.any(topk == labels[:, None], axis=-1).astype(jnp.float32)
+    target_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)
+    rank = jnp.sum((logits > target_logit).astype(jnp.float32), axis=-1)
+    hit1 = (rank < 1).astype(jnp.float32)
+    hitk = (rank < k).astype(jnp.float32)
 
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
@@ -57,7 +63,7 @@ def batch_stats(
         "count": jnp.sum(mask),
     }
     if tree_dists is not None:
-        preds = topk[:, 0]
+        preds = jnp.argmax(logits, axis=-1)
         dists = tree_dists[preds, labels].astype(jnp.float32)
         out["tree_dist_sum"] = jnp.sum(dists * mask)
     return out
