@@ -50,6 +50,11 @@ def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
     if not uri:
         return params
 
+    if uri.startswith("wandb://"):
+        # wandb artifacts hold torch-format checkpoints in the reference's
+        # world; resolve to a local file then treat as swin-format.
+        local = checkpoint_lib.resolve_wandb_uri(uri)
+        uri = f"swin://{local}"
     if uri.startswith("swin://"):
         from hvt.models import torch_compat
 

@@ -223,6 +223,40 @@ class ResNet(nn.Module):
         )(x)
 
 
+def analytic_flops(model: "ResNet", img_size: int) -> int:
+    """Analytic forward FLOPs in the reference's convention (one
+    multiply-accumulate = one FLOP, matching reference swinv2.py:847-867 and
+    hvt.models.swinv2.analytic_flops)."""
+    bottleneck = isinstance(model, ResNet) and not isinstance(model, BasicResNet)
+    expansion = 4 if bottleneck else 1
+    flops = 0
+    res = img_size // 2  # stem conv /2
+    flops += res * res * model.width * 3 * 49
+    res //= 2  # maxpool /2
+    in_ch = model.width
+    for stage, blocks in enumerate(model.stage_sizes):
+        width = model.width * (2**stage)
+        for block in range(blocks):
+            stride = 2 if stage > 0 and block == 0 else 1
+            out_res = res // stride
+            out_ch = width * expansion
+            if bottleneck:
+                flops += res * res * in_ch * width  # 1x1
+                flops += out_res * out_res * width * width * 9  # 3x3 (stride)
+                flops += out_res * out_res * width * out_ch  # 1x1 expand
+            else:
+                flops += out_res * out_res * in_ch * width * 9
+                flops += out_res * out_res * width * width * 9
+            if in_ch != out_ch or stride != 1:
+                flops += out_res * out_res * in_ch * out_ch  # downsample
+            in_ch = out_ch
+            res = out_res
+    ncls = model.num_classes
+    heads = sum(ncls) if isinstance(ncls, tuple) else ncls
+    flops += in_ch * heads
+    return flops
+
+
 def resnet50(
     num_classes: Union[int, tuple[int, ...]],
     *,

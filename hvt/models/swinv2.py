@@ -224,7 +224,15 @@ class SwinTransformerV2(nn.Module):
         return ("absolute_pos_embed", "cpb_", "logit_scale")
 
     @nn.compact
-    def __call__(self, x, train: bool = False, features_only: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        features_only: bool = False,
+        output_activations: bool = False,
+    ):
+        """output_activations=True additionally returns the per-stage token
+        grids (reference swinv2.py:818-840 forward_features)."""
         b = x.shape[0]
         x = x.astype(self.dtype)
         # Patch embed: strided conv + optional norm (reference swinv2.py:640-657).
@@ -255,6 +263,7 @@ class SwinTransformerV2(nn.Module):
         block_cls = (
             nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
         )
+        activations = []
         block_idx = 0
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for i in range(depth):
@@ -274,12 +283,14 @@ class SwinTransformerV2(nn.Module):
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim=x.shape[-1], dtype=self.dtype,
                                  name=f"stage{stage}_merge")(x)
+            if output_activations:
+                activations.append(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = jnp.mean(x.reshape(b, -1, x.shape[-1]), axis=1)  # token avgpool
         x = x.astype(jnp.float32)
         if features_only:
-            return x
+            return (x, activations) if output_activations else x
 
         if isinstance(self.num_classes, tuple):
             return MultitaskHead(self.num_classes, dtype=jnp.float32, name="head")(x)

@@ -74,6 +74,28 @@ class Checkpointer:
 # ---------------------------------------------------------------------------
 
 _CKPT_URI = re.compile(r"^ckpt://(?P<path>[^:]+)(?::(?P<step>\d+))?$")
+_WANDB_URI = re.compile(r"^wandb://(?P<artifact>[\w./-]+:[\w./-]+)\?(?P<file>[\w./-]+)$")
+
+
+def resolve_wandb_uri(uri: str, cache_dir: str = "/tmp/hvt-wandb-cache") -> str:
+    """``wandb://entity/proj/name:alias?file`` → local file path
+    (reference algorithmic.py:122-147). Requires the optional wandb package
+    and an authenticated run; raises a clear error otherwise."""
+    m = _WANDB_URI.match(uri)
+    if not m:
+        raise ValueError(f"uri {uri!r} doesn't match wandb://<artifact>?<file>")
+    try:
+        import wandb  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "wandb:// checkpoint URIs need the wandb package (not installed); "
+            "use ckpt://<local-path> or swin://<path> instead"
+        ) from e
+    api = wandb.Api()
+    artifact = api.artifact(m.group("artifact"))
+    root = pathlib.Path(cache_dir) / m.group("artifact").replace("/", "_")
+    downloaded = artifact.get_path(m.group("file")).download(root=str(root))
+    return str(downloaded)
 
 
 def parse_checkpoint_uri(uri: str) -> tuple[pathlib.Path, Optional[int]]:

@@ -33,7 +33,7 @@ from hvt.train import optim as optim_lib
 from hvt.train import schedule as schedule_lib
 from hvt.train import state as state_lib
 from hvt.train import step as step_lib
-from hvt.utils.logging import RunLogger, SpeedMonitor
+from hvt.utils.logging import RunLogger, SpeedMonitor, memory_stats
 
 
 class Trainer:
@@ -199,10 +199,20 @@ class Trainer:
         start_epoch = step // self.steps_per_epoch
         train_acc = metrics_lib.MetricAccumulator()
 
+        # Optional jax.profiler trace (SURVEY.md §5 tracing): set
+        # HVT_PROFILE_DIR and HVT_PROFILE_STEPS="start:stop".
+        profile_dir = os.environ.get("HVT_PROFILE_DIR")
+        prof_start = prof_stop = -1
+        if profile_dir:
+            lo, _, hi = os.environ.get("HVT_PROFILE_STEPS", "5:10").partition(":")
+            prof_start, prof_stop = int(lo), int(hi or int(lo) + 5)
+
         for epoch in range(start_epoch, self.total_epochs):
             for batch in self.train_loader.epoch(epoch):
                 if step >= self.total_steps:
                     break
+                if step == prof_start:
+                    jax.profiler.start_trace(profile_dir)
                 scale = self._scale_for_step(step)
                 images, labels, mask = parallel.put_batch(self.mesh, batch)
                 self.state, stats = self.train_step(
@@ -211,6 +221,9 @@ class Trainer:
                 train_acc.update(stats)
                 self.speed.batch_end(int(stats["count"]))
                 step += 1
+                if step == prof_stop:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
                 if step % self.log_interval == 0:
                     m = train_acc.compute()
                     m["lr"] = float(
@@ -218,6 +231,7 @@ class Trainer:
                     )
                     m["scale"] = scale
                     m.update(self.speed.metrics())
+                    m.update(memory_stats())
                     self.logger.log(step, m, prefix="train")
 
             epoch_metrics = train_acc.compute()

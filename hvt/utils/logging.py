@@ -85,6 +85,21 @@ def _scalar(v):
         return v
 
 
+def memory_stats() -> dict[str, float]:
+    """Per-device HBM usage (MemoryMonitor analog, reference main.py:96)."""
+    import jax
+
+    stats: dict[str, float] = {}
+    for i, dev in enumerate(jax.local_devices()):
+        m = getattr(dev, "memory_stats", lambda: None)()
+        if m:
+            stats[f"memory/device{i}_bytes_in_use"] = float(m.get("bytes_in_use", 0))
+            peak = m.get("peak_bytes_in_use")
+            if peak is not None:
+                stats[f"memory/device{i}_peak_bytes"] = float(peak)
+    return stats
+
+
 class SpeedMonitor:
     """Sliding-window samples/sec (reference SpeedMonitor, window_size=50)."""
 

@@ -7,12 +7,24 @@ Usage (same CLI as the reference, README.md:25-34):
 """
 
 import argparse
+import os
 
 from hvt import config as config_lib
 from hvt.train.loop import Trainer
 
 
+def maybe_init_distributed() -> None:
+    """Multi-host DCN init (SURVEY.md §5: jax.distributed.initialize for
+    multi-host). Opt-in via HVT_MULTIHOST=1 so single-host setups (including
+    tunneled single-chip dev machines) skip coordinator discovery."""
+    if os.environ.get("HVT_MULTIHOST") == "1":
+        import jax
+
+        jax.distributed.initialize()
+
+
 def main(config: config_lib.Config) -> dict:
+    maybe_init_distributed()
     trainer = Trainer(config)
     try:
         return trainer.fit()

@@ -1,0 +1,14 @@
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py 8
+
+fmt:
+	@command -v ruff >/dev/null 2>&1 && ruff format hvt tests *.py || echo "ruff not installed; skipping format"
+
+lint:
+	@command -v ruff >/dev/null 2>&1 && ruff check hvt tests *.py || python -m compileall -q hvt tests
