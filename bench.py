@@ -102,12 +102,15 @@ def main():
 
     for _ in range(WARMUP_STEPS):
         state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
-    jax.block_until_ready(stats["loss_sum"])
+    # block_until_ready is unreliable on the experimental axon runtime
+    # (returns before device completion); a host fetch of a value that
+    # depends on every step (states chain via donation) is a true barrier.
+    float(stats["loss_sum"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
-    jax.block_until_ready(stats["loss_sum"])
+    float(stats["loss_sum"])
     elapsed = time.perf_counter() - t0
 
     ips = MEASURE_STEPS * batch / elapsed

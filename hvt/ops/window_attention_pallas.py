@@ -17,10 +17,11 @@ where z = 16·sigmoid(cpb_bias) [+ shift mask] is precomputed per (window-id,
 head) OUTSIDE the kernel — it is batch-independent, so its memory footprint
 is (nW, heads, N, N), tiny, and reused by every sample in the batch.
 
-Differentiation: forward runs the kernel; backward rematerializes the
-attention through the jnp reference path (jax.vjp) — numerically identical,
-and the forward memory saving (no stored N×N logits) is exactly what
-rematerialization wants.
+Differentiation: custom VJP with a fused backward kernel. The backward grid
+is (nwz, batch) with batch innermost so the shared dz (bias+mask gradient)
+block accumulates in VMEM across all windows that share it; dq/dk/dv are
+recomputed-from-inputs flash-style, so no N×N tensor ever hits HBM in either
+direction.
 """
 
 from __future__ import annotations
@@ -95,6 +96,124 @@ def _forward(q, k, v, scale, z, interpret=False):
     )(q, k, v, scale, z)
 
 
+def _attention_bwd_kernel(
+    q_ref, k_ref, v_ref, scale_ref, z_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, dz_ref, dscale_ref,
+):
+    """Backward for one window; dz/dscale accumulate across grid steps.
+
+    Grid is (nwz, n_batch) with the batch dimension innermost, so the dz
+    output block (indexed by the outer dim) stays resident in VMEM while all
+    windows sharing it accumulate — the standard Pallas reduction layout.
+    """
+    w = pl.program_id(0)
+    b = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32)  # (H, N, D)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    scale = scale_ref[:]  # (H, 1, 1)
+
+    inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+    inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+    qn = q * inv_qn
+    kn = k * inv_kn
+
+    batched = (((2,), (2,)), ((0,), (0,)))  # contract last dim, batch heads
+    cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(cos * scale + z_ref[0].astype(jnp.float32), axis=-1)
+
+    # dv = attnᵀ g  — contract over queries (axis 1 of both).
+    dv = jax.lax.dot_general(
+        attn, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp = g vᵀ — contract over head_dim.
+    dp = jax.lax.dot_general(g, v, batched, preferred_element_type=jnp.float32)
+    ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+
+    # Accumulated outputs.
+    @pl.when(b == 0)
+    def _init_dz():
+        dz_ref[0] = ds.astype(dz_ref.dtype)
+
+    @pl.when(b != 0)
+    def _acc_dz():
+        dz_ref[0] = dz_ref[0] + ds.astype(dz_ref.dtype)
+
+    # Keep the partial 2D (H, N): reduce only the last axis here; the final
+    # N-reduction happens outside (1-D shapes break Mosaic layout).
+    dscale_contrib = jnp.sum(ds * cos, axis=2)  # (H, N)
+
+    @pl.when((b == 0) & (w == 0))
+    def _init_dscale():
+        dscale_ref[:] = dscale_contrib.astype(dscale_ref.dtype)
+
+    @pl.when((b != 0) | (w != 0))
+    def _acc_dscale():
+        dscale_ref[:] = dscale_ref[:] + dscale_contrib.astype(dscale_ref.dtype)
+
+    dcos = ds * scale
+    # dqn = dcos kn ; dkn = dcosᵀ qn
+    dqn = jax.lax.dot_general(
+        dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dkn = jax.lax.dot_general(
+        dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # L2-normalize backward: dx = (dxn − xn·⟨dxn, xn⟩) / ‖x‖.
+    dq = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn
+    dk = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _backward(q, k, v, scale, z, g, interpret=False):
+    nwb, h, n, d = q.shape
+    nwz = z.shape[0]
+    assert nwb % nwz == 0, (nwb, nwz)
+    nb = nwb // nwz
+
+    # Window index of batch element i is i % nwz (window-major within each
+    # sample's nW windows, batch-major overall).
+    qkv_spec = pl.BlockSpec((1, h, n, d), lambda w, b: (b * nwz + w, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, h, n, n), lambda w, b: (w, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((h, 1, 1), lambda w, b: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    dscale_spec = pl.BlockSpec((h, n), lambda w, b: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _attention_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),  # dq
+            jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),  # dk
+            jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),  # dv
+            jax.ShapeDtypeStruct((nwz, h, n, n), jnp.float32),  # dz
+            jax.ShapeDtypeStruct((h, n), jnp.float32),  # dscale partial
+        ),
+        grid=(nwz, nb),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, scale_spec, z_spec, qkv_spec],
+        out_specs=(
+            qkv_spec, qkv_spec, qkv_spec, z_spec, dscale_spec,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * h * n * n * d * nwb,
+            bytes_accessed=8 * q.size * q.dtype.itemsize,
+            transcendentals=nwb * h * n * n,
+        ),
+        interpret=interpret,
+    )(q, k, v, scale, z, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _window_attention(q, k, v, logit_scale, bias, mask, interpret=False):
     scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
@@ -109,20 +228,41 @@ def _fwd(q, k, v, logit_scale, bias, mask, interpret=False):
 
 
 def _bwd(interpret, residuals, g):
-    from hvt.ops.window_attention import window_attention_reference
-
     q, k, v, logit_scale, bias, mask = residuals
-    if mask is None:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_, ls_, b_: window_attention_reference(
-                q_, k_, v_, ls_, b_, None
-            ),
-            q, k, v, logit_scale, bias,
-        )
-        dq, dk, dv, dls, db = vjp(g)
-        return dq, dk, dv, dls, db, None
-    _, vjp = jax.vjp(window_attention_reference, q, k, v, logit_scale, bias, mask)
-    return vjp(g)
+    ls32 = logit_scale.astype(jnp.float32)
+    clamp = jnp.log(100.0)
+    scale = jnp.exp(jnp.minimum(ls32, clamp))
+    z = _merge_bias_mask(bias, mask)
+
+    nwb, nwz = q.shape[0], z.shape[0]
+    if nwb % nwz:
+        # Shouldn't happen for window-partitioned inputs; fall back to the
+        # reference VJP for odd shapes.
+        from hvt.ops.window_attention import window_attention_reference
+
+        if mask is None:
+            _, vjp = jax.vjp(
+                lambda q_, k_, v_, ls_, b_: window_attention_reference(
+                    q_, k_, v_, ls_, b_, None
+                ),
+                q, k, v, logit_scale, bias,
+            )
+            return (*vjp(g), None)
+        _, vjp = jax.vjp(window_attention_reference, q, k, v, logit_scale, bias, mask)
+        return vjp(g)
+
+    dq, dk, dv, dz, dscale = _backward(q, k, v, scale, z, g, interpret=interpret)
+    dscale = jnp.sum(dscale, axis=1).reshape(-1, 1, 1)  # (H, N) partial -> (H, 1, 1)
+    # z = bias[None] (+ mask[:, None]): bias grad sums the window axis; the
+    # mask is a non-learned constant.
+    dbias = jnp.sum(dz, axis=0).astype(bias.dtype)
+    # scale = exp(min(ls, log 100)) ⇒ dls = dscale·scale·1[ls < log 100].
+    dls = (dscale * scale * (ls32 < clamp)).astype(logit_scale.dtype)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+        dls, dbias, dmask,
+    )
 
 
 _window_attention.defvjp(_fwd, _bwd)
