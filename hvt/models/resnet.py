@@ -113,6 +113,58 @@ class ConvBN(nn.Module):
         return x
 
 
+class SpaceToDepthStem(nn.Module):
+    """7×7/2 stem conv computed as a 4×4/1 conv over space-to-depth input.
+
+    Mathematically identical to ConvBN(width, 7, stride=2) — the parameter is
+    still the standard (7, 7, 3, width) kernel, rearranged at apply time into
+    a (4, 4, 12, width) kernel over 2×2 space-to-depth pixels, so checkpoints
+    stay interchangeable with the plain stem. The rearrangement maps source
+    tap u = 2·du + a + 3 (du ∈ [-2, 1], a ∈ {0, 1}); the du = -2 phase with
+    a = 0 falls outside the 7-tap window and stays zero.
+
+    Why: TPUs tile convolutions over ≥8-deep input channels; a 3-channel 7×7
+    stride-2 stem wastes most of the MXU, while the equivalent 12-channel 4×4
+    stride-1 form tiles densely (standard MLPerf ResNet trick).
+    """
+
+    width: int
+    dtype: Any = None
+    bn_scale_init: Callable = uniform01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        kernel = self.param("kernel", kaiming_normal, (7, 7, 3, self.width))
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0 and c == 3
+
+        # Input: 2x2 space-to-depth -> (B, H/2, W/2, 12), channel-fastest
+        # within each (a, b) phase pair to match the kernel gather below.
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+        # Kernel: (7,7,3,width) -> (4,4,12,width), zero where u or v = -1.
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8,8,3,w)
+        k = k.reshape(4, 2, 4, 2, 3, self.width)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.width)
+
+        y = jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            k.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            scale_init=self.bn_scale_init,
+        )(y)
+        return nn.relu(y)
+
+
 class Bottleneck(nn.Module):
     """1×1 → 3×3 (stride) → 1×1×4 bottleneck with projection shortcut."""
 
@@ -156,6 +208,9 @@ class ResNet(nn.Module):
     # Linear per-block stochastic depth up to this rate (the StochasticDepth
     # algorithm, configs/recipes/hot.yaml:48-53; 'sample' method).
     stochastic_depth_rate: float = 0.0
+    # Space-to-depth stem: same math, denser MXU tiling (see SpaceToDepthStem).
+    # Note: changes the stem param path (stem/kernel vs stem/Conv_0/kernel).
+    stem_s2d: bool = False
     dtype: Any = jnp.bfloat16
     bn_scale_init_name: str = "uniform01"
 
@@ -174,15 +229,21 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
 
         # Stem: 7×7/2 conv + 3×3/2 maxpool.
-        x = ConvBN(
-            self.width,
-            7,
-            stride=2,
-            blurpool=False,  # Composer BlurPool skips the stem conv by default
-            dtype=self.dtype,
-            bn_scale_init=bn_scale_init,
-            name="stem",
-        )(x, train)
+        if self.stem_s2d:
+            x = SpaceToDepthStem(
+                self.width, dtype=self.dtype, bn_scale_init=bn_scale_init,
+                name="stem",
+            )(x, train)
+        else:
+            x = ConvBN(
+                self.width,
+                7,
+                stride=2,
+                blurpool=False,  # Composer BlurPool skips the stem conv by default
+                dtype=self.dtype,
+                bn_scale_init=bn_scale_init,
+                name="stem",
+            )(x, train)
         if self.blurpool:
             # BlurMaxPool: stride-1 maxpool then anti-aliased subsample.
             x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
@@ -262,6 +323,7 @@ def resnet50(
     *,
     blurpool: bool = False,
     stochastic_depth_rate: float = 0.0,
+    stem_s2d: bool = False,
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
     **unused,
@@ -271,6 +333,7 @@ def resnet50(
         num_classes=num_classes,
         blurpool=blurpool,
         stochastic_depth_rate=stochastic_depth_rate,
+        stem_s2d=stem_s2d,
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
     )

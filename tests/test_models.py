@@ -105,3 +105,28 @@ def test_factory_blurpool_from_algorithms():
         {"model": {"name": "resnet_micro"}, "algorithms": [{"cls": "BlurPool"}]}
     )
     assert build_model(cfg, 10).blurpool
+
+
+def test_space_to_depth_stem_equivalent():
+    """stem_s2d computes the identical function with the identical kernel."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    plain = R.ConvBN(8, 7, stride=2, dtype=jnp.float32,
+                     bn_scale_init=R.BN_SCALE_INITS["ones"])
+    s2d = R.SpaceToDepthStem(8, dtype=jnp.float32,
+                             bn_scale_init=R.BN_SCALE_INITS["ones"])
+    vp = plain.init(jax.random.key(0), x, True)
+    vs = {
+        "params": {"kernel": vp["params"]["Conv_0"]["kernel"],
+                    "BatchNorm_0": vp["params"]["BatchNorm_0"]},
+        "batch_stats": {"BatchNorm_0": vp["batch_stats"]["BatchNorm_0"]},
+    }
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(vp, x, False)),
+        np.asarray(s2d.apply(vs, x, False)),
+        atol=1e-5,
+    )
+    # full model with the flag runs and keeps shapes
+    model = R.resnet50(10, stem_s2d=True, dtype=jnp.float32)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    assert model.apply(v, jnp.zeros((2, 64, 64, 3)), train=False).shape == (2, 10)
