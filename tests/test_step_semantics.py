@@ -1,0 +1,96 @@
+"""Train-step semantics: gradient accumulation equivalence, HXE training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvt import config as C
+from hvt import objectives, parallel
+from hvt.data import DevicePrep
+from hvt.models import swinv2 as S
+from hvt.train import optim as optim_lib
+from hvt.train import state as state_lib
+from hvt.train import step as step_lib
+
+
+def _setup(grad_accum):
+    cfg = C.loads({"optim": {"name": "sgd", "lr": 0.01, "momentum": 0.0,
+                              "weight_decay": 0.0}})
+    # LayerNorm-only model: no batch statistics, so microbatching must be
+    # bitwise-equivalent in exact arithmetic.
+    model = S.swinv2_micro(4, dtype=jnp.float32, drop_path_rate=0.0)
+    prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    rng = jax.random.key(0)
+    mesh = parallel.cpu_mesh(1)
+    state = jax.jit(
+        lambda: state_lib.create(
+            model, tx, rng, prep.normalize(jnp.zeros((2, 16, 16, 3), jnp.uint8)),
+            ema=False,
+        ),
+        out_shardings=parallel.replicated(mesh),
+    )()
+    settings = step_lib.StepSettings(num_classes=4, grad_accum=grad_accum)
+    step = step_lib.build_train_step(
+        model, objectives.soft_cross_entropy, tx, prep, settings
+    )
+    return state, step, rng
+
+
+def test_grad_accum_matches_full_batch():
+    images = np.random.default_rng(0).integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    labels = np.asarray([0, 1, 2, 3], np.int32)
+    mask = np.ones((4,), np.float32)
+
+    results = {}
+    for accum in (1, 2):
+        state, step, rng = _setup(accum)
+        new_state, stats = step(state, images, labels, mask, rng, scale=1.0)
+        results[accum] = (
+            jax.device_get(new_state.params),
+            float(stats["loss_sum"]),
+            float(stats["count"]),
+        )
+
+    p1, l1, c1 = results[1]
+    p2, l2, c2 = results[2]
+    assert c1 == c2 == 4.0
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hxe_micro_training_decreases_loss():
+    """End-to-end hxe objective through the Trainer on synthetic data."""
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "hxe_micro",
+            "max_duration": "6ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "hierarchy": {"variant": "hxe", "hxe_tree_weights": "exponential",
+                          "hxe_alpha": 0.2},
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": "/tmp/hvt-hxe-test"},
+            "train_dataset": {"source": "synthetic", "synthetic_num_classes": 8,
+                              "synthetic_num_samples": 32, "crop_size": 24,
+                              "global_batch_size": 8, "drop_last": True,
+                              "shuffle": True},
+            "eval_dataset": {"source": "synthetic", "synthetic_num_classes": 8,
+                             "synthetic_num_samples": 16, "crop_size": 24,
+                             "global_batch_size": 8},
+            "optim": {"name": "adamw", "lr": 3e-3, "weight_decay": 0.0},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 1.0}},
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(2), log_interval=100)
+    assert isinstance(tr.objective, objectives.HXELoss)
+    metrics = tr.fit()
+    assert np.isfinite(metrics["cross-entropy"])
+    tr.close()
