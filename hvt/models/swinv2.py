@@ -129,6 +129,10 @@ class SwinBlock(nn.Module):
     pretrained_window: int = 0
     dtype: Any = None
     use_pallas: bool = True
+    # Route both block halves through the mega-fused Pallas kernels
+    # (hvt.ops.swin_block_pallas); parameter tree is identical to the
+    # standard path, so the flag can be flipped on existing checkpoints.
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -139,6 +143,9 @@ class SwinBlock(nn.Module):
             # window larger than resolution → global attention, no shift
             # (reference swinv2.py:328-334)
             window, shift = min(h, w), 0
+
+        if self.fuse and h % window == 0 and w % window == 0:
+            return self._fused_call(x, window, shift, deterministic)
 
         shortcut = x
         if shift > 0:
@@ -177,6 +184,80 @@ class SwinBlock(nn.Module):
         rng = self.make_rng("dropout") if use_dp else None
         return x + drop_path(y, self.drop_path_rate, deterministic, rng)
 
+    def _fused_call(self, x, window: int, shift: int, deterministic: bool):
+        """Mega-fused path: both halves via hvt.ops.swin_block_pallas.
+
+        Submodules are materialized with dummy calls (dead code, eliminated
+        by XLA) purely to create the identical parameter tree; the compute
+        runs in the fused kernels. Roll, drop-path and residual adds stay in
+        XLA (cheap, fused)."""
+        from hvt.ops import swin_block_pallas as sbp
+
+        b, h, w, c = x.shape
+        n = window * window
+        interpret = jax.default_backend() not in ("tpu",) and not any(
+            d.platform in ("tpu", "axon") for d in jax.devices()
+        )
+
+        attn_mod = WindowAttention(
+            dim=c, window=window, num_heads=self.num_heads,
+            pretrained_window=self.pretrained_window, dtype=self.dtype,
+            use_pallas=False, name="attn",
+        )
+        _ = attn_mod(jnp.zeros((1, n, c), x.dtype))
+        ap = attn_mod.variables["params"]
+        norm1 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
+                             bias_init=zeros_init, dtype=self.dtype, name="norm1")
+        _ = norm1(jnp.zeros((1, c), x.dtype))
+        n1 = norm1.variables["params"]
+        mlp_mod = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype,
+                      name="mlp")
+        _ = mlp_mod(jnp.zeros((1, c), x.dtype))
+        mp = mlp_mod.variables["params"]
+        norm2 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
+                             bias_init=zeros_init, dtype=self.dtype, name="norm2")
+        _ = norm2(jnp.zeros((1, c), x.dtype))
+        n2 = norm2.variables["params"]
+
+        scale = jnp.exp(
+            jnp.minimum(ap["logit_scale"].astype(jnp.float32), jnp.log(100.0))
+        )
+        coords = jnp.asarray(wa.relative_coords_table(window, self.pretrained_window))
+        rel_index = jnp.asarray(wa.relative_position_index(window))
+        bias = wa.cpb_bias(
+            ap["cpb_w1"], ap["cpb_b1"], ap["cpb_w2"], coords, rel_index,
+            self.num_heads,
+        )
+        if shift > 0:
+            mask = jnp.asarray(wa.shift_attn_mask((h, w), window, shift))
+            z = bias[None] + mask[:, None].astype(bias.dtype)
+        else:
+            z = bias[None]
+        qkv_bias = jnp.concatenate(
+            [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
+        )
+
+        shifted = jnp.roll(x, (-shift, -shift), (1, 2)) if shift > 0 else x
+        branch = sbp.fused_attention_branch(
+            shifted, ap["qkv_kernel"], qkv_bias, scale, z,
+            ap["proj"]["kernel"], ap["proj"]["bias"],
+            n1["scale"], n1["bias"],
+            window=window, num_heads=self.num_heads, interpret=interpret,
+        )
+        if shift > 0:
+            branch = jnp.roll(branch, (shift, shift), (1, 2))
+        use_dp = self.drop_path_rate > 0.0 and not deterministic
+        rng = self.make_rng("dropout") if use_dp else None
+        x = x + drop_path(branch, self.drop_path_rate, deterministic, rng)
+
+        branch2 = sbp.fused_mlp_branch(
+            x, mp["fc1"]["kernel"], mp["fc1"]["bias"],
+            mp["fc2"]["kernel"], mp["fc2"]["bias"],
+            n2["scale"], n2["bias"], interpret=interpret,
+        )
+        rng = self.make_rng("dropout") if use_dp else None
+        return x + drop_path(branch2, self.drop_path_rate, deterministic, rng)
+
 
 class PatchMerging(nn.Module):
     dim: int
@@ -212,6 +293,8 @@ class SwinTransformerV2(nn.Module):
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
     dtype: Any = jnp.bfloat16
     use_pallas: bool = True
+    # Mega-fused block halves (see SwinBlock.fuse); same parameter tree.
+    fuse: bool = False
     remat: bool = False
 
     @property
@@ -277,6 +360,7 @@ class SwinTransformerV2(nn.Module):
                     pretrained_window=self.pretrained_window_sizes[stage],
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
+                    fuse=self.fuse,
                     name=f"stage{stage}_block{i}",
                 )(x, not train)
                 block_idx += 1

@@ -74,3 +74,29 @@ def test_erf_polynomial_accuracy():
 
     want = scipy.special.erf(np.asarray(x))
     assert np.abs(got - want).max() < 5e-6  # f32 rounding dominates the 1.5e-7 poly bound
+
+
+def test_full_model_fused_matches_standard():
+    """SwinV2 with fuse=True produces the same outputs from the same params
+    (identical parameter tree — the flag is checkpoint-compatible)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 56, 56, 3)).astype(np.float32))
+    kwargs = dict(num_classes=7, embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                  window_size=7, drop_path_rate=0.0, dtype=jnp.float32,
+                  use_pallas=False)
+    std = S.SwinTransformerV2(**kwargs)
+    fused = S.SwinTransformerV2(**kwargs, fuse=True)
+
+    v_std = std.init(jax.random.key(0), x, train=False)
+    v_fused = fused.init(jax.random.key(0), x, train=False)
+    # identical parameter trees and identical init values
+    assert jax.tree_util.tree_structure(v_std) == jax.tree_util.tree_structure(v_fused)
+    for a, b in zip(jax.tree.leaves(v_std), jax.tree.leaves(v_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_std = std.apply(v_std, x, train=False)
+    out_fused = fused.apply(v_std, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_std),
+                               atol=2e-4, rtol=1e-3)
