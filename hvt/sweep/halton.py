@@ -123,6 +123,60 @@ def _discrete(point: float, choices: Sequence[Any]) -> Any:
     return choices[min(int(point * len(choices)), len(choices) - 1)]
 
 
+# -- reference-API helpers (reference halton.py:233-304) --------------------
+
+import collections as _collections
+import functools as _functools
+
+_DiscretePoints = _collections.namedtuple("_DiscretePoints", "feasible_points")
+
+
+def discrete(feasible_points: Sequence[Any]) -> _DiscretePoints:
+    return _DiscretePoints(list(feasible_points))
+
+
+def interval(start, end) -> tuple:
+    return (start, end)
+
+
+def loguniform(name: str, range_endpoints: tuple):
+    lo, hi = range_endpoints
+    return _functools.partial(
+        lambda nm, l, h, point: (nm, _continuous(point, l, h, "log")), name, lo, hi
+    )
+
+
+def uniform(name: str, search_points):
+    if isinstance(search_points, _DiscretePoints):
+        return _functools.partial(
+            lambda nm, pts, point: (nm, _discrete(point, pts)),
+            name, search_points.feasible_points,
+        )
+    lo, hi = search_points
+    return _functools.partial(
+        lambda nm, l, h, point: (nm, _continuous(point, l, h, "linear")), name, lo, hi
+    )
+
+
+def zipit(generator_fns_or_sweeps: Sequence, length: int) -> list[dict[str, Any]]:
+    """Zip per-dimension generators/sweep lists over a shared Halton sequence
+    (reference halton.py:261-304)."""
+    points = halton_sequence(length, len(generator_fns_or_sweeps))
+    sweep = []
+    for trial_idx in range(length):
+        trial = {}
+        for dim, gen in enumerate(generator_fns_or_sweeps):
+            if callable(gen):
+                name, value = gen(points[trial_idx, dim])
+            else:
+                if trial_idx >= len(gen):
+                    break
+                (name, value), = list(gen[trial_idx].items())
+            trial[name] = value
+        sweep.append(trial)
+    return sweep
+
+
 def generate_search(
     search_space: dict[str, dict], num_trials: int, *, seed: Optional[int] = 0
 ) -> list[dict[str, Any]]:

@@ -222,3 +222,22 @@ def test_build_tree_dist_matrix_cli(tool_root, capsys, monkeypatch):
     build_tree_dist_matrix.main()
     assert (tool_root / "tree_dist_cache.npy").is_file()
     assert "(5, 5)" in capsys.readouterr().out
+
+
+def test_halton_reference_api_helpers():
+    """uniform/loguniform/discrete/interval/zipit (reference halton.py:233-304)."""
+    gens = [
+        HA.loguniform("lr", HA.interval(1e-3, 1.0)),
+        HA.uniform("momentum", HA.discrete([0.9, 0.95])),
+        HA.uniform("frac", HA.interval(0.0, 1.0)),
+    ]
+    trials = HA.zipit(gens, 20)
+    assert len(trials) == 20
+    for t in trials:
+        assert 1e-3 <= t["lr"] <= 1.0
+        assert t["momentum"] in (0.9, 0.95)
+        assert 0.0 <= t["frac"] <= 1.0
+    # sweep-list passthrough
+    fixed = [{"wd": 1e-4}, {"wd": 1e-3}]
+    trials2 = HA.zipit([fixed, HA.uniform("m", HA.discrete([1, 2]))], 2)
+    assert [t["wd"] for t in trials2] == [1e-4, 1e-3]

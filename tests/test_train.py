@@ -295,3 +295,15 @@ def test_trainer_fit_and_resume(micro_config):
     assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(l2, lf))
     tr2.close()
     fresh.close()
+
+
+def test_eval_only_run(micro_config):
+    """is_train: false runs a single evaluation (reference main.py:129-131)."""
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(C.to_dict(micro_config), {"is_train": False, "run_name": "evalonly"})
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(2), log_interval=2)
+    metrics = tr.fit()
+    assert int(tr.state.step) == 0  # no training happened
+    assert "acc@1" in metrics and "tree-dist" in metrics  # eval-only adds tree-dist
+    tr.close()
