@@ -67,10 +67,16 @@ class RunLogger:
             self._wandb_run.log(record, step=step)
 
     def log_config(self, config_yaml: str) -> None:
+        """Print + persist the resolved config; push to wandb.config when a
+        run exists (reference utils.py:7-12)."""
         if self.rank == 0:
             print(config_yaml, flush=True)
         self._file.write(config_yaml + "\n")
         self._file.flush()
+        if self._wandb_run is not None:
+            import yaml as _yaml
+
+            self._wandb_run.config.update(_yaml.safe_load(config_yaml))
 
     def close(self) -> None:
         self._file.close()
