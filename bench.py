@@ -49,9 +49,12 @@ def main():
     n_chips = jax.device_count()
     batch = BATCH_PER_CHIP * n_chips
 
+    model_args = {}
+    if os.environ.get("HVT_BENCH_S2D") == "1":
+        model_args["stem_s2d"] = True
     cfg = config_lib.loads(
         {
-            "model": {"name": "resnet50"},
+            "model": {"name": "resnet50", "args": model_args},
             "optim": {"name": "DecoupledSGDW", "lr": 2.048, "momentum": 0.875,
                       "weight_decay": 5.0e-4},
             "algorithms": [

@@ -75,7 +75,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     pretrained_window: int = 0
     dtype: Any = None
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -128,7 +128,7 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     pretrained_window: int = 0
     dtype: Any = None
-    use_pallas: bool = True
+    use_pallas: bool = False
     # Route both block halves through the mega-fused Pallas kernels
     # (hvt.ops.swin_block_pallas); parameter tree is identical to the
     # standard path, so the flag can be flipped on existing checkpoints.
@@ -292,7 +292,11 @@ class SwinTransformerV2(nn.Module):
     patch_norm: bool = True
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
     dtype: Any = jnp.bfloat16
-    use_pallas: bool = True
+    # Per-window fused attention kernel (hvt.ops.window_attention_pallas).
+    # Default off: measured ~5% slower than XLA end-to-end on the current
+    # dev chip (per-window grid overhead); flip via model.args.use_pallas
+    # where profiling shows a win.
+    use_pallas: bool = False
     # Mega-fused block halves (see SwinBlock.fuse); same parameter tree.
     fuse: bool = False
     remat: bool = False
