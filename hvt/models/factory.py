@@ -36,6 +36,7 @@ def _registry():
         "resnet50": resnet.resnet50,
         "resnet18": resnet.resnet18,
         "resnet_micro": resnet.resnet_micro,
+        "swinv2_micro": _swin("swinv2_micro"),
         "swinv2_tiny": _swin("swinv2_tiny"),
         "swinv2_tiny_window8_256": _swin("swinv2_tiny_window8_256"),
         "swinv2_tiny_window16_256": _swin("swinv2_tiny_window16_256"),

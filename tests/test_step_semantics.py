@@ -94,3 +94,48 @@ def test_hxe_micro_training_decreases_loss():
     metrics = tr.fit()
     assert np.isfinite(metrics["cross-entropy"])
     tr.close()
+
+
+def test_progressive_resizing_end_to_end():
+    """ProgressiveResizing trains across scale buckets (one compiled step per
+    bucket) without retrace errors; the scale schedule follows Composer's
+    hold -> ramp -> full profile."""
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "prog_micro",
+            "max_duration": "10ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": "/tmp/hvt-prog-test"},
+            "train_dataset": {"source": "synthetic", "synthetic_num_classes": 4,
+                              "synthetic_num_samples": 40, "crop_size": 32,
+                              "global_batch_size": 8, "drop_last": True,
+                              "shuffle": True},
+            "eval_dataset": {"source": "synthetic", "synthetic_num_classes": 4,
+                             "synthetic_num_samples": 8, "crop_size": 32,
+                             "global_batch_size": 8},
+            "optim": {"name": "sgd", "lr": 0.01, "momentum": 0.9,
+                      "weight_decay": 0.0},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [
+                {"cls": "ProgressiveResizing",
+                 "args": {"initial_scale": 0.5, "delay_fraction": 0.4,
+                          "finetune_fraction": 0.2}},
+            ],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=100)
+    assert tr._scale_for_step(0) == 0.5          # hold at initial_scale
+    assert tr._scale_for_step(9) == 1.0          # finetune at full size
+    mid = tr._scale_for_step(6)
+    assert 0.5 < mid <= 1.0                       # ramp, quantized
+    metrics = tr.fit()
+    assert np.isfinite(metrics["cross-entropy"])
+    assert int(tr.state.step) == 10
+    tr.close()
