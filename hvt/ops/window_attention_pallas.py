@@ -41,11 +41,14 @@ def _merge_bias_mask(bias: jax.Array, mask: jax.Array | None) -> jax.Array:
     return bias[None] + mask[:, None].astype(bias.dtype)
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, z_ref, o_ref):
-    """One window: q/k/v (1, H, N, D); z (1, H, N, N); scale (H, 1, 1)."""
-    q = q_ref[0].astype(jnp.float32)  # (H, N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+def _attention_kernel(g_blk: int, q_ref, k_ref, v_ref, scale_ref, z_ref, o_ref):
+    """G windows per program: q/k/v (G, H, N, D); z (Gz, H, N, N) with
+    Gz ∈ {G, 1}; scale (H, 1, 1). (window, head) merge into the single batch
+    dim Mosaic's matmul supports — a leading-dims merge, layout-free."""
+    h, n, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    k = k_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    v = v_ref[...].reshape(g_blk * h, n, d)
 
     qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
@@ -54,38 +57,56 @@ def _attention_kernel(q_ref, k_ref, v_ref, scale_ref, z_ref, o_ref):
         qn, kn,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (H, N, N)
-    attn = attn * scale_ref[:] + z_ref[0].astype(jnp.float32)
+    )  # (G·H, N, N)
+    scale_b = jnp.broadcast_to(scale_ref[:][None], (g_blk, h, 1, 1))
+    z = jnp.broadcast_to(z_ref[...].astype(jnp.float32), (g_blk, h, n, n))
+    attn = attn * scale_b.reshape(g_blk * h, 1, 1) + z.reshape(g_blk * h, n, n)
     attn = jax.nn.softmax(attn, axis=-1)
 
     out = jax.lax.dot_general(
         attn.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (H, N, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+    )  # (G·H, N, D)
+    o_ref[...] = out.reshape(g_blk, h, n, d).astype(o_ref.dtype)
+
+
+def _pick_block(nwb: int, nwz: int, heads: int, target: int = 8) -> int:
+    """Windows per program: a divisor of nwb that also divides the z period
+    (so each block sees a contiguous run of window ids with a well-defined z
+    block), with the merged batch dim g·heads capped at 64 — larger merged
+    batches fail Mosaic's matmul lowering on current toolchains."""
+    g = min(target, nwb)
+    while g > 1 and (nwb % g or (nwz > 1 and nwz % g) or g * heads > 64):
+        g -= 1
+    return g
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _forward(q, k, v, scale, z, interpret=False):
     nwb, h, n, d = q.shape
     nwz = z.shape[0]
+    g = _pick_block(nwb, nwz, h)
+    gz = g if nwz > 1 else 1
 
-    grid = (nwb,)
-    qkv_spec = pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+    grid = (nwb // g,)
+    qkv_spec = pl.BlockSpec((g, h, n, d), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec((1, h, n, n), lambda i: (i % nwz, 0, 0, 0),
+    # Window id of element j is j % nwz; a block of g consecutive elements
+    # starts at (i·g) % nwz, a multiple of g since g | nwz (or nwz == 1).
+    z_spec = pl.BlockSpec((gz, h, n, n),
+                          lambda i: ((i * g) % nwz // gz if nwz > 1 else 0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     scale_spec = pl.BlockSpec((h, 1, 1), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
 
     flops_per_win = 2 * h * n * n * d * 2
     return pl.pallas_call(
-        _attention_kernel,
+        functools.partial(_attention_kernel, g),
         out_shape=jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, scale_spec, z_spec],
-        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((g, h, n, d), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_win * nwb,
@@ -97,34 +118,40 @@ def _forward(q, k, v, scale, z, interpret=False):
 
 
 def _attention_bwd_kernel(
+    g_blk: int, gz: int,
     q_ref, k_ref, v_ref, scale_ref, z_ref, g_ref,
     dq_ref, dk_ref, dv_ref, dz_ref, dscale_ref,
 ):
-    """Backward for one window; dz/dscale accumulate across grid steps.
-
-    Grid is (nwz, n_batch) with the batch dimension innermost, so the dz
-    output block (indexed by the outer dim) stays resident in VMEM while all
-    windows sharing it accumulate — the standard Pallas reduction layout.
-    """
-    w = pl.program_id(0)
+    """Backward for a block of g_blk contiguous windows; dz/dscale accumulate
+    across grid steps. Grid is (window-blocks, batch) with batch innermost,
+    so the dz output block (indexed by the window-block dim) stays resident
+    in VMEM while every sample accumulates into it — the standard Pallas
+    reduction layout."""
+    wb = pl.program_id(0)
     b = pl.program_id(1)
+    h, n, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
 
-    q = q_ref[0].astype(jnp.float32)  # (H, N, D)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    scale = scale_ref[:]  # (H, 1, 1)
+    q = q_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    k = k_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    v = v_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    g = g_ref[...].astype(jnp.float32).reshape(g_blk * h, n, d)
+    scale = jnp.broadcast_to(
+        scale_ref[:][None], (g_blk, h, 1, 1)
+    ).reshape(g_blk * h, 1, 1)
 
     inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
     qn = q * inv_qn
     kn = k * inv_kn
 
-    batched = (((2,), (2,)), ((0,), (0,)))  # contract last dim, batch heads
+    batched = (((2,), (2,)), ((0,), (0,)))  # contract last dim, batch merged
     cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(cos * scale + z_ref[0].astype(jnp.float32), axis=-1)
+    z = jnp.broadcast_to(
+        z_ref[...].astype(jnp.float32), (g_blk, h, n, n)
+    ).reshape(g_blk * h, n, n)
+    attn = jax.nn.softmax(cos * scale + z, axis=-1)
 
-    # dv = attnᵀ g  — contract over queries (axis 1 of both).
+    # dv = attnᵀ g — contract over queries (axis 1 of both).
     dv = jax.lax.dot_general(
         attn, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -132,24 +159,28 @@ def _attention_bwd_kernel(
     dp = jax.lax.dot_general(g, v, batched, preferred_element_type=jnp.float32)
     ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
 
-    # Accumulated outputs.
+    ds4 = ds.reshape(g_blk, h, n, n)
+    dz_contrib = ds4 if gz == g_blk else jnp.sum(ds4, axis=0, keepdims=True)
+
     @pl.when(b == 0)
     def _init_dz():
-        dz_ref[0] = ds.astype(dz_ref.dtype)
+        dz_ref[...] = dz_contrib.astype(dz_ref.dtype)
 
     @pl.when(b != 0)
     def _acc_dz():
-        dz_ref[0] = dz_ref[0] + ds.astype(dz_ref.dtype)
+        dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
 
-    # Keep the partial 2D (H, N): reduce only the last axis here; the final
+    # Keep the partial 2D (H, N): reduce window and key axes here; the final
     # N-reduction happens outside (1-D shapes break Mosaic layout).
-    dscale_contrib = jnp.sum(ds * cos, axis=2)  # (H, N)
+    dscale_contrib = jnp.sum(
+        (ds * cos).reshape(g_blk, h, n, n), axis=(0, 3)
+    )  # (H, N)
 
-    @pl.when((b == 0) & (w == 0))
+    @pl.when((b == 0) & (wb == 0))
     def _init_dscale():
         dscale_ref[:] = dscale_contrib.astype(dscale_ref.dtype)
 
-    @pl.when((b != 0) | (w != 0))
+    @pl.when((b != 0) | (wb != 0))
     def _acc_dscale():
         dscale_ref[:] = dscale_ref[:] + dscale_contrib.astype(dscale_ref.dtype)
 
@@ -165,9 +196,9 @@ def _attention_bwd_kernel(
     dq = (dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn
     dk = (dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn
 
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dq_ref[...] = dq.reshape(g_blk, h, n, d).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(g_blk, h, n, d).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(g_blk, h, n, d).astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -177,19 +208,36 @@ def _backward(q, k, v, scale, z, g, interpret=False):
     assert nwb % nwz == 0, (nwb, nwz)
     nb = nwb // nwz
 
-    # Window index of batch element i is i % nwz (window-major within each
-    # sample's nW windows, batch-major overall).
-    qkv_spec = pl.BlockSpec((1, h, n, d), lambda w, b: (b * nwz + w, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec((1, h, n, n), lambda w, b: (w, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    scale_spec = pl.BlockSpec((h, 1, 1), lambda w, b: (0, 0, 0),
+    # Backward stays per-window (g=1): the blocked variant's in-kernel
+    # broadcasts blow up Mosaic compile time at production shapes
+    # (observed: (4096, 3, 49, 32) never finishes). The forward uses
+    # window blocks; revisit with a newer toolchain.
+    g_blk = _pick_block(nwb, nwz, h, target=1)
+    gz = g_blk if nwz > 1 else 1
+
+    if nwz > 1:
+        # Element block index for (wb, b): windows [b·nwz + wb·g, +g).
+        grid = (nwz // g_blk, nb)
+        qkv_idx = lambda wb, b: (b * (nwz // g_blk) + wb, 0, 0, 0)
+        z_idx = lambda wb, b: (wb, 0, 0, 0)
+        inner = nb
+    else:
+        # nwz == 1: block g_blk consecutive batch elements; dz is one block
+        # summed over the block axis in-kernel.
+        assert nb % g_blk == 0, (nb, g_blk)
+        grid = (1, nb // g_blk)
+        qkv_idx = lambda wb, b: (b, 0, 0, 0)
+        z_idx = lambda wb, b: (0, 0, 0, 0)
+
+    qkv_spec = pl.BlockSpec((g_blk, h, n, d), qkv_idx, memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((gz, h, n, n), z_idx, memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((h, 1, 1), lambda wb, b: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    dscale_spec = pl.BlockSpec((h, n), lambda w, b: (0, 0),
+    dscale_spec = pl.BlockSpec((h, n), lambda wb, b: (0, 0),
                                memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _attention_bwd_kernel,
+        functools.partial(_attention_bwd_kernel, g_blk, gz),
         out_shape=(
             jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),  # dq
             jax.ShapeDtypeStruct((nwb, h, n, d), q.dtype),  # dk
@@ -197,7 +245,7 @@ def _backward(q, k, v, scale, z, g, interpret=False):
             jax.ShapeDtypeStruct((nwz, h, n, n), jnp.float32),  # dz
             jax.ShapeDtypeStruct((h, n), jnp.float32),  # dscale partial
         ),
-        grid=(nwz, nb),
+        grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec, scale_spec, z_spec, qkv_spec],
         out_specs=(
             qkv_spec, qkv_spec, qkv_spec, z_spec, dscale_spec,
