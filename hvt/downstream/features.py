@@ -102,6 +102,16 @@ def extract_features(
     flat_cfg = config_lib.loads(
         dict(cfg_dict, hierarchy=dict(cfg_dict["hierarchy"], variant=""))
     )
+    # Feature extraction is forward-only: the window-blocked Pallas attention
+    # kernel wins there (BENCH.md), so default it on for Swin backbones when
+    # a real TPU is present (training keeps the XLA path by default).
+    if config.model.name.startswith("swinv2") and any(
+        d.platform in ("tpu", "axon") for d in jax.devices()
+    ):
+        flat_cfg = config_lib.loads(
+            config_lib.to_dict(flat_cfg),
+            {"model": {"args": {"use_pallas": flat_cfg.model.args.get("use_pallas", True)}}},
+        )
     model = build_model(flat_cfg, 2)
     data_cfg = config.train_dataset if is_train else config.eval_dataset
     mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
