@@ -235,3 +235,27 @@ def test_swin_train_step_smoke():
                             jax.device_put(rng, parallel.replicated(mesh)), scale=1.0)
     assert int(new_state.step) == 1
     assert np.isfinite(float(stats["loss_sum"]))
+
+
+def test_swin_uri_checkpoint_roundtrip(tmp_path):
+    """torch .pt file -> swin:// URI -> flax params -> identical logits
+    (the reference's swin:// checkpoint path, swinv2.py:870-895)."""
+    ref, ours, _ = _make_pair(num_classes=6, seed=9)
+    blob = {"model": ref.state_dict(),
+            # non-persistent buffers must be filtered out on load
+            "junk": None}
+    del blob["junk"]
+    path = tmp_path / "swin_ckpt.pt"
+    torch.save({"model": ref.state_dict()}, path)
+
+    params = torch_compat.load_swin_checkpoint(f"swin://{path}")
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # depth inference from state-dict keys
+    assert torch_compat.infer_depths(ref.state_dict()) == CFG["depths"]
+    with pytest.raises(ValueError):
+        torch_compat.parse_swin_uri("notswin://x")
