@@ -27,6 +27,12 @@ def synthetic_class_names(num_classes: int) -> list[str]:
     return names
 
 
+#: distinct random images in the lazily-built pool; sample i reuses
+#: pool[i % POOL]. Generating fresh pixels per sample costs more host CPU
+#: than real JPEG decode and makes "synthetic" runs input-bound.
+POOL_SIZE = 64
+
+
 @dataclasses.dataclass(frozen=True)
 class SyntheticDataset:
     num_samples: int
@@ -43,11 +49,20 @@ class SyntheticDataset:
     def hierarchical(self) -> bool:
         return self.labels.ndim == 2
 
+    def _pool(self) -> np.ndarray:
+        cached = getattr(self, "_pool_cache", None)
+        if cached is None:
+            rng = np.random.default_rng((self.seed, 0xF00D))
+            n = min(POOL_SIZE, self.num_samples)
+            cached = rng.integers(
+                0, 256, size=(n, self.crop_size, self.crop_size, 3), dtype=np.uint8
+            )
+            object.__setattr__(self, "_pool_cache", cached)
+        return cached
+
     def load(self, index: int) -> np.ndarray:
-        rng = np.random.default_rng((self.seed, int(index)))
-        return rng.integers(
-            0, 256, size=(self.crop_size, self.crop_size, 3), dtype=np.uint8
-        )
+        pool = self._pool()
+        return pool[int(index) % len(pool)]
 
 
 def build_synthetic(

@@ -89,7 +89,39 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
     reference data.py:147).
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        # One pytree transfer (one runtime round trip) — equivalent to the
+        # per-array path on a single host, cheaper on latency-bound links.
+        return jax.device_put(
+            (batch.images, batch.labels, batch.mask),
+            (sharding, sharding, sharding),
+        )
     images = jax.make_array_from_process_local_data(sharding, batch.images)
     labels = jax.make_array_from_process_local_data(sharding, batch.labels)
     mask = jax.make_array_from_process_local_data(sharding, batch.mask)
     return images, labels, mask
+
+
+def prefetch_to_device(batch_iter, mesh: Mesh, depth: int = 2):
+    """Yield (host_batch, device_arrays) with up to `depth` transfers running
+    in a background thread.
+
+    The double-buffered host-transfer step of SURVEY.md §7(8): device_put for
+    the next batches overlaps the current step's compute. Runs the transfers
+    on a worker thread because some PJRT backends block in device_put (the
+    dev tunnel's H2D round trip is ~0.25 s).
+    """
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = max(1, depth)
+    with ThreadPoolExecutor(1) as pool:
+        queue: collections.deque = collections.deque()
+        for batch in batch_iter:
+            queue.append((batch, pool.submit(put_batch, mesh, batch)))
+            if len(queue) >= depth:
+                host, fut = queue.popleft()
+                yield host, fut.result()
+        while queue:
+            host, fut = queue.popleft()
+            yield host, fut.result()
