@@ -75,7 +75,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     pretrained_window: int = 0
     dtype: Any = None
-    use_pallas: bool = False
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -128,7 +128,7 @@ class SwinBlock(nn.Module):
     drop_path_rate: float = 0.0
     pretrained_window: int = 0
     dtype: Any = None
-    use_pallas: bool = False
+    use_pallas: bool = True
     # Route both block halves through the mega-fused Pallas kernels
     # (hvt.ops.swin_block_pallas); parameter tree is identical to the
     # standard path, so the flag can be flipped on existing checkpoints.
@@ -292,11 +292,11 @@ class SwinTransformerV2(nn.Module):
     patch_norm: bool = True
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
     dtype: Any = jnp.bfloat16
-    # Per-window fused attention kernel (hvt.ops.window_attention_pallas).
-    # Default off: measured ~5% slower than XLA end-to-end on the current
-    # dev chip (per-window grid overhead); flip via model.args.use_pallas
-    # where profiling shows a win.
-    use_pallas: bool = False
+    # Window-blocked fused attention kernel (hvt.ops.window_attention_pallas):
+    # +8% eval forward, +2% training end-to-end vs the XLA lowering on the
+    # dev chip (BENCH.md). Auto-falls back to the jnp reference off-TPU;
+    # disable via model.args.use_pallas=false.
+    use_pallas: bool = True
     # Mega-fused block halves (see SwinBlock.fuse); same parameter tree.
     fuse: bool = False
     remat: bool = False
