@@ -67,6 +67,15 @@ class Trainer:
         self.lr_multiplier = multiplier
 
         # Model / objective / optimizer ----------------------------------
+        # Pallas kernels compile for the mesh's platform, not the process
+        # default — on a non-TPU mesh (CPU dry runs/tests inside a
+        # TPU-registered process) default them off unless explicitly set.
+        mesh_platform = self.mesh.devices.flat[0].platform
+        if mesh_platform not in ("tpu", "axon") and "use_pallas" not in config.model.args:
+            config = config_lib.loads(
+                config_lib.to_dict(config), {"model": {"args": {"use_pallas": False}}}
+            )
+            self.config = config
         self.model = build_model(config, self.info.num_classes)
         class_names = getattr(self.train_loader.dataset, "classes", None)
         self.objective = objectives_lib.build_objective(config, self.info, class_names)
