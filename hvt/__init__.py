@@ -14,3 +14,16 @@ parallelism over a `jax.sharding.Mesh`.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (keep `import hvt` light — no jax import).
+    if name == "Trainer":
+        from hvt.train.loop import Trainer
+
+        return Trainer
+    if name == "load_config":
+        from hvt.config import load
+
+        return load
+    raise AttributeError(name)

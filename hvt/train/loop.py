@@ -5,10 +5,17 @@ checkpointing and logging from a Config (the reference's main.py:36-131 does
 the same assembly then calls composer.Trainer), and runs:
 
 * an initial evaluation before training (reference main.py:129-131),
-* epoch loop: host loader → batch-sharded device arrays → one compiled
-  train step per progressive-resize bucket,
+* epoch loop: host loader → batch-sharded device arrays (threaded prefetch,
+  one pytree transfer per batch) → one compiled train step per
+  progressive-resize bucket; metric partial sums accumulate on device and
+  are fetched only at log/epoch boundaries,
 * per-``eval_interval`` evaluation (EMA weights when EMA is on),
 * periodic + last checkpoint saves, resume via ``load_path``.
+
+Resume granularity is the optimizer step: a checkpoint taken mid-epoch
+resumes with the correct step count and schedules, but the interrupted
+epoch restarts from its first batch (a few batches may be revisited; the
+``max_duration`` step budget is still honored exactly).
 """
 
 from __future__ import annotations
