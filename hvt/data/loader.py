@@ -186,10 +186,16 @@ class Loader:
 
     # -- iteration ----------------------------------------------------------
 
-    def epoch(self, epoch: int) -> Iterator[Batch]:
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Batch]:
+        """Iterate the epoch's batches, optionally skipping the first
+        ``start_batch`` (exact mid-epoch resume: the order is a pure function
+        of (seed, epoch), so slicing the schedule reproduces the remainder of
+        an interrupted epoch without decoding the skipped images)."""
         indices = self._epoch_indices(epoch)
         bs = self.local_batch_size
         chunks = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        if start_batch:
+            chunks = chunks[start_batch:]
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()

@@ -60,7 +60,13 @@ def build_model(config, num_classes: Union[int, tuple[int, ...]]):
     registry = _registry()
     name = config.model.name
     if name not in registry:
-        raise ValueError(f"unknown model {name!r} (valid: {sorted(registry)})")
+        raise ValueError(
+            f"unknown model {name!r}. The reference resolves model names "
+            "through timm (reference models.py:16-25); hvt ships native flax "
+            f"implementations of the models its configs use: {sorted(registry)}. "
+            "For another architecture, add a flax implementation to "
+            "hvt/models/ and register it in hvt.models.factory._registry."
+        )
 
     blurpool = any(a.cls == "BlurPool" for a in config.algorithms)
     kwargs = dict(config.model.args)

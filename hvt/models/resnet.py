@@ -339,6 +339,20 @@ def resnet50(
     )
 
 
+def _warn_ignored_basic_kwargs(name: str, unused: dict) -> None:
+    """A config knob that silently no-ops is worse than a rejected one: the
+    BasicResNet test models do not implement stochastic depth, so say so."""
+    if unused.get("stochastic_depth_rate"):
+        import warnings
+
+        warnings.warn(
+            f"{name} (BasicResNet) ignores stochastic_depth_rate="
+            f"{unused['stochastic_depth_rate']}; only the bottleneck family "
+            "(resnet50) implements stochastic depth",
+            stacklevel=3,
+        )
+
+
 def resnet18(
     num_classes: Union[int, tuple[int, ...]],
     *,
@@ -348,6 +362,7 @@ def resnet18(
     **unused,
 ) -> "ResNet":
     """Small variant for tests/debug configs."""
+    _warn_ignored_basic_kwargs("resnet18", unused)
     return BasicResNet(
         stage_sizes=(2, 2, 2, 2),
         num_classes=num_classes,
@@ -366,6 +381,7 @@ def resnet_micro(
     **unused,
 ) -> "ResNet":
     """Tiny 2-stage ResNet for tests and CPU smoke runs."""
+    _warn_ignored_basic_kwargs("resnet_micro", unused)
     return BasicResNet(
         stage_sizes=(1, 1),
         width=8,

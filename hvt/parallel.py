@@ -102,6 +102,34 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
     return images, labels, mask
 
 
+def broadcast_small_json(obj, world: int = 1, max_bytes: int = 65536):
+    """Process-0 → all-processes broadcast of a small JSON-able object.
+
+    The analog of the reference's ``dist.broadcast_object_list`` (reference
+    monkey_patch.py:14-31 broadcasts the rank-0 wandb run's entity/project so
+    every rank logs to one run). Rides the same collective fabric as training
+    via multihost_utils; a single-process world returns the object as-is.
+    """
+    if world <= 1:
+        return obj
+    import json
+
+    from jax.experimental import multihost_utils
+
+    if jax.process_index() == 0:
+        payload = json.dumps(obj).encode()
+        if len(payload) > max_bytes:
+            raise ValueError(f"object too large to broadcast ({len(payload)} bytes)")
+        buf = np.zeros(max_bytes + 8, np.uint8)
+        buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
+        buf[8 : 8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    else:
+        buf = np.zeros(max_bytes + 8, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:8].tobytes(), np.int64)[0])
+    return json.loads(out[8 : 8 + n].tobytes().decode())
+
+
 def prefetch_to_device(batch_iter, mesh: Mesh, depth: int = 2):
     """Yield (host_batch, device_arrays) with up to `depth` transfers running
     in a background thread.

@@ -12,10 +12,10 @@ the same assembly then calls composer.Trainer), and runs:
 * per-``eval_interval`` evaluation (EMA weights when EMA is on),
 * periodic + last checkpoint saves, resume via ``load_path``.
 
-Resume granularity is the optimizer step: a checkpoint taken mid-epoch
-resumes with the correct step count and schedules, but the interrupted
-epoch restarts from its first batch (a few batches may be revisited; the
-``max_duration`` step budget is still honored exactly).
+Resume is exact to the batch (Composer semantics, reference main.py:118):
+the batch order within an epoch is a pure function of (seed, epoch), so a
+checkpoint taken mid-epoch resumes at the next batch of the interrupted
+epoch and reproduces the uninterrupted run bit for bit.
 """
 
 from __future__ import annotations
@@ -57,9 +57,30 @@ class Trainer:
 
         self.algos = algorithms_lib.parse_algorithms(config)
 
+        # Rank/world are derived from the mesh, not the default backend, so
+        # a Trainer on a CPU mesh never initializes the process-default
+        # (TPU) client — the multichip dry run must stay hermetic to CPU.
+        mesh_devices = list(self.mesh.devices.flat)
+        process_ids = {d.process_index for d in mesh_devices}
+        self.world = len(process_ids)
+        if self.world == 1:
+            self.rank = next(iter(process_ids))
+            self.local_devices = mesh_devices
+        else:
+            # Multi-host: jax.distributed is initialized, the backend is
+            # live, and the process query is the source of truth.
+            self.rank = jax.process_index()
+            self.local_devices = [
+                d for d in mesh_devices if d.process_index == self.rank
+            ]
+
         # Data ------------------------------------------------------------
-        self.train_loader, self.info = build_loader(config, is_train=True)
-        self.eval_loader, eval_info = build_loader(config, is_train=False)
+        self.train_loader, self.info = build_loader(
+            config, is_train=True, process_index=self.rank, process_count=self.world
+        )
+        self.eval_loader, eval_info = build_loader(
+            config, is_train=False, process_index=self.rank, process_count=self.world
+        )
         self.steps_per_epoch = self.train_loader.batches_per_epoch
         self.tree_dists = eval_info.tree_dists
 
@@ -94,19 +115,26 @@ class Trainer:
             no_decay_substrings=no_decay,
         )
 
-        grad_accum = 1 if config.grad_accum == "auto" else int(config.grad_accum)
         self.prep = DevicePrep.from_config(config.train_dataset, config.precision)
         self.eval_prep = DevicePrep.from_config(config.eval_dataset, config.precision)
-        self.settings = step_lib.StepSettings(
-            num_classes=self.info.num_classes,
-            smoothing=self.algos.label_smoothing,
-            mixup_alpha=self.algos.mixup_alpha,
-            cutmix_alpha=self.algos.cutmix_alpha,
-            grad_accum=grad_accum,
-            ema=self.algos.ema,
-            sam_rho=self.algos.sam_rho,
-            sam_interval=self.algos.sam_interval,
-        )
+
+        def make_settings(accum: int) -> step_lib.StepSettings:
+            return step_lib.StepSettings(
+                num_classes=self.info.num_classes,
+                smoothing=self.algos.label_smoothing,
+                mixup_alpha=self.algos.mixup_alpha,
+                cutmix_alpha=self.algos.cutmix_alpha,
+                grad_accum=accum,
+                ema=self.algos.ema,
+                sam_rho=self.algos.sam_rho,
+                sam_interval=self.algos.sam_interval,
+            )
+
+        if config.grad_accum == "auto":
+            grad_accum = self._resolve_auto_grad_accum(make_settings)
+        else:
+            grad_accum = int(config.grad_accum)
+        self.settings = make_settings(grad_accum)
         if self.algos.sam_rho is not None and grad_accum != 1:
             raise NotImplementedError("SAM with grad_accum > 1 is not supported")
         self.train_step = step_lib.build_train_step(
@@ -139,33 +167,102 @@ class Trainer:
         self.logger = RunLogger(
             save_folder,
             config.run_name,
-            rank=jax.process_index(),
+            rank=self.rank,
             use_wandb=config.save.wandb,
             wandb_entity=config.wandb.entity,
             wandb_project=config.wandb.project,
             tags=list(config.tags),
+            world=self.world,
         )
         self.logger.log_config(config_lib.to_yaml(config))
         self.speed = SpeedMonitor(window_size=50, num_chips=len(self.mesh.devices.flat))
-        self.base_rng = jax.device_put(
-            jax.random.key(config.seed), parallel.replicated(self.mesh)
-        )
+        # Built inside jit so the key materializes directly on the mesh's
+        # devices — never as an eager op on the process-default backend.
+        seed = int(config.seed)
+        self.base_rng = jax.jit(
+            lambda: jax.random.key(seed),
+            out_shardings=parallel.replicated(self.mesh),
+        )()
 
     # -- construction helpers -------------------------------------------
 
-    def _init_state(self) -> state_lib.TrainState:
+    def _resolve_auto_grad_accum(self, make_settings) -> int:
+        """Static memory-aware microbatching (the reference's Composer
+        grad_accum "auto", main.py:38-41): lower candidate steps, read XLA's
+        compile-time memory analysis, double until the program fits."""
+        from hvt.train import microbatch
+
+        gbs = int(self.config.train_dataset.global_batch_size)
+        crop = int(self.config.train_dataset.crop_size)
+        limit = microbatch.device_bytes_limit(self.mesh.devices.flat[0])
+        if limit is None:
+            return microbatch.choose_grad_accum(lambda a: None, gbs, None)
+
+        sharded = parallel.batch_sharding(self.mesh)
+        repl = parallel.replicated(self.mesh)
+
+        def sds(shape, dtype, sharding):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+        if isinstance(self.info.num_classes, tuple):
+            labels = sds((gbs, len(self.info.num_classes)), jnp.int32, sharded)
+        else:
+            labels = sds((gbs,), jnp.int32, sharded)
+        images = sds((gbs, crop, crop, 3), jnp.uint8, sharded)
+        mask = sds((gbs,), jnp.float32, sharded)
+        key_shape = jax.eval_shape(lambda: jax.random.key(0))
+        rng = sds(key_shape.shape, key_shape.dtype, repl)
+        state_abs = jax.tree.map(
+            lambda s: sds(s.shape, s.dtype, repl),
+            jax.eval_shape(self._make_init_fn()),
+        )
+
+        def measure(accum: int):
+            step = step_lib.build_train_step(
+                self.model, self.objective, self.tx, self.prep,
+                make_settings(accum),
+            )
+            compiled = step.lower(
+                state_abs, images, labels, mask, rng, scale=1.0
+            ).compile()
+            return microbatch.required_bytes(compiled)
+
+        return microbatch.choose_grad_accum(measure, gbs, limit)
+
+    def _make_init_fn(self):
         crop = self.config.train_dataset.crop_size
-        sample = jnp.zeros((2, crop, crop, 3), jnp.uint8)
-        rng = jax.random.key(self.config.seed)
+        seed = int(self.config.seed)
 
         def init():
+            # Sample + rng are created inside the traced function so they
+            # exist only as constants of the mesh-targeted executable (no
+            # eager allocation on the process-default backend).
+            sample = jnp.zeros((2, crop, crop, 3), jnp.uint8)
+            rng = jax.random.key(seed)
             return state_lib.create(
                 self.model, self.tx, rng, self.prep.normalize(sample),
                 ema=self.algos.ema is not None,
             )
 
+        return init
+
+    def _init_state(self) -> state_lib.TrainState:
         replicated = parallel.replicated(self.mesh)
-        return jax.jit(init, out_shardings=replicated)()
+        return jax.jit(self._make_init_fn(), out_shardings=replicated)()
+
+    def _save_checkpoint(self, step: int) -> None:
+        """Save + (optionally) upload the checkpoint as a wandb artifact with
+        the reference's ``latest``/``ep{N}-ba{M}`` aliases (reference
+        monkey_patch.py:33-91). Upload is a clean no-op without wandb."""
+        self.checkpointer.save(step, self.state)
+        if self.config.save.wandb:
+            epoch = step // self.steps_per_epoch
+            self.logger.log_artifact(
+                self.checkpointer.directory / str(step),
+                name=f"{self.config.run_name}-checkpoints",
+                aliases=["latest", f"ep{epoch}-ba{step}"],
+                metadata={"step": step, "epoch": epoch},
+            )
 
     def checkpointer_restore(self, load_path: str) -> state_lib.TrainState:
         path, step = checkpoint_lib.parse_checkpoint_uri(load_path)
@@ -209,19 +306,37 @@ class Trainer:
         if not self.config.is_train:
             return eval_metrics
 
+        # eval_interval honors the full Composer time grammar: "Nep" at epoch
+        # boundaries, "Nba" every N optimizer steps, "Fdur" as a fraction of
+        # max_duration (reference main.py:109 passes it straight to Composer).
         eval_every = schedule_lib.parse_duration(self.config.eval_interval)
-        eval_every_ep = (
-            max(1, int(eval_every.value)) if eval_every.unit == "ep" else 1
-        )
+        eval_every_ep: Optional[int] = None
+        eval_every_ba: Optional[int] = None
+        if eval_every.unit == "ep":
+            eval_every_ep = max(1, int(eval_every.value))
+        else:
+            eval_every_ba = max(
+                1, eval_every.to_steps(self.steps_per_epoch, self.total_steps)
+            )
         save_interval = self.config.save.interval
-        save_every_ep = None
+        save_every_ep: Optional[int] = None
+        save_every_ba: Optional[int] = None
         if save_interval:
             dur = schedule_lib.parse_duration(save_interval)
-            save_every_ep = max(1, int(round(dur.to_steps(self.steps_per_epoch)
-                                             / self.steps_per_epoch)))
+            if dur.unit == "ep":
+                save_every_ep = max(1, int(dur.value))
+            else:
+                save_every_ba = max(
+                    1, dur.to_steps(self.steps_per_epoch, self.total_steps)
+                )
 
         step = int(self.state.step)
         start_epoch = step // self.steps_per_epoch
+        # Exact mid-epoch resume (Composer resumes at the batch, reference
+        # main.py:118): the interrupted epoch continues at the next batch of
+        # its deterministic (seed, epoch) order.
+        resume_offset = step % self.steps_per_epoch
+        last_eval_step = -1
         train_acc = metrics_lib.MetricAccumulator()
 
         # Per-batch stats stay on device and accumulate asynchronously; they
@@ -244,8 +359,9 @@ class Trainer:
             prof_start, prof_stop = int(lo), int(hi or int(lo) + 5)
 
         for epoch in range(start_epoch, self.total_epochs):
+            skip = resume_offset if epoch == start_epoch else 0
             prefetched = parallel.prefetch_to_device(
-                self.train_loader.epoch(epoch), self.mesh,
+                self.train_loader.epoch(epoch, start_batch=skip), self.mesh,
                 depth=self.config.loader.prefetch_batches,
             )
             for batch, (images, labels, mask) in prefetched:
@@ -267,6 +383,12 @@ class Trainer:
                 if step == prof_stop:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
+                if eval_every_ba is not None and step % eval_every_ba == 0:
+                    eval_metrics = self.evaluate()
+                    self.logger.log(step, eval_metrics, prefix="eval")
+                    last_eval_step = step
+                if save_every_ba is not None and step % save_every_ba == 0:
+                    self._save_checkpoint(step)
                 if step % self.log_interval == 0:
                     drain()
                     m = train_acc.compute()
@@ -275,7 +397,7 @@ class Trainer:
                     )
                     m["scale"] = scale
                     m.update(self.speed.metrics())
-                    m.update(memory_stats())
+                    m.update(memory_stats(self.local_devices))
                     self.logger.log(step, m, prefix="train")
 
             drain()
@@ -283,19 +405,21 @@ class Trainer:
             train_acc.reset()
             self.logger.log(step, epoch_metrics, prefix="train-epoch")
 
-            if (epoch + 1) % eval_every_ep == 0 or step >= self.total_steps:
+            due_ep = eval_every_ep is not None and (epoch + 1) % eval_every_ep == 0
+            if (due_ep or step >= self.total_steps) and last_eval_step != step:
                 eval_metrics = self.evaluate()
                 self.logger.log(step, eval_metrics, prefix="eval")
+                last_eval_step = step
 
             if save_every_ep is not None and (epoch + 1) % save_every_ep == 0:
-                self.checkpointer.save(step, self.state)
+                self._save_checkpoint(step)
 
             if step >= self.total_steps:
                 break
 
         # Always save the final state (utils.save_last_only analog,
         # reference utils.py:38-43).
-        self.checkpointer.save(step, self.state)
+        self._save_checkpoint(step)
         return eval_metrics
 
     def close(self):

@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from hvt import metrics as metrics_lib
@@ -187,12 +188,16 @@ def build_eval_step(
     into the step (the reference's TreeDistance metric, hierarchy.py:126-154,
     without its memory leak).
     """
-    td = None if tree_dists is None else jnp.asarray(tree_dists)
+    # Held as numpy until trace time: converting inside the traced function
+    # embeds the matrix as a constant of the mesh-targeted executable instead
+    # of eagerly allocating it on the process-default backend.
+    td = None if tree_dists is None else np.asarray(tree_dists)
 
     def step(params, batch_stats, images, labels, mask):
         x = prep.normalize(images)
         out, _ = _forward(model, params, batch_stats, x, train=False)
-        return metrics_lib.batch_stats(out, labels, mask, tree_dists=td)
+        dists = None if td is None else jnp.asarray(td)
+        return metrics_lib.batch_stats(out, labels, mask, tree_dists=dists)
 
     return jax.jit(step)
 

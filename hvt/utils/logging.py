@@ -35,6 +35,7 @@ class RunLogger:
         wandb_entity: str = "",
         wandb_project: str = "",
         tags: Optional[list[str]] = None,
+        world: int = 1,
     ):
         self.rank = rank
         self.run_name = run_name
@@ -42,11 +43,33 @@ class RunLogger:
         log_dir.mkdir(parents=True, exist_ok=True)
         self._file = open(log_dir / f"log{rank}.txt", "a")
         self._wandb_run = None
-        if use_wandb and _HAS_WANDB and rank == 0:
-            self._wandb_run = wandb.init(
-                name=run_name, entity=wandb_entity or None,
-                project=wandb_project or None, tags=tags or [],
+        # Rank-consistent descriptor of the run (entity/project/id): rank 0
+        # creates the run, every rank adopts the descriptor — the analog of
+        # the reference's broadcast-based run adoption (monkey_patch.py:14-31).
+        self.run_info: dict[str, str] = {}
+        if use_wandb and not _HAS_WANDB and rank == 0:
+            import warnings
+
+            warnings.warn(
+                "wandb logging/upload requested (save.wandb: true) but the "
+                "wandb package is not installed — metrics stay in the jsonl "
+                "logs and checkpoints are not uploaded as artifacts"
             )
+        if use_wandb and _HAS_WANDB:
+            if rank == 0:
+                self._wandb_run = wandb.init(
+                    name=run_name, entity=wandb_entity or None,
+                    project=wandb_project or None, tags=tags or [],
+                )
+                self.run_info = {
+                    "entity": getattr(self._wandb_run, "entity", "") or "",
+                    "project": getattr(self._wandb_run, "project", "") or "",
+                    "run_id": getattr(self._wandb_run, "id", "") or "",
+                }
+            if world > 1:
+                from hvt import parallel
+
+                self.run_info = parallel.broadcast_small_json(self.run_info, world)
 
     def log(self, step: int, metrics: dict[str, Any], prefix: str = "") -> None:
         record = {
@@ -78,6 +101,36 @@ class RunLogger:
 
             self._wandb_run.config.update(_yaml.safe_load(config_yaml))
 
+    def log_artifact(
+        self,
+        path: str | pathlib.Path,
+        name: str,
+        *,
+        artifact_type: str = "checkpoint",
+        aliases: Optional[list[str]] = None,
+        metadata: Optional[dict] = None,
+    ) -> bool:
+        """Upload a file/directory as a wandb Artifact with aliases.
+
+        The reference uploads every checkpoint as an artifact with
+        ``latest``/``ep{N}-ba{M}`` aliases (reference monkey_patch.py:33-91);
+        downstream runs consume them through ``wandb://`` URIs. No-ops
+        (returning False) on non-zero ranks and when no run exists.
+        """
+        if self._wandb_run is None:
+            return False
+        artifact = wandb.Artifact(
+            name=name, type=artifact_type,
+            metadata={"timestamp": time.time(), **(metadata or {})},
+        )
+        path = pathlib.Path(path)
+        if path.is_dir():
+            artifact.add_dir(str(path))
+        else:
+            artifact.add_file(str(path))
+        self._wandb_run.log_artifact(artifact, aliases=list(aliases or []))
+        return True
+
     def close(self) -> None:
         self._file.close()
         if self._wandb_run is not None:
@@ -91,12 +144,19 @@ def _scalar(v):
         return v
 
 
-def memory_stats() -> dict[str, float]:
-    """Per-device HBM usage (MemoryMonitor analog, reference main.py:96)."""
-    import jax
+def memory_stats(devices=None) -> dict[str, float]:
+    """Per-device HBM usage (MemoryMonitor analog, reference main.py:96).
 
+    Pass the devices to inspect (e.g. the training mesh's local devices);
+    defaulting to jax.local_devices() would initialize the process-default
+    backend, which a CPU-mesh run must not touch.
+    """
+    if devices is None:
+        import jax
+
+        devices = jax.local_devices()
     stats: dict[str, float] = {}
-    for i, dev in enumerate(jax.local_devices()):
+    for i, dev in enumerate(devices):
         m = getattr(dev, "memory_stats", lambda: None)()
         if m:
             stats[f"memory/device{i}_bytes_in_use"] = float(m.get("bytes_in_use", 0))

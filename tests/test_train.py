@@ -307,3 +307,128 @@ def test_eval_only_run(micro_config):
     assert int(tr.state.step) == 0  # no training happened
     assert "acc@1" in metrics and "tree-dist" in metrics  # eval-only adds tree-dist
     tr.close()
+
+
+def test_eval_interval_in_batches(micro_config):
+    """eval_interval "2ba" evaluates every 2 optimizer steps (Composer honors
+    the full time grammar, reference main.py:109)."""
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        C.to_dict(micro_config),
+        {"run_name": "evalba", "eval_interval": "2ba"},
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(2), log_interval=2)
+    calls = []
+    inner = tr.evaluate
+    tr.evaluate = lambda: (calls.append(int(tr.state.step)), inner())[1]
+    tr.fit()
+    tr.close()
+    # pre-train eval at step 0, then every 2 steps; no duplicate final eval.
+    assert calls == [0, 2, 4]
+
+
+def test_basic_resnet_warns_on_stochastic_depth():
+    from hvt.models import build_model
+
+    cfg = C.loads(
+        {
+            "model": {"name": "resnet18"},
+            "algorithms": [{"cls": "StochasticDepth", "args": {"drop_rate": 0.2}}],
+        }
+    )
+    with pytest.warns(UserWarning, match="ignores stochastic_depth_rate"):
+        build_model(cfg, 10)
+
+
+def test_unknown_model_error_names_reference_contract():
+    from hvt.models import build_model
+
+    cfg = C.loads({"model": {"name": "vit_base_patch16_224"}})
+    with pytest.raises(ValueError, match="timm"):
+        build_model(cfg, 10)
+
+
+def test_mid_epoch_resume_bitwise_exact(micro_config):
+    """Interrupt at step k mid-epoch, resume, and match the uninterrupted
+    run bit for bit (Composer resumes at the batch, reference main.py:118)."""
+    import pathlib
+
+    from hvt.train.loop import Trainer
+
+    mesh = parallel.cpu_mesh(2)
+    # 32 samples / batch 8 = 4 steps per epoch. All runs share max_duration
+    # (the schedule depends on it); run A checkpoints every 3 steps, and we
+    # resume from its step-6 (mid-epoch-2) checkpoint — a preemption at k=6.
+    part = C.loads(
+        C.to_dict(micro_config),
+        {
+            "run_name": "interrupted",
+            "max_duration": "8ba",
+            "save": {"interval": "3ba", "num_checkpoints_to_keep": 5},
+        },
+    )
+    tr_a = Trainer(part, mesh=mesh, log_interval=10)
+    assert tr_a.steps_per_epoch == 4
+    tr_a.fit()
+    tr_a.close()
+
+    ckpts = pathlib.Path(part.machine.save_root) / "interrupted" / "checkpoints"
+    assert (ckpts / "6").is_dir(), "expected a mid-epoch checkpoint at step 6"
+    resumed = C.loads(
+        C.to_dict(micro_config),
+        {"run_name": "resumed", "max_duration": "8ba",
+         "load_path": f"ckpt://{ckpts}:6"},
+    )
+    tr_b = Trainer(resumed, mesh=mesh, log_interval=10)
+    assert int(tr_b.state.step) == 6
+    tr_b.fit()
+    assert int(tr_b.state.step) == 8
+    tr_b.close()
+
+    straight = C.loads(
+        C.to_dict(micro_config), {"run_name": "straight", "max_duration": "8ba"}
+    )
+    tr_c = Trainer(straight, mesh=mesh, log_interval=10)
+    tr_c.fit()
+    assert int(tr_c.state.step) == 8
+
+    for name, resumed_tree, straight_tree in (
+        ("params", tr_b.state.params, tr_c.state.params),
+        ("batch_stats", tr_b.state.batch_stats, tr_c.state.batch_stats),
+        ("ema_params", tr_b.state.ema_params, tr_c.state.ema_params),
+    ):
+        for a, b in zip(jax.tree.leaves(resumed_tree), jax.tree.leaves(straight_tree)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f"{name} diverged"
+    tr_c.close()
+
+
+def test_choose_grad_accum_doubles_until_fit():
+    from hvt.train import microbatch
+
+    # fake: memory halves with each doubling of accum
+    measure = lambda a: 100 // a  # noqa: E731
+    assert microbatch.choose_grad_accum(measure, 64, limit_bytes=110) == 1
+    assert microbatch.choose_grad_accum(measure, 64, limit_bytes=60) == 2
+    assert microbatch.choose_grad_accum(measure, 64, limit_bytes=28) == 4
+    # no limit info -> don't split
+    assert microbatch.choose_grad_accum(measure, 64, limit_bytes=None) == 1
+    # no analysis available -> accept current candidate
+    assert microbatch.choose_grad_accum(lambda a: None, 64, limit_bytes=10) == 1
+    # candidates must divide the batch: batch 12 skips 8, lands on... none >4
+    with pytest.raises(MemoryError):
+        microbatch.choose_grad_accum(lambda a: 10**9, 4, limit_bytes=100)
+
+
+def test_choose_grad_accum_respects_divisibility():
+    from hvt.train import microbatch
+
+    calls = []
+
+    def measure(a):
+        calls.append(a)
+        return 100 if a < 16 else 1
+
+    # batch 48: candidates 1,2,4,8,16 all divide 48 except 32; 16 divides 48
+    assert microbatch.choose_grad_accum(measure, 48, limit_bytes=50) == 16
+    assert calls == [1, 2, 4, 8, 16]
