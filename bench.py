@@ -1,20 +1,29 @@
-"""Throughput benchmark: images/sec/chip on the headline pretrain step.
+"""Throughput benchmark: images/sec/chip on BOTH headline pretrain steps.
 
-Measures the jit-compiled ResNet-50 iNat21-shaped training step (global batch
-sharded over all local chips, 224x224 bf16, DecoupledSGDW, label smoothing,
-EMA, grad clipping — the reference's r50 pretrain recipe,
-configs/pretrain/inat21.yaml) on device-resident synthetic data, isolating
-chip throughput from host input (the north-star metric is input-bound
-images/sec/chip, BASELINE.md).
+Measures the jit-compiled training step for the two north-star workloads
+(BASELINE.md: "SwinV2-T & R50 iNat21 pretrain"):
 
-Prints exactly one JSON line:
-    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+* ResNet-50, iNat21 recipe — bf16, DecoupledSGDW, label smoothing, EMA,
+  grad clipping (reference configs/pretrain/inat21.yaml),
+* SwinV2-Tiny, 224x224 window-7 — bf16, DecoupledAdamW, label smoothing,
+  grad clipping (the reference's flagship vendored model,
+  reference swinv2.py:673-867).
+
+Both use device-resident synthetic data (global batch sharded over all local
+chips), isolating chip throughput from host input — the north-star metric is
+input-bound images/sec/chip.
+
+Prints exactly one JSON line. The top-level value stays the R50 number (so it
+is comparable round to round); the "workloads" map carries both models:
+    {"metric": "...", "value": N, "unit": "images/sec/chip",
+     "vs_baseline": N, "workloads": {"resnet50": {...}, "swinv2_tiny": {...}}}
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a fixed reference point: 3023 images/sec/chip — MLPerf-class ResNet-50
-training throughput on an A100-80GB (the reference trains on 4xA100-class
-GPUs, slurm/train.bash:2-7). value/vs_baseline > 1 means one TPU chip
-outpaces one reference-class GPU chip.
+against fixed reference-hardware points (the reference trains on A100-class
+GPUs, slurm/train.bash:2-7): 3023 images/sec for ResNet-50 (MLPerf-class A100
+training throughput) and 760 images/sec for SwinV2-Tiny (timm-benchmark-class
+A100 train throughput for swinv2 tiny at 224 with AMP + channels-last).
+value/vs_baseline > 1 means one TPU chip outpaces one reference-class GPU.
 """
 
 import json
@@ -25,17 +34,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Fixed comparison point (see module docstring).
+# Fixed comparison points (see module docstring).
 A100_R50_IMAGES_PER_SEC = 3023.0
+A100_SWINV2_TINY_IMAGES_PER_SEC = 760.0
 
-BATCH_PER_CHIP = int(os.environ.get("HVT_BENCH_BATCH", 256))
 IMAGE_SIZE = int(os.environ.get("HVT_BENCH_IMAGE_SIZE", 224))
 NUM_CLASSES = 10000  # iNat21
 WARMUP_STEPS = 5
 MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 20))
 
 
-def main():
+def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
+    """Build the full train step for one workload and time it.
+
+    Timing uses a host fetch of a loss value data-dependent on every step
+    (states chain via donation) as the barrier — jax.block_until_ready is
+    unreliable on the experimental axon runtime (returns before device
+    completion).
+    """
     from hvt import config as config_lib
     from hvt import objectives, parallel
     from hvt.data import DevicePrep
@@ -47,31 +63,20 @@ def main():
     from hvt.train.algorithms import parse_algorithms
 
     n_chips = jax.device_count()
-    batch = BATCH_PER_CHIP * n_chips
+    batch = batch_per_chip * n_chips
 
-    model_args = {}
-    if os.environ.get("HVT_BENCH_S2D") == "1":
-        model_args["stem_s2d"] = True
-    cfg = config_lib.loads(
-        {
-            "model": {"name": "resnet50", "args": model_args},
-            "optim": {"name": "DecoupledSGDW", "lr": 2.048, "momentum": 0.875,
-                      "weight_decay": 5.0e-4},
-            "algorithms": [
-                {"cls": "EMA", "args": {"half_life": "100ba", "update_interval": "20ba"}},
-                {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
-                {"cls": "GradientClipping",
-                 "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
-            ],
-        }
-    )
+    cfg = config_lib.loads(cfg_overrides)
     algos = parse_algorithms(cfg)
     mesh = parallel.make_mesh(cfg.mesh)
     prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
     model = build_model(cfg, NUM_CLASSES)
 
     mult = schedule_lib.cosine_with_warmup(100, 10_000, 0.0)
-    tx = optim_lib.build_optimizer(cfg.optim, mult, grad_clip_norm=algos.grad_clip_norm)
+    no_decay = getattr(model, "no_weight_decay_substrings", ())
+    tx = optim_lib.build_optimizer(
+        cfg.optim, mult, grad_clip_norm=algos.grad_clip_norm,
+        no_decay_substrings=no_decay,
+    )
     settings = step_lib.StepSettings(
         num_classes=NUM_CLASSES, smoothing=algos.label_smoothing, ema=algos.ema
     )
@@ -82,12 +87,11 @@ def main():
     replicated = parallel.replicated(mesh)
     sharded = parallel.batch_sharding(mesh)
 
-    rng = jax.random.key(0)
     state = jax.jit(
         lambda: state_lib.create(
-            model, tx, rng,
+            model, tx, jax.random.key(0),
             prep.normalize(jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.uint8)),
-            ema=True,
+            ema=algos.ema is not None,
         ),
         out_shardings=replicated,
     )()
@@ -101,14 +105,13 @@ def main():
     images = jax.device_put(host_images, sharded)
     labels = jax.device_put(host_labels, sharded)
     mask = jax.device_put(np.ones((batch,), np.float32), sharded)
-    base_rng = jax.device_put(rng, replicated)
+    base_rng = jax.jit(
+        lambda: jax.random.key(0), out_shardings=replicated
+    )()
 
     for _ in range(WARMUP_STEPS):
         state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
-    # block_until_ready is unreliable on the experimental axon runtime
-    # (returns before device completion); a host fetch of a value that
-    # depends on every step (states chain via donation) is a true barrier.
-    float(stats["loss_sum"])
+    float(stats["loss_sum"])  # true barrier (see docstring)
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
@@ -116,18 +119,69 @@ def main():
     float(stats["loss_sum"])
     elapsed = time.perf_counter() - t0
 
-    ips = MEASURE_STEPS * batch / elapsed
-    ips_per_chip = ips / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "resnet50_inat21_train_images_per_sec_per_chip",
-                "value": round(ips_per_chip, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips_per_chip / A100_R50_IMAGES_PER_SEC, 4),
-            }
-        )
+    # Drop device references so the next workload starts with free HBM.
+    del state, stats, images, labels, mask, base_rng
+    return MEASURE_STEPS * batch / elapsed / n_chips
+
+
+def main():
+    r50_batch = int(os.environ.get("HVT_BENCH_BATCH", 256))
+    swin_batch = int(os.environ.get("HVT_BENCH_SWIN_BATCH", 64))
+
+    r50_args = {}
+    if os.environ.get("HVT_BENCH_S2D") == "1":
+        r50_args["stem_s2d"] = True
+    r50 = measure(
+        {
+            "model": {"name": "resnet50", "args": r50_args},
+            "optim": {"name": "DecoupledSGDW", "lr": 2.048, "momentum": 0.875,
+                      "weight_decay": 5.0e-4},
+            "algorithms": [
+                {"cls": "EMA", "args": {"half_life": "100ba", "update_interval": "20ba"}},
+                {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
+                {"cls": "GradientClipping",
+                 "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
+            ],
+        },
+        r50_batch,
     )
+
+    swin = None
+    if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
+        swin = measure(
+            {
+                "model": {"name": "swinv2_tiny"},
+                "optim": {"name": "DecoupledAdamW", "lr": 1.0e-3,
+                          "weight_decay": 0.05},
+                "algorithms": [
+                    {"cls": "LabelSmoothing", "args": {"smoothing": 0.1}},
+                    {"cls": "GradientClipping",
+                     "args": {"clipping_type": "norm", "clipping_threshold": 5.0}},
+                ],
+            },
+            swin_batch,
+        )
+
+    record = {
+        "metric": "resnet50_inat21_train_images_per_sec_per_chip",
+        "value": round(r50, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(r50 / A100_R50_IMAGES_PER_SEC, 4),
+        "workloads": {
+            "resnet50": {
+                "value": round(r50, 2),
+                "vs_baseline": round(r50 / A100_R50_IMAGES_PER_SEC, 4),
+                "batch_per_chip": r50_batch,
+            },
+        },
+    }
+    if swin is not None:
+        record["workloads"]["swinv2_tiny"] = {
+            "value": round(swin, 2),
+            "vs_baseline": round(swin / A100_SWINV2_TINY_IMAGES_PER_SEC, 4),
+            "batch_per_chip": swin_batch,
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
