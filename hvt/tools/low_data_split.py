@@ -12,11 +12,12 @@ from __future__ import annotations
 
 import argparse
 import collections
+import functools
 import pathlib
 import random
 import shutil
 
-from hvt.tools import concurrency, helpers
+from hvt.tools import toolkit
 
 
 def load_split(split_dir: pathlib.Path) -> tuple[list[pathlib.Path], list[str]]:
@@ -52,25 +53,19 @@ def stratified_split(paths, classes, fraction: float):
     return kept_paths, kept_classes
 
 
-def save_split(paths, classes, output_dir: pathlib.Path) -> None:
+def save_split(paths, classes, output_dir: pathlib.Path, logger=None) -> None:
     output_dir.mkdir(parents=True, exist_ok=True)
-    pool = concurrency.BoundedExecutor()
-    try:
-        for cls in set(classes):
-            (output_dir / cls).mkdir(parents=True, exist_ok=True)
-        for path, cls in zip(paths, classes):
-            pool.submit(shutil.copy2, str(path), output_dir / cls / path.name)
-        pool.finish(desc="Copying data")
-    finally:
-        pool.shutdown()
+    for cls in set(classes):
+        (output_dir / cls).mkdir(parents=True, exist_ok=True)
+    jobs = [
+        functools.partial(shutil.copy2, str(path), output_dir / cls / path.name)
+        for path, cls in zip(paths, classes)
+    ]
+    toolkit.run_jobs(jobs, label=f"copy {output_dir.name}", logger=logger)
 
 
 def _log_distribution(logger, tag, classes):
-    dist = helpers.ClassDistribution(classes)
-    logger.info(
-        "%s class distribution: [min: %s, mean: %.2f, max: %s]",
-        tag, dist.min(), dist.mean(), dist.max(),
-    )
+    logger.info("%s class distribution: %s", tag, toolkit.CountSummary.of(classes))
 
 
 def main():
@@ -87,7 +82,7 @@ def main():
 
     input_dir = pathlib.Path(args.input)
     output_dir = pathlib.Path(args.output)
-    logger = helpers.create_logger("low-data-split", output_dir)
+    logger = toolkit.tool_logger("low-data-split", output_dir)
 
     train_paths, train_classes = load_split(input_dir / "train")
     val_paths, val_classes = load_split(input_dir / "val")
@@ -106,8 +101,8 @@ def main():
         raise ValueError("specify --shots or --fraction")
 
     _log_distribution(logger, "Subset train", train_classes)
-    save_split(train_paths, train_classes, output_dir / "train")
-    save_split(val_paths, val_classes, output_dir / "val")
+    save_split(train_paths, train_classes, output_dir / "train", logger)
+    save_split(val_paths, val_classes, output_dir / "val", logger)
     logger.info("Done. [train: %d, val: %d]", len(train_classes), len(val_classes))
 
 

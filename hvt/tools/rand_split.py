@@ -17,12 +17,13 @@ parallel.
 from __future__ import annotations
 
 import argparse
+import functools
 import pathlib
 import random
 import shutil
 
 from hvt import hierarchy
-from hvt.tools import concurrency, helpers
+from hvt.tools import toolkit
 
 
 def get_classes(input_dir: pathlib.Path) -> set[str]:
@@ -43,25 +44,26 @@ def sample(values: set, fraction: float, seed: int) -> set:
     return set(rng.sample(sorted(values), k))
 
 
-def copy_data(input_dir: pathlib.Path, output_dir: pathlib.Path, classes: set[str]):
+def copy_data(
+    input_dir: pathlib.Path, output_dir: pathlib.Path, classes: set[str], logger=None
+):
     """Mirror input train/val structure for the selected classes, copying
     class dirs in parallel threads."""
-    pool = concurrency.BoundedExecutor()
-    try:
-        for split in ("val", "train"):  # val first: faster feedback
-            (output_dir / split).mkdir(parents=True, exist_ok=True)
-            for class_dir in sorted((input_dir / split).iterdir()):
-                if class_dir.name not in classes:
-                    continue
-                pool.submit(
+    jobs = []
+    for split in ("val", "train"):  # val first: faster feedback
+        (output_dir / split).mkdir(parents=True, exist_ok=True)
+        for class_dir in sorted((input_dir / split).iterdir()):
+            if class_dir.name not in classes:
+                continue
+            jobs.append(
+                functools.partial(
                     shutil.copytree,
                     str(class_dir),
                     output_dir / split / class_dir.name,
                     dirs_exist_ok=False,
                 )
-        pool.finish(desc="Copying data")
-    finally:
-        pool.shutdown()
+            )
+    toolkit.run_jobs(jobs, label=f"copy {output_dir.name}", logger=logger)
 
 
 def choose_downstream(
@@ -103,7 +105,7 @@ def main():
 
     input_dir = pathlib.Path(args.input)
     output_dir = pathlib.Path(args.output)
-    logger = helpers.create_logger("rand-split", output_dir)
+    logger = toolkit.tool_logger("rand-split", output_dir)
 
     all_classes = get_classes(input_dir)
     logger.info("Found %d input classes.", len(all_classes))
@@ -116,8 +118,8 @@ def main():
         len(downstream),
     )
 
-    copy_data(input_dir, output_dir / "downstream", downstream)
-    copy_data(input_dir, output_dir / "pretrain", pretrain)
+    copy_data(input_dir, output_dir / "downstream", downstream, logger)
+    copy_data(input_dir, output_dir / "pretrain", pretrain, logger)
     logger.info("Done.")
 
 

@@ -241,3 +241,32 @@ def test_halton_reference_api_helpers():
     fixed = [{"wd": 1e-4}, {"wd": 1e-3}]
     trials2 = HA.zipit([fixed, HA.uniform("m", HA.discrete([1, 2]))], 2)
     assert [t["wd"] for t in trials2] == [1e-4, 1e-3]
+
+
+def test_toolkit_count_summary_and_run_jobs(tmp_path):
+    from hvt.tools import toolkit
+
+    summary = toolkit.CountSummary.of(["a", "a", "a", "b", "c", "c"])
+    assert summary.smallest == ("b", 1)
+    assert summary.largest == ("a", 3)
+    assert summary.mean == 2.0
+    assert summary.num_classes == 3
+    assert "min=1" in str(summary) and "max=3" in str(summary)
+
+    hits = []
+    n = toolkit.run_jobs([lambda i=i: hits.append(i) for i in range(7)], label="x")
+    assert n == 7 and sorted(hits) == list(range(7))
+    assert toolkit.run_jobs([], label="empty") == 0
+
+    # first exception propagates
+    def boom():
+        raise RuntimeError("job failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="job failed"):
+        toolkit.run_jobs([boom], label="boom")
+
+    log = toolkit.tool_logger("unittest", tmp_path)
+    log.info("hello toolkit")
+    assert "hello toolkit" in (tmp_path / "unittest.log").read_text()
