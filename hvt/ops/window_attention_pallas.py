@@ -71,13 +71,16 @@ def _attention_kernel(g_blk: int, q_ref, k_ref, v_ref, scale_ref, z_ref, o_ref):
     o_ref[...] = out.reshape(g_blk, h, n, d).astype(o_ref.dtype)
 
 
-def _pick_block(nwb: int, nwz: int, heads: int, target: int = 8) -> int:
+def _pick_block(
+    nwb: int, nwz: int, heads: int, target: int = 8, max_merged: int = 64
+) -> int:
     """Windows per program: a divisor of nwb that also divides the z period
     (so each block sees a contiguous run of window ids with a well-defined z
-    block), with the merged batch dim g·heads capped at 64 — larger merged
-    batches fail Mosaic's matmul lowering on current toolchains."""
+    block), with the merged batch dim g·heads capped at ``max_merged`` —
+    beyond 64 Mosaic's matmul lowering fails, and the backward caps lower
+    still to fit its live N×N buffers in scoped VMEM (see _backward)."""
     g = min(target, nwb)
-    while g > 1 and (nwb % g or (nwz > 1 and nwz % g) or g * heads > 64):
+    while g > 1 and (nwb % g or (nwz > 1 and nwz % g) or g * heads > max_merged):
         g -= 1
     return g
 
@@ -208,11 +211,15 @@ def _backward(q, k, v, scale, z, g, interpret=False):
     assert nwb % nwz == 0, (nwb, nwz)
     nb = nwb // nwz
 
-    # Backward stays per-window (g=1): the blocked variant's in-kernel
-    # broadcasts blow up Mosaic compile time at production shapes
-    # (observed: (4096, 3, 49, 32) never finishes). The forward uses
-    # window blocks; revisit with a newer toolchain.
-    g_blk = _pick_block(nwb, nwz, h, target=1)
+    # Window-blocked like the forward: g windows per program (measured
+    # 9.6 → 6.0 ms at stage-1 (4096, 3, 49, 32) vs per-window). The live
+    # set is ~12 f32 (g·h, N, N)-class buffers, tile-padded to
+    # (⌈N/8⌉·8, ⌈N/128⌉·128) — cap g·h so they fit the 16 MB scoped-VMEM
+    # budget with headroom (g·h=48 at N=49 needs 16.7 MB and fails).
+    n_sub = -(-n // 8) * 8
+    n_lane = -(-n // 128) * 128
+    vmem_cap = max(1, int(12e6 // (n_sub * n_lane * 48)))
+    g_blk = _pick_block(nwb, nwz, h, target=8, max_merged=min(64, vmem_cap))
     gz = g_blk if nwz > 1 else 1
 
     if nwz > 1:

@@ -55,3 +55,42 @@ def test_kernel_gradients_match_reference():
     g_ker = jax.grad(loss_ker, argnums=(0, 1, 2, 3, 4))(q, k, v, ls, bias)
     for a, b in zip(g_ref, g_ker):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_kernel_production_stage1_shape():
+    """Stage-1 production shape (56x56 grid, C=96: 64 windows of 49 tokens,
+    3 heads, head_dim 32) with the shifted-window mask, forward AND backward,
+    in interpret mode. The blocked BlockSpec index maps (g=8 windows per
+    program, z period 64) are exactly the ones the TPU executes — an
+    index-map regression fails here, not in the next bench run."""
+    rng = np.random.default_rng(2)
+    nwb, h, n, d = 64, 3, 49, 32  # batch 1 image at stage 1
+    nwz = 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(nwb, h, n, d)).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+    ls = jnp.asarray(rng.normal(size=(h, 1, 1)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(h, n, n)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((nwz, n, n)) < 0.2, -100.0, 0.0).astype(np.float32)
+    )
+
+    want = np.asarray(wa.window_attention_reference(q, k, v, ls, bias, mask))
+    got = np.asarray(
+        wap.window_attention_kernel(q, k, v, ls, bias, mask, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    def loss_ref(*args):
+        return (wa.window_attention_reference(*args, mask) ** 2).sum()
+
+    def loss_ker(*args):
+        return (wap.window_attention_kernel(*args, mask, interpret=True) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, ls, bias)
+    g_ker = jax.grad(loss_ker, argnums=(0, 1, 2, 3, 4))(q, k, v, ls, bias)
+    for name, a, b in zip("qkv, logit_scale, bias".split(), g_ref, g_ker):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
