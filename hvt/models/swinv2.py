@@ -95,11 +95,10 @@ class WindowAttention(nn.Module):
         cpb_b1 = self.param("cpb_b1", zeros_init, (512,))
         cpb_w2 = self.param("cpb_w2", trunc02, (512, self.num_heads))
 
+        del head_dim  # head split happens inside window_attention_qkv
         qkv = x.astype(self.dtype) @ qkv_kernel.astype(self.dtype)
         bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
         qkv = qkv + bias.astype(qkv.dtype)
-        qkv = qkv.reshape(nwb, n, 3, self.num_heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
         coords = jnp.asarray(
             wa.relative_coords_table(self.window, self.pretrained_window)
@@ -107,10 +106,10 @@ class WindowAttention(nn.Module):
         rel_index = jnp.asarray(wa.relative_position_index(self.window))
         rel_bias = wa.cpb_bias(cpb_w1, cpb_b1, cpb_w2, coords, rel_index, self.num_heads)
 
-        out = wa.window_attention(
-            q, k, v, logit_scale, rel_bias, mask, use_pallas=self.use_pallas
-        )  # (nwb, heads, N, head_dim)
-        out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
+        out = wa.window_attention_qkv(
+            qkv, logit_scale, rel_bias, mask,
+            num_heads=self.num_heads, use_pallas=self.use_pallas,
+        )  # (nwb, N, C) — packed layout in and out, no head-split transpose
         out = nn.Dense(c, dtype=self.dtype, kernel_init=trunc02,
                        bias_init=zeros_init, name="proj")(out)
         return out

@@ -166,3 +166,39 @@ def window_attention(
 
         return wap.window_attention_kernel(q, k, v, logit_scale, bias, mask)
     return window_attention_reference(q, k, v, logit_scale, bias, mask)
+
+
+def split_heads(qkv: jax.Array, num_heads: int):
+    """(nWB, N, 3C) packed projection — columns [q all heads | k | v] — →
+    q, k, v (nWB, heads, N, head_dim)."""
+    nwb, n, c3 = qkv.shape
+    c = c3 // 3
+    qkv5 = qkv.reshape(nwb, n, 3, num_heads, c // num_heads)
+    return (qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+
+def window_attention_qkv(
+    qkv: jax.Array,  # (nWB, N, 3C) — packed projection: [q | k | v] columns
+    logit_scale: jax.Array,
+    bias: jax.Array,
+    mask: jax.Array | None = None,
+    *,
+    num_heads: int,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Attention on the packed projection layout → (nWB, N, C).
+
+    On TPU this runs the packed Pallas kernel, which does the head split on
+    VMEM values — the (nWB, N, 3, H, D) → (nWB, H, N, D) HBM transposes
+    (and their backward add_any copies, ~25% of a SwinV2 train step) never
+    exist. Off-TPU it reshapes around the jnp reference."""
+    if use_pallas and _pallas_available():
+        from hvt.ops import window_attention_pallas as wap
+
+        return wap.window_attention_packed(
+            qkv, logit_scale, bias, mask, num_heads=num_heads
+        )
+    nwb, n, c3 = qkv.shape
+    q, k, v = split_heads(qkv, num_heads)
+    out = window_attention_reference(q, k, v, logit_scale, bias, mask)
+    return out.transpose(0, 2, 1, 3).reshape(nwb, n, c3 // 3)

@@ -326,3 +326,265 @@ _window_attention.defvjp(_fwd, _bwd)
 def window_attention_kernel(q, k, v, logit_scale, bias, mask=None, interpret=False):
     """Public entry: same contract as window_attention_reference."""
     return _window_attention(q, k, v, logit_scale, bias, mask, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Packed-qkv kernels: consume the raw (nWB, N, 3C) projection output
+# ---------------------------------------------------------------------------
+#
+# The head-split transposes around the per-head kernels dominate SwinV2's
+# layout cost: (nWB, N, 3, H, D) → three (nWB, H, N, D) arrays materializes
+# padded HBM copies in the forward AND their add_any counterparts in the
+# backward (profiled at ~25% of the train step). These kernels take the qkv
+# matmul's natural output layout; the head split is ONE in-VMEM transpose per
+# program ((g, N, 3H, D) → (g, 3H, N, D)), after which the math runs on the
+# same merged (g·H) batch dim as the split kernels. No HBM transpose exists
+# in either direction, and the gradient (dqkv, same packed layout) feeds the
+# qkv matmul's VJP directly.
+
+
+def _packed_fwd_kernel(g_blk: int, heads: int, qkv_ref, scale_ref, z_ref, o_ref):
+    """Head split via per-head VMEM lane slices (Mosaic supports neither a
+    lane-dim shape cast nor sub-128 lane blocks, so slicing is the split)."""
+    g, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // heads
+    qkv = qkv_ref[...].astype(jnp.float32)
+    z = z_ref[...].astype(jnp.float32)  # (gz, H, N, N)
+
+    batched = (((2,), (2,)), ((0,), (0,)))
+    outs = []
+    for i in range(heads):
+        q = qkv[:, :, i * hd : (i + 1) * hd]
+        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
+        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
+        qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        attn = jax.lax.dot_general(
+            qn, kn, batched, preferred_element_type=jnp.float32
+        )  # (g, N, N)
+        zi = jnp.broadcast_to(z[:, i], (g, n, n))
+        attn = jax.nn.softmax(attn * scale_ref[i, 0, 0] + zi, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                attn, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_pick(nwb: int, nwz: int, heads: int, n: int, target: int = 8) -> int:
+    """Same divisibility rules as _pick_block with the scoped-VMEM cap on the
+    live (g·H, N, N) f32 working set (tile-padded)."""
+    n_sub = -(-n // 8) * 8
+    n_lane = -(-n // 128) * 128
+    vmem_cap = max(1, int(12e6 // (n_sub * n_lane * 48)))
+    return _pick_block(nwb, nwz, heads, target=target, max_merged=min(64, vmem_cap))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _packed_forward(qkv, scale, z, heads, interpret=False):
+    nwb, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // heads
+    nwz = z.shape[0]
+    g = _packed_pick(nwb, nwz, heads, n)
+    gz = g if nwz > 1 else 1
+
+    grid = (nwb // g,)
+    qkv_spec = pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec(
+        (gz, heads, n, n),
+        lambda i: ((i * g) % nwz // gz if nwz > 1 else 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scale_spec = pl.BlockSpec((heads, 1, 1), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, g, heads),
+        out_shape=jax.ShapeDtypeStruct((nwb, n, c), qkv.dtype),
+        grid=grid,
+        in_specs=[qkv_spec, scale_spec, z_spec],
+        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * heads * n * n * hd * nwb,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=nwb * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, scale, z)
+
+
+def _packed_bwd_kernel(
+    g_blk: int, heads: int, gz: int,
+    qkv_ref, scale_ref, z_ref, g_ref,
+    dqkv_ref, dz_ref, dscale_ref,
+):
+    """Backward mirror of _packed_fwd_kernel (per-head lane slices); dz and
+    dscale accumulate across the batch grid dim like _attention_bwd_kernel."""
+    wb = pl.program_id(0)
+    b = pl.program_id(1)
+    g, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    hd = c // heads
+
+    qkv = qkv_ref[...].astype(jnp.float32)
+    gout = g_ref[...].astype(jnp.float32)  # (g, N, C)
+    z = z_ref[...].astype(jnp.float32)
+
+    batched = (((2,), (2,)), ((0,), (0,)))
+    dqs, dks, dvs, dzs, dscales = [], [], [], [], []
+    for i in range(heads):
+        q = qkv[:, :, i * hd : (i + 1) * hd]
+        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
+        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
+        go = gout[:, :, i * hd : (i + 1) * hd]
+        scale = scale_ref[i, 0, 0]
+
+        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        qn = q * inv_qn
+        kn = k * inv_kn
+
+        cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
+        zi = jnp.broadcast_to(z[:, i], (g, n, n))
+        attn = jax.nn.softmax(cos * scale + zi, axis=-1)
+
+        dvs.append(
+            jax.lax.dot_general(
+                attn, go, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dp = jax.lax.dot_general(go, v, batched, preferred_element_type=jnp.float32)
+        ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+
+        dzs.append(ds if gz == g else jnp.sum(ds, axis=0, keepdims=True))
+        dscales.append(jnp.sum(ds * cos, axis=(0, 2)).reshape(1, n))
+
+        dcos = ds * scale
+        dqn = jax.lax.dot_general(
+            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dkn = jax.lax.dot_general(
+            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqs.append((dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn)
+        dks.append((dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn)
+
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, N, 3C) packed order
+    dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype)
+
+    dz_contrib = jnp.stack(dzs, axis=1)  # (gz, H, N, N)
+
+    @pl.when(b == 0)
+    def _init_dz():
+        dz_ref[...] = dz_contrib.astype(dz_ref.dtype)
+
+    @pl.when(b != 0)
+    def _acc_dz():
+        dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
+
+    dscale_contrib = jnp.concatenate(dscales, axis=0)  # (H, N)
+
+    @pl.when((b == 0) & (wb == 0))
+    def _init_dscale():
+        dscale_ref[:] = dscale_contrib.astype(dscale_ref.dtype)
+
+    @pl.when((b != 0) | (wb != 0))
+    def _acc_dscale():
+        dscale_ref[:] = dscale_ref[:] + dscale_contrib.astype(dscale_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _packed_backward(qkv, scale, z, g_out, heads, interpret=False):
+    nwb, n, c3 = qkv.shape
+    nwz = z.shape[0]
+    assert nwb % nwz == 0, (nwb, nwz)
+    nb = nwb // nwz
+    c = c3 // 3
+    hd = c // heads
+
+    g_blk = _packed_pick(nwb, nwz, heads, n)
+    gz = g_blk if nwz > 1 else 1
+
+    if nwz > 1:
+        grid = (nwz // g_blk, nb)
+        qkv_idx = lambda wb, b: (b * (nwz // g_blk) + wb, 0, 0)
+        z_idx = lambda wb, b: (wb, 0, 0, 0)
+    else:
+        assert nb % g_blk == 0, (nb, g_blk)
+        grid = (1, nb // g_blk)
+        qkv_idx = lambda wb, b: (b, 0, 0)
+        z_idx = lambda wb, b: (0, 0, 0, 0)
+
+    qkv_spec = pl.BlockSpec((g_blk, n, c3), qkv_idx, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((g_blk, n, c), qkv_idx, memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((gz, heads, n, n), z_idx, memory_space=pltpu.VMEM)
+    scale_spec = pl.BlockSpec((heads, 1, 1), lambda wb, b: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    dscale_spec = pl.BlockSpec((heads, n), lambda wb, b: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, g_blk, heads, gz),
+        out_shape=(
+            jax.ShapeDtypeStruct((nwb, n, c3), qkv.dtype),  # dqkv (packed)
+            jax.ShapeDtypeStruct((nwz, heads, n, n), jnp.float32),  # dz
+            jax.ShapeDtypeStruct((heads, n), jnp.float32),  # dscale partial
+        ),
+        grid=grid,
+        in_specs=[qkv_spec, scale_spec, z_spec, out_spec],
+        out_specs=(qkv_spec, z_spec, dscale_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * heads * n * n * hd * nwb,
+            bytes_accessed=3 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=nwb * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, scale, z, g_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_attention(qkv, logit_scale, bias, mask, heads, interpret=False):
+    scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
+    z = _merge_bias_mask(bias, mask)
+    return _packed_forward(qkv, scale, z, heads, interpret=interpret)
+
+
+def _packed_fwd(qkv, logit_scale, bias, mask, heads, interpret=False):
+    return _packed_attention(qkv, logit_scale, bias, mask, heads, interpret), (
+        qkv, logit_scale, bias, mask,
+    )
+
+
+def _packed_bwd(heads, interpret, residuals, g_out):
+    qkv, logit_scale, bias, mask = residuals
+    ls32 = logit_scale.astype(jnp.float32)
+    clamp = jnp.log(100.0)
+    scale = jnp.exp(jnp.minimum(ls32, clamp))
+    z = _merge_bias_mask(bias, mask)
+
+    dqkv, dz, dscale = _packed_backward(
+        qkv, scale, z, g_out, heads, interpret=interpret
+    )
+    dscale = jnp.sum(dscale, axis=1).reshape(-1, 1, 1)
+    dbias = jnp.sum(dz, axis=0).astype(bias.dtype)
+    dls = (dscale * scale * (ls32 < clamp)).astype(logit_scale.dtype)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv.astype(qkv.dtype), dls, dbias, dmask
+
+
+_packed_attention.defvjp(_packed_fwd, _packed_bwd)
+
+
+def window_attention_packed(qkv, logit_scale, bias, mask=None, *, num_heads,
+                            interpret=False):
+    """Packed entry: qkv (nWB, N, 3C) → out (nWB, N, C). Same math as
+    window_attention_kernel with the head split done inside the kernels."""
+    return _packed_attention(qkv, logit_scale, bias, mask, num_heads, interpret)
