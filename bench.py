@@ -131,8 +131,10 @@ def main():
     # slice.
     swin_batch = int(os.environ.get("HVT_BENCH_SWIN_BATCH", 128))
 
+    # Space-to-depth stem: same math, denser MXU tiling, checkpoint-
+    # compatible params — measured +1% (2509 -> 2534 img/s); default on.
     r50_args = {}
-    if os.environ.get("HVT_BENCH_S2D") == "1":
+    if os.environ.get("HVT_BENCH_S2D", "1") == "1":
         r50_args["stem_s2d"] = True
     r50 = measure(
         {
