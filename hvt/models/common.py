@@ -10,6 +10,71 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm whose training statistics are computed per batch *group* —
+    the semantics of the reference's per-GPU DDP BatchNorm (each of the
+    reference's 4 GPUs normalizes over its own 512-sample shard,
+    SURVEY.md §7 'Numerical parity' hard part). ``groups=1`` is exactly
+    global-batch BN (hvt's GSPMD default); ``groups=N`` emulates N data-
+    parallel workers regardless of the actual mesh (ghost batch norm).
+
+    Parameter/variable tree matches flax ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``), so the flag can flip
+    on existing checkpoints; running statistics are updated with the pooled
+    (global) moments either way.
+    """
+
+    groups: int = 1
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    scale_init: nn.initializers.Initializer = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (c,)
+        )
+
+        dtype = self.dtype or x.dtype
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+            return (y * scale + bias).astype(dtype)
+
+        b = x.shape[0]
+        g = self.groups
+        if b % g:
+            raise ValueError(f"batch {b} not divisible by bn groups {g}")
+        xg = x.astype(jnp.float32).reshape(g, b // g, *x.shape[1:])
+        axes = tuple(range(1, xg.ndim - 1))  # per-group batch+spatial
+        mean_g = jnp.mean(xg, axis=axes, keepdims=True)  # (g, 1, .., c)
+        var_g = jnp.mean(jnp.square(xg - mean_g), axis=axes, keepdims=True)
+
+        y = (xg - mean_g) * jax.lax.rsqrt(var_g + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
+
+        if not self.is_initializing():
+            # Pooled (law-of-total-variance) global moments for the running
+            # statistics, matching what a single global-batch BN would track.
+            gm = jnp.mean(mean_g.reshape(g, c), axis=0)
+            gv = jnp.mean(var_g.reshape(g, c), axis=0) + jnp.mean(
+                jnp.square(mean_g.reshape(g, c) - gm), axis=0
+            )
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * gm
+            ra_var.value = m * ra_var.value + (1 - m) * gv
+        return y.astype(dtype)
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng=None) -> jax.Array:
     """Per-sample stochastic depth (timm DropPath semantics): zero the whole
     residual branch for a sample with probability `rate`, rescale survivors."""

@@ -50,6 +50,30 @@ BN_SCALE_INITS: dict[str, Callable] = {
 }
 
 
+def make_batch_norm(train: bool, dtype, scale_init, bn_groups: int = 1):
+    """nn.BatchNorm, or per-group statistics when bn_groups > 1 (emulates the
+    reference's per-GPU DDP BatchNorm; see common.GroupedBatchNorm). The
+    explicit name keeps the parameter tree identical either way."""
+    if bn_groups > 1:
+        return common.GroupedBatchNorm(
+            groups=bn_groups,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            scale_init=scale_init,
+            name="BatchNorm_0",
+        )
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        scale_init=scale_init,
+        name="BatchNorm_0",
+    )
+
+
 def _blur_kernel(channels: int) -> np.ndarray:
     """Depthwise 3×3 binomial blur filter (BlurPool anti-aliasing)."""
     k1 = np.array([1.0, 2.0, 1.0])
@@ -83,6 +107,7 @@ class ConvBN(nn.Module):
     blurpool: bool = False
     dtype: Any = None
     bn_scale_init: Callable = uniform01
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -101,13 +126,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             kernel_init=kaiming_normal,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            scale_init=self.bn_scale_init,
-        )(x)
+        x = make_batch_norm(train, self.dtype, self.bn_scale_init, self.bn_groups)(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -131,6 +150,7 @@ class SpaceToDepthStem(nn.Module):
     width: int
     dtype: Any = None
     bn_scale_init: Callable = uniform01
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -155,13 +175,7 @@ class SpaceToDepthStem(nn.Module):
             padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            scale_init=self.bn_scale_init,
-        )(y)
+        y = make_batch_norm(train, self.dtype, self.bn_scale_init, self.bn_groups)(y)
         return nn.relu(y)
 
 
@@ -174,6 +188,7 @@ class Bottleneck(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Any = None
     bn_scale_init: Callable = uniform01
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -182,6 +197,7 @@ class Bottleneck(nn.Module):
             blurpool=self.blurpool,
             dtype=self.dtype,
             bn_scale_init=self.bn_scale_init,
+            bn_groups=self.bn_groups,
         )
         out_features = self.features * 4
         shortcut = x
@@ -213,6 +229,10 @@ class ResNet(nn.Module):
     stem_s2d: bool = False
     dtype: Any = jnp.bfloat16
     bn_scale_init_name: str = "uniform01"
+    # BN statistics per batch group: 1 = global-batch (GSPMD default);
+    # N emulates the reference's N-GPU per-device DDP BatchNorm
+    # (parity knob, see common.GroupedBatchNorm and PARITY.md).
+    bn_groups: int = 1
 
     @property
     def num_features(self) -> int:
@@ -232,7 +252,7 @@ class ResNet(nn.Module):
         if self.stem_s2d:
             x = SpaceToDepthStem(
                 self.width, dtype=self.dtype, bn_scale_init=bn_scale_init,
-                name="stem",
+                bn_groups=self.bn_groups, name="stem",
             )(x, train)
         else:
             x = ConvBN(
@@ -242,6 +262,7 @@ class ResNet(nn.Module):
                 blurpool=False,  # Composer BlurPool skips the stem conv by default
                 dtype=self.dtype,
                 bn_scale_init=bn_scale_init,
+                bn_groups=self.bn_groups,
                 name="stem",
             )(x, train)
         if self.blurpool:
@@ -263,6 +284,7 @@ class ResNet(nn.Module):
                     drop_path_rate=dp,
                     dtype=self.dtype,
                     bn_scale_init=bn_scale_init,
+                    bn_groups=self.bn_groups,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
                 block_idx += 1
@@ -326,6 +348,7 @@ def resnet50(
     stem_s2d: bool = False,
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
+    bn_groups: int = 1,
     **unused,
 ) -> ResNet:
     return ResNet(
@@ -336,6 +359,7 @@ def resnet50(
         stem_s2d=stem_s2d,
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
+        bn_groups=bn_groups,
     )
 
 
@@ -364,6 +388,7 @@ def resnet18(
     """Small variant for tests/debug configs."""
     _warn_ignored_basic_kwargs("resnet18", unused)
     return BasicResNet(
+        bn_groups=int(unused.get("bn_groups", 1)),
         stage_sizes=(2, 2, 2, 2),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -383,6 +408,7 @@ def resnet_micro(
     """Tiny 2-stage ResNet for tests and CPU smoke runs."""
     _warn_ignored_basic_kwargs("resnet_micro", unused)
     return BasicResNet(
+        bn_groups=int(unused.get("bn_groups", 1)),
         stage_sizes=(1, 1),
         width=8,
         num_classes=num_classes,
@@ -398,6 +424,7 @@ class BasicBlock(nn.Module):
     blurpool: bool = False
     dtype: Any = None
     bn_scale_init: Callable = uniform01
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -406,6 +433,7 @@ class BasicBlock(nn.Module):
             blurpool=self.blurpool,
             dtype=self.dtype,
             bn_scale_init=self.bn_scale_init,
+            bn_groups=self.bn_groups,
         )
         shortcut = x
         if x.shape[-1] != self.features or self.stride != 1:
@@ -430,7 +458,7 @@ class BasicResNet(ResNet):
         x = x.astype(self.dtype)
         x = ConvBN(
             self.width, 7, stride=2, dtype=self.dtype,
-            bn_scale_init=bn_scale_init, name="stem",
+            bn_scale_init=bn_scale_init, bn_groups=self.bn_groups, name="stem",
         )(x, train)
         if self.blurpool:
             x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
@@ -445,6 +473,7 @@ class BasicResNet(ResNet):
                     blurpool=self.blurpool,
                     dtype=self.dtype,
                     bn_scale_init=bn_scale_init,
+                    bn_groups=self.bn_groups,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))

@@ -130,3 +130,72 @@ def test_space_to_depth_stem_equivalent():
     model = R.resnet50(10, stem_s2d=True, dtype=jnp.float32)
     v = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)), train=False)
     assert model.apply(v, jnp.zeros((2, 64, 64, 3)), train=False).shape == (2, 10)
+
+
+def test_grouped_batch_norm_semantics():
+    """bn_groups emulates the reference's per-GPU DDP BatchNorm: per-group
+    training stats, pooled running moments, nn.BatchNorm-identical tree."""
+    import flax.linen as nn
+
+    from hvt.models.common import GroupedBatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(8, 4, 4, 5)).astype(np.float32))
+
+    # groups=1 == nn.BatchNorm (training path)
+    g1 = GroupedBatchNorm(groups=1, use_running_average=False, dtype=jnp.float32)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                       dtype=jnp.float32)
+    v1 = g1.init(jax.random.key(0), x)
+    vr = ref.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(vr)
+    y1, s1 = g1.apply(v1, x, mutable=["batch_stats"])
+    yr, sr = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(yr), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1["batch_stats"]["mean"]),
+        np.asarray(sr["batch_stats"]["mean"]), atol=1e-6,
+    )
+
+    # groups=4: each group normalized by its own stats
+    g4 = GroupedBatchNorm(groups=4, use_running_average=False, dtype=jnp.float32)
+    y4, s4 = g4.apply(v1, x, mutable=["batch_stats"])
+    xg = np.asarray(x).reshape(4, 2, 4, 4, 5)
+    for gi in range(4):
+        mu = xg[gi].mean(axis=(0, 1, 2))
+        var = xg[gi].var(axis=(0, 1, 2))
+        want = (xg[gi] - mu) / np.sqrt(var + 1e-5)
+        got = np.asarray(y4).reshape(4, 2, 4, 4, 5)[gi]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    # pooled running moments equal the global-batch update
+    np.testing.assert_allclose(
+        np.asarray(s4["batch_stats"]["mean"]),
+        np.asarray(sr["batch_stats"]["mean"]), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s4["batch_stats"]["var"]),
+        np.asarray(sr["batch_stats"]["var"]), rtol=1e-3,
+    )
+
+    # eval path ignores groups entirely
+    e1 = GroupedBatchNorm(groups=1, use_running_average=True,
+                          dtype=jnp.float32).apply(v1, x)
+    e4 = GroupedBatchNorm(groups=4, use_running_average=True,
+                          dtype=jnp.float32).apply(v1, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e4))
+
+
+def test_resnet_bn_groups_checkpoint_compatible():
+    from hvt.models import resnet as R
+
+    m1 = R.resnet_micro(4, dtype=jnp.float32, bn_scale_init="ones")
+    m4 = R.resnet_micro(4, dtype=jnp.float32, bn_scale_init="ones", bn_groups=4)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    v1 = m1.init(jax.random.key(0), x, train=False)
+    v4 = m4.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v4)
+    # same variables, eval mode: identical output (running-stats path)
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(v1, x, train=False)),
+        np.asarray(m4.apply(v1, x, train=False)),
+    )
