@@ -374,12 +374,17 @@ def _packed_fwd_kernel(g_blk: int, heads: int, qkv_ref, scale_ref, z_ref, o_ref)
     o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-def _packed_pick(nwb: int, nwz: int, heads: int, n: int, target: int = 8) -> int:
+def _packed_pick(
+    nwb: int, nwz: int, heads: int, n: int, target: int = 8,
+    bytes_per_unit: int = 48,
+) -> int:
     """Same divisibility rules as _pick_block with the scoped-VMEM cap on the
-    live (g·H, N, N) f32 working set (tile-padded)."""
+    live (g·H, N, N) f32 working set (tile-padded). bytes_per_unit is the
+    empirically-calibrated live f32 bytes per (g·h, n_sub, n_lane) unit: ~48
+    for the backward's ~12 live buffers, ~24 for the lighter forward."""
     n_sub = -(-n // 8) * 8
     n_lane = -(-n // 128) * 128
-    vmem_cap = max(1, int(12e6 // (n_sub * n_lane * 48)))
+    vmem_cap = max(1, int(12e6 // (n_sub * n_lane * bytes_per_unit)))
     return _pick_block(nwb, nwz, heads, target=target, max_merged=min(64, vmem_cap))
 
 
@@ -389,6 +394,8 @@ def _packed_forward(qkv, scale, z, heads, interpret=False):
     c = c3 // 3
     hd = c // heads
     nwz = z.shape[0]
+    # target/bytes tuned empirically: larger merged g·h (e.g. 48 at stage 3)
+    # measures 2-3x SLOWER despite fitting VMEM — same cap as the backward.
     g = _packed_pick(nwb, nwz, heads, n)
     gz = g if nwz > 1 else 1
 
