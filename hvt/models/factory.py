@@ -34,6 +34,9 @@ def _swin(name):
 def _registry():
     return {
         "resnet50": resnet.resnet50,
+        "resnet101": resnet.resnet101,
+        "resnet152": resnet.resnet152,
+        "resnet34": resnet.resnet34,
         "resnet18": resnet.resnet18,
         "resnet_micro": resnet.resnet_micro,
         "swinv2_micro": _swin("swinv2_micro"),
@@ -42,6 +45,7 @@ def _registry():
         "swinv2_tiny_window16_256": _swin("swinv2_tiny_window16_256"),
         "swinv2_small": _swin("swinv2_small"),
         "swinv2_base": _swin("swinv2_base"),
+        "swinv2_large": _swin("swinv2_large"),
     }
 
 

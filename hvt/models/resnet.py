@@ -377,6 +377,71 @@ def _warn_ignored_basic_kwargs(name: str, unused: dict) -> None:
         )
 
 
+def resnet101(
+    num_classes: Union[int, tuple[int, ...]],
+    *,
+    blurpool: bool = False,
+    stochastic_depth_rate: float = 0.0,
+    stem_s2d: bool = False,
+    dtype: Any = jnp.bfloat16,
+    bn_scale_init: str = "uniform01",
+    bn_groups: int = 1,
+    **unused,
+) -> "ResNet":
+    return ResNet(
+        stage_sizes=(3, 4, 23, 3),
+        num_classes=num_classes,
+        blurpool=blurpool,
+        stochastic_depth_rate=stochastic_depth_rate,
+        stem_s2d=stem_s2d,
+        dtype=dtype,
+        bn_scale_init_name=bn_scale_init,
+        bn_groups=bn_groups,
+    )
+
+
+def resnet152(
+    num_classes: Union[int, tuple[int, ...]],
+    *,
+    blurpool: bool = False,
+    stochastic_depth_rate: float = 0.0,
+    stem_s2d: bool = False,
+    dtype: Any = jnp.bfloat16,
+    bn_scale_init: str = "uniform01",
+    bn_groups: int = 1,
+    **unused,
+) -> "ResNet":
+    return ResNet(
+        stage_sizes=(3, 8, 36, 3),
+        num_classes=num_classes,
+        blurpool=blurpool,
+        stochastic_depth_rate=stochastic_depth_rate,
+        stem_s2d=stem_s2d,
+        dtype=dtype,
+        bn_scale_init_name=bn_scale_init,
+        bn_groups=bn_groups,
+    )
+
+
+def resnet34(
+    num_classes: Union[int, tuple[int, ...]],
+    *,
+    blurpool: bool = False,
+    dtype: Any = jnp.bfloat16,
+    bn_scale_init: str = "uniform01",
+    **unused,
+) -> "ResNet":
+    _warn_ignored_basic_kwargs("resnet34", unused)
+    return BasicResNet(
+        bn_groups=int(unused.get("bn_groups", 1)),
+        stage_sizes=(3, 4, 6, 3),
+        num_classes=num_classes,
+        blurpool=blurpool,
+        dtype=dtype,
+        bn_scale_init_name=bn_scale_init,
+    )
+
+
 def resnet18(
     num_classes: Union[int, tuple[int, ...]],
     *,

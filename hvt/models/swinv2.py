@@ -417,6 +417,7 @@ swinv2_tiny_window8_256 = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 8)
 swinv2_tiny_window16_256 = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 16)
 swinv2_small = _variant(96, (2, 2, 18, 2), (3, 6, 12, 24), 7)
 swinv2_base = _variant(128, (2, 2, 18, 2), (4, 8, 16, 32), 7)
+swinv2_large = _variant(192, (2, 2, 18, 2), (6, 12, 24, 48), 7)
 swinv2_micro = _variant(16, (1, 1), (2, 4), 4)  # tests only
 
 

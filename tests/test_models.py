@@ -199,3 +199,17 @@ def test_resnet_bn_groups_checkpoint_compatible():
         np.asarray(m1.apply(v1, x, train=False)),
         np.asarray(m4.apply(v1, x, train=False)),
     )
+
+
+def test_registry_wider_families():
+    """resnet34/101/152 and swinv2_large construct with the right geometry."""
+    from hvt import config as C
+    from hvt.models import build_model, factory
+
+    for name, feats in [("resnet34", 512), ("resnet101", 2048),
+                        ("resnet152", 2048), ("swinv2_large", 1536)]:
+        cfg = C.loads({"model": {"name": name}})
+        m = build_model(cfg, 10)
+        assert m.num_features == feats, name
+    assert factory._registry()["resnet101"](10).stage_sizes == (3, 4, 23, 3)
+    assert factory._registry()["resnet152"](10).stage_sizes == (3, 8, 36, 3)
