@@ -222,9 +222,17 @@ class Trainer:
                 self.model, self.objective, self.tx, self.prep,
                 make_settings(accum),
             )
-            compiled = step.lower(
-                state_abs, images, labels, mask, rng, scale=1.0
-            ).compile()
+            lowered = step.lower(state_abs, images, labels, mask, rng, scale=1.0)
+            try:
+                compiled = lowered.compile()
+            except Exception as e:
+                # Some backends reject over-HBM programs at compile time
+                # instead of reporting a size — that IS the answer.
+                if any(s in str(e).lower() for s in
+                       ("out of memory", "resource exhausted", "oom",
+                        "exceeds the limit", "allocation")):
+                    return float("inf")
+                raise
             return microbatch.required_bytes(compiled)
 
         return microbatch.choose_grad_accum(measure, gbs, limit)

@@ -42,7 +42,17 @@ def required_bytes(compiled) -> Optional[int]:
 
 
 def device_bytes_limit(device) -> Optional[int]:
-    """Usable HBM on one device, or None when the runtime doesn't say."""
+    """Usable HBM on one device, or None when the runtime doesn't say.
+
+    Some PJRT runtimes (e.g. the experimental axon plugin) report no
+    memory_stats; HVT_DEVICE_HBM_GB overrides so ``grad_accum: auto`` can
+    still size microbatches there (v5e: 16, v4: 32).
+    """
+    import os
+
+    override = os.environ.get("HVT_DEVICE_HBM_GB")
+    if override:
+        return int(float(override) * 2**30)
     stats = getattr(device, "memory_stats", lambda: None)()
     if not stats:
         return None
