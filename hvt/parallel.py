@@ -56,12 +56,13 @@ def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None
     return Mesh(np.asarray(devices[:n]).reshape(n, 1), (DATA_AXIS, MODEL_AXIS))
 
 
-def cpu_mesh(n_devices: int) -> Mesh:
+def cpu_mesh(n_devices: int, model: int = 1) -> Mesh:
     """Mesh over virtual CPU devices (tests / multi-chip dry runs).
 
     Requires XLA_FLAGS=--xla_force_host_platform_device_count>=n. Requests
     the cpu backend explicitly because this environment force-registers a
     TPU platform regardless of JAX_PLATFORMS (see .claude/skills/verify).
+    ``model > 1`` carves a tensor-parallel axis out of the device grid.
     """
     devices = jax.devices("cpu")[:n_devices]
     if len(devices) < n_devices:
@@ -69,7 +70,12 @@ def cpu_mesh(n_devices: int) -> Mesh:
             f"only {len(devices)} cpu devices; set "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
         )
-    return Mesh(np.asarray(devices).reshape(n_devices, 1), (DATA_AXIS, MODEL_AXIS))
+    if n_devices % model:
+        raise ValueError(f"{n_devices} devices not divisible by model={model}")
+    return Mesh(
+        np.asarray(devices).reshape(n_devices // model, model),
+        (DATA_AXIS, MODEL_AXIS),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -100,6 +106,59 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
     labels = jax.make_array_from_process_local_data(sharding, batch.labels)
     mask = jax.make_array_from_process_local_data(sharding, batch.mask)
     return images, labels, mask
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism over the model axis (GSPMD parameter sharding)
+# ---------------------------------------------------------------------------
+#
+# The reference has no TP (DDP only, SURVEY.md §2.2); hvt lays it out the
+# TPU-native way: parameters get PartitionSpecs over the mesh's "model" axis
+# and XLA partitions the matmuls and inserts the all-reduces — no model-code
+# changes, no hand-written collectives. Rules are path regexes, applied to
+# EVERY TrainState leaf whose path matches (optimizer momentum and EMA trees
+# mirror parameter paths, so they shard identically for free).
+#
+# Default rules: Megatron-style column/row split of the transformer MLP
+# (fc1 column-parallel, fc2 row-parallel). Attention parameters stay
+# replicated — the Pallas attention kernels are opaque custom calls that
+# GSPMD cannot partition, so sharding their operands would only buy
+# all-gathers around every kernel.
+
+TP_RULES: tuple[tuple[str, PartitionSpec], ...] = (
+    (r"mlp/fc1/kernel$", P(None, MODEL_AXIS)),
+    (r"mlp/fc1/bias$", P(MODEL_AXIS)),
+    (r"mlp/fc2/kernel$", P(MODEL_AXIS, None)),
+)
+
+
+def _match_spec(path: str, rules) -> PartitionSpec:
+    import re
+
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def tp_shardings(mesh: Mesh, tree, rules=TP_RULES):
+    """Pytree of NamedShardings: rule-matched leaves shard over the model
+    axis, everything else replicates. `tree` may hold arrays or
+    ShapeDtypeStructs (only the structure and paths are used)."""
+
+    def leaf_sharding(path, leaf):
+        keys = "/".join(
+            getattr(k, "key", getattr(k, "name", str(getattr(k, "idx", k))))
+            for k in path
+        )
+        spec = _match_spec(keys, rules)
+        # A spec that doesn't divide the leaf (or names a size-1 axis) is
+        # fine — GSPMD treats size-1 axes as replication — but guard rank.
+        if spec != P() and getattr(leaf, "ndim", 0) < len(spec):
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
 def broadcast_small_json(obj, world: int = 1, max_bytes: int = 65536):

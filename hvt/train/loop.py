@@ -151,9 +151,9 @@ class Trainer:
             params = checkpoint_lib.load_pretrained_backbone(
                 uri, jax.device_get(self.state.params), strict=strict
             )
-            replicated = parallel.replicated(self.mesh)
+            shardings = jax.tree.map(lambda a: a.sharding, self.state.params)
             self.state = self.state.replace(
-                params=jax.device_put(params, replicated)
+                params=jax.device_put(params, shardings)
             )
 
         # Checkpointing / logging -----------------------------------------
@@ -255,8 +255,14 @@ class Trainer:
         return init
 
     def _init_state(self) -> state_lib.TrainState:
-        replicated = parallel.replicated(self.mesh)
-        return jax.jit(self._make_init_fn(), out_shardings=replicated)()
+        init = self._make_init_fn()
+        if self.mesh.shape.get(parallel.MODEL_AXIS, 1) > 1:
+            # Tensor parallelism: rule-matched parameters (and their
+            # optimizer/EMA mirrors) shard over the model axis; XLA
+            # partitions the matmuls and inserts the collectives.
+            out = parallel.tp_shardings(self.mesh, jax.eval_shape(init))
+            return jax.jit(init, out_shardings=out)()
+        return jax.jit(init, out_shardings=parallel.replicated(self.mesh))()
 
     def _save_checkpoint(self, step: int) -> None:
         """Save + (optionally) upload the checkpoint as a wandb artifact with

@@ -432,3 +432,58 @@ def test_choose_grad_accum_respects_divisibility():
     # batch 48: candidates 1,2,4,8,16 all divide 48 except 32; 16 divides 48
     assert microbatch.choose_grad_accum(measure, 48, limit_bytes=50) == 16
     assert calls == [1, 2, 4, 8, 16]
+
+
+def test_tensor_parallel_invariance(tmp_path):
+    """A (2 data x 2 model) mesh with the TP rules trains identically to a
+    (4 data x 1) DP-only mesh — tensor parallelism is mathematically exact,
+    XLA just partitions the matmuls (hvt.parallel.TP_RULES)."""
+    from hvt.train.loop import Trainer
+
+    def build(run_name, model_axis):
+        cfg = C.loads(
+            {
+                "run_name": run_name,
+                "max_duration": "2ba",
+                "seed": 3,
+                "model": {"name": "swinv2_micro", "args": {"dtype": "float32"}},
+                "machine": {"save_root": str(tmp_path)},
+                "train_dataset": {
+                    "source": "synthetic", "synthetic_num_classes": 4,
+                    "synthetic_num_samples": 16, "crop_size": 32,
+                    "global_batch_size": 8, "drop_last": True, "shuffle": True,
+                },
+                "eval_dataset": {
+                    "source": "synthetic", "synthetic_num_classes": 4,
+                    "synthetic_num_samples": 8, "crop_size": 32,
+                    "global_batch_size": 8,
+                },
+                "optim": {"name": "DecoupledAdamW", "lr": 1e-3,
+                          "weight_decay": 0.01},
+                "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+                "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                         "wandb": False},
+                "loader": {"num_workers": 1, "prefetch_batches": 1},
+            }
+        )
+        return Trainer(cfg, mesh=parallel.cpu_mesh(4, model=model_axis),
+                       log_interval=10)
+
+    dp = build("tp_dp", 1)
+    tp = build("tp_tp", 2)
+
+    # TP actually sharded the MLP kernels over the model axis.
+    flat = jax.tree_util.tree_flatten_with_path(tp.state.params)[0]
+    fc1 = [s for p, s in flat if "fc1" in "/".join(str(k) for k in p)
+           and "kernel" in "/".join(str(k) for k in p)]
+    assert fc1 and all("model" in str(s.sharding.spec) for s in fc1)
+
+    m_dp = dp.fit()
+    m_tp = tp.fit()
+    assert m_dp["cross-entropy"] == pytest.approx(m_tp["cross-entropy"], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(dp.state.params), jax.tree.leaves(tp.state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
+    dp.close()
+    tp.close()
