@@ -270,3 +270,32 @@ def test_toolkit_count_summary_and_run_jobs(tmp_path):
     log = toolkit.tool_logger("unittest", tmp_path)
     log.info("hello toolkit")
     assert "hello toolkit" in (tmp_path / "unittest.log").read_text()
+
+
+def test_tpu_vm_submitter_command(tmp_path, monkeypatch, capsys):
+    import submit_tpu_vm as sub
+
+    cmd = sub.build_command(
+        "my-v5e", "us-west4-a", "m.yaml", ["a.yaml", "b.yaml"],
+        project="proj-1", env={"HVT_MULTIHOST": "1"},
+    )
+    assert cmd[:6] == ["gcloud", "compute", "tpus", "tpu-vm", "ssh", "my-v5e"]
+    assert "--zone=us-west4-a" in cmd and "--project=proj-1" in cmd
+    assert "--worker=all" in cmd
+    inner = [c for c in cmd if c.startswith("--command=")][0]
+    assert "HVT_MULTIHOST=1 python main.py --machine m.yaml --exp a.yaml b.yaml" in inner
+
+    with __import__("pytest").raises(ValueError):
+        sub.build_command("t", "z", "m.yaml", [])
+
+    # dry-run sweep over a config dir: one printed command per trial
+    (tmp_path / "t0.yaml").write_text("run_name: t0\n")
+    (tmp_path / "t1.yaml").write_text("run_name: t1\n")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["submit_tpu_vm", "--tpu", "t", "--zone", "z", "--machine", "m.yaml",
+         "--exp-dir", str(tmp_path)],
+    )
+    sub.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2 and all("gcloud" in line for line in out)
