@@ -294,8 +294,9 @@ def test_tpu_vm_submitter_command(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(
         "sys.argv",
         ["submit_tpu_vm", "--tpu", "t", "--zone", "z", "--machine", "m.yaml",
-         "--exp-dir", str(tmp_path)],
+         "--exp", "base.yaml", "--exp-dir", str(tmp_path)],
     )
     sub.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2 and all("gcloud" in line for line in out)
+    assert all("base.yaml" in line for line in out)
