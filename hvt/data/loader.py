@@ -199,23 +199,55 @@ class Loader:
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         sentinel = object()
+        stop = threading.Event()
+        error: list[BaseException] = []
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer went away."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                try:
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
                     for chunk in chunks:
-                        out_q.put(self._make_batch(pool, epoch, chunk))
-                finally:
-                    out_q.put(sentinel)
+                        if stop.is_set():
+                            return
+                        if not _put(self._make_batch(pool, epoch, chunk)):
+                            return
+            except BaseException as e:  # surfaced in the consumer, not lost
+                error.append(e)
+            finally:
+                _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    if error:
+                        raise RuntimeError(
+                            f"data loader worker failed on epoch {epoch}"
+                        ) from error[0]
+                    break
+                yield item
+            thread.join()
+        finally:
+            # Early exit (end of training mid-epoch, or a consumer error):
+            # unblock and retire the producer instead of leaking it.
+            stop.set()
+            while True:
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=30)
 
 
 # ---------------------------------------------------------------------------

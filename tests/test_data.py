@@ -227,3 +227,68 @@ def test_progressive_resize_static_shape():
     y = D.progressive_resize(x, 0.5)
     assert y.shape == (2, 112, 112, 3)
     assert D.progressive_resize(x, 1.0) is x
+
+
+def test_loader_surfaces_worker_errors(tmp_path):
+    """A failed decode raises in the consumer instead of silently truncating
+    the epoch."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from hvt.data import folder as folder_lib
+    from hvt.data import loader as loader_lib
+    from hvt.data import transforms as T
+
+    cls = "00001_animalia_chordata_mammalia_rodentia_muridae_mus_musculus"
+    d = tmp_path / "train" / cls
+    d.mkdir(parents=True)
+    for i in range(3):
+        PILImage.fromarray(
+            np.zeros((16, 16, 3), np.uint8)
+        ).save(d / f"ok{i}.png")  # png => PIL path (no native fallback)
+    (d / "broken.png").write_bytes(b"this is not an image")
+
+    ds = folder_lib.scan_image_folder(str(tmp_path), "train")
+    loader = loader_lib.Loader(
+        ds, T.EvalTransform(crop_size=16, resize_size=20), 2,
+        num_workers=1, prefetch_batches=1,
+    )
+    with pytest.raises(RuntimeError, match="data loader worker failed"):
+        for _ in loader.epoch(0):
+            pass
+
+
+def test_loader_early_exit_retires_producer(tmp_path):
+    """Abandoning an epoch mid-iteration must not leak a blocked producer."""
+    import threading
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from hvt.data import folder as folder_lib
+    from hvt.data import loader as loader_lib
+    from hvt.data import transforms as T
+
+    cls = "00001_animalia_chordata_mammalia_rodentia_muridae_mus_musculus"
+    d = tmp_path / "train" / cls
+    d.mkdir(parents=True)
+    for i in range(12):
+        PILImage.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / f"{i}.png")
+
+    ds = folder_lib.scan_image_folder(str(tmp_path), "train")
+    loader = loader_lib.Loader(
+        ds, T.EvalTransform(crop_size=16, resize_size=20), 2,
+        num_workers=1, prefetch_batches=1,
+    )
+    before = threading.active_count()
+    for _ in loader.epoch(0):
+        break  # abandon after the first batch
+    import gc
+
+    gc.collect()  # close the abandoned generator deterministically
+    import time
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
