@@ -125,6 +125,9 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
 
 
 def main():
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()
     r50_batch = int(os.environ.get("HVT_BENCH_BATCH", 256))
     # 128/chip measured fastest (64: 716, 128: 743, 256: 722 img/s on the
     # dev chip) and matches the reference's 2048 global batch on a 16-chip

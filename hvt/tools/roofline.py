@@ -95,6 +95,71 @@ def hbm_bandwidth_gbs(mb: int = 512, chain: int = 16, repeats: int = 3) -> dict:
     }
 
 
+def hbm_copy_gbs(mb: int = 256, chain: int = 16, repeats: int = 3) -> dict:
+    """Streaming read+write bandwidth via a sequential elementwise loop.
+
+    ``fori_loop`` executes its body kernel once per iteration — each
+    iteration reads the full array and writes a new one (2 passes), and the
+    loop-carried dependency stops cross-iteration fusion. This bounds what a
+    pure data-movement pass achieves; if the reduction probe reports much
+    less, reductions are VPU-throughput-bound, not HBM-bound.
+    """
+    n = mb * 2**20 // 2  # bf16 elements
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(
+            0, chain, lambda i, v: v * jnp.bfloat16(1.0000001), x
+        )
+
+    _barrier(run(x))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _barrier(run(x))
+        best = min(best, time.perf_counter() - t0)
+    bytes_moved = float(chain) * n * 2 * 2  # read + write per iteration
+    return {
+        "probe": f"hbm_copy_{mb}MB",
+        "chain": chain,
+        "seconds": round(best, 4),
+        "gbs": round(bytes_moved / best / 1e9, 1),
+    }
+
+
+def bn_stats_gbs(repeats: int = 3, chain: int = 8) -> dict:
+    """BatchNorm-statistics-shaped reduction: per-channel sum and sum-of-
+    squares over (B,H,W) of a bf16 NHWC activation (the shape of R50's
+    ``convert_reduce_fusion`` passes, ~47%% of the round-1 step profile).
+    Reports achieved read GB/s so it can be compared against hbm_copy.
+    """
+    b, h, w, c = 256, 56, 56, 64  # R50 stage-1 activation at batch 256
+    x = jnp.ones((b, h, w, c), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            xs = x.astype(jnp.float32) * (1.0 + acc[0, 0])
+            return jnp.stack([jnp.sum(xs, (0, 1, 2)), jnp.sum(xs * xs, (0, 1, 2))])
+
+        return jax.lax.fori_loop(0, chain, body, jnp.zeros((2, c), jnp.float32))
+
+    _barrier(run(x))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _barrier(run(x))
+        best = min(best, time.perf_counter() - t0)
+    bytes_read = float(chain) * x.size * 2
+    return {
+        "probe": f"bn_stats_{b}x{h}x{w}x{c}",
+        "chain": chain,
+        "seconds": round(best, 4),
+        "gbs": round(bytes_read / best / 1e9, 1),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="1024,2048,4096,8192")
@@ -107,6 +172,8 @@ def main():
     for n in [int(s) for s in args.sizes.split(",")]:
         print(json.dumps(matmul_tflops(n, args.chain)), flush=True)
     print(json.dumps(hbm_bandwidth_gbs(args.mb)), flush=True)
+    print(json.dumps(hbm_copy_gbs(args.mb)), flush=True)
+    print(json.dumps(bn_stats_gbs()), flush=True)
 
 
 if __name__ == "__main__":

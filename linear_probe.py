@@ -42,6 +42,9 @@ def main(config: config_lib.Config) -> dict:
     # linear-probe).
     if config.model.variant not in ("linear-probe", "linear-probing"):
         raise ValueError(f"model.variant must be linear-probe, got {config.model.variant!r}")
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()
     config = config_lib.loads(
         config_lib.to_dict(config), {"model": {"variant": "linear-probe"}}
     )

@@ -25,6 +25,9 @@ def maybe_init_distributed() -> None:
 
 def main(config: config_lib.Config) -> dict:
     maybe_init_distributed()
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()
     trainer = Trainer(config)
     try:
         return trainer.fit()

@@ -24,6 +24,9 @@ def main(config: config_lib.Config) -> dict:
         raise ValueError(
             f"model.variant must be a simpleshot variant, got {config.model.variant!r}"
         )
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()
 
     hier = config.simpleshot.hierarchical
     train_features, train_classes = F.extract_features(

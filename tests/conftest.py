@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's dominant cost on this 1-core
+# host is XLA compiles; re-runs hit the cache and skip them.
+from hvt.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
