@@ -156,9 +156,12 @@ def main():
 
     swin = None
     if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
+        # Fused block halves (measured win, see BENCH.md); HVT_BENCH_FUSE=0
+        # reverts to the packed-attention + XLA path.
+        swin_args = {"fuse": os.environ.get("HVT_BENCH_FUSE", "1") == "1"}
         swin = measure(
             {
-                "model": {"name": "swinv2_tiny"},
+                "model": {"name": "swinv2_tiny", "args": swin_args},
                 "optim": {"name": "DecoupledAdamW", "lr": 1.0e-3,
                           "weight_decay": 0.05},
                 "algorithms": [

@@ -184,76 +184,102 @@ class SwinBlock(nn.Module):
         return x + drop_path(y, self.drop_path_rate, deterministic, rng)
 
     def _fused_call(self, x, window: int, shift: int, deterministic: bool):
-        """Mega-fused path: both halves via hvt.ops.swin_block_pallas.
+        """Fused-half path via hvt.ops.fused_halves_pallas.
 
-        Submodules are materialized with dummy calls (dead code, eliminated
-        by XLA) purely to create the identical parameter tree; the compute
-        runs in the fused kernels. Roll, drop-path and residual adds stay in
-        XLA (cheap, fused)."""
-        from hvt.ops import swin_block_pallas as sbp
+        Differentiable end-to-end (the kernels carry fused backward
+        kernels), so this is the production training path on TPU. Per
+        component gating, from measured behavior (BENCH.md):
+
+        * MLP half: fused whenever its resident set fits VMEM — wins both
+          training (-24%) and eval (-37%) at stage-1 shapes.
+        * Attention half: fused for eval only — for training the packed
+          attention kernels + XLA matmuls tie it, and they keep the big
+          qkv/proj matmuls on well-shaped MXU tiles.
+
+        Components that do not fit (SwinV2-T stage 4, C=768) fall back to
+        the standard path. Submodules are materialized with dummy calls
+        where needed purely to create the identical parameter tree, so the
+        flag can be flipped on existing checkpoints. Roll, partition,
+        drop-path and residual adds stay in XLA. LayerNorm runs inside the
+        kernels pre-window-reverse, which is exact: LN is per-token and
+        window_reverse/roll only permute tokens (reference swinv2.py:431).
+        """
+        from hvt.ops import fused_halves_pallas as fh
 
         b, h, w, c = x.shape
         n = window * window
+        hidden = int(c * self.mlp_ratio)
         interpret = jax.default_backend() not in ("tpu",) and not any(
             d.platform in ("tpu", "axon") for d in jax.devices()
         )
+        train = not deterministic
+        fuse_attn = (not train) and fh.fits_vmem(c, self.num_heads, n, train=False)
+        fuse_mlp = fh.fits_vmem(c, self.num_heads, n, mlp_hidden=hidden, train=train)
 
         attn_mod = WindowAttention(
             dim=c, window=window, num_heads=self.num_heads,
             pretrained_window=self.pretrained_window, dtype=self.dtype,
-            use_pallas=False, name="attn",
+            use_pallas=self.use_pallas, name="attn",
         )
-        _ = attn_mod(jnp.zeros((1, n, c), x.dtype))
-        ap = attn_mod.variables["params"]
         norm1 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
                              bias_init=zeros_init, dtype=self.dtype, name="norm1")
-        _ = norm1(jnp.zeros((1, c), x.dtype))
-        n1 = norm1.variables["params"]
-        mlp_mod = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype,
-                      name="mlp")
-        _ = mlp_mod(jnp.zeros((1, c), x.dtype))
-        mp = mlp_mod.variables["params"]
+        mlp_mod = Mlp(hidden=hidden, out=c, dtype=self.dtype, name="mlp")
         norm2 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
                              bias_init=zeros_init, dtype=self.dtype, name="norm2")
-        _ = norm2(jnp.zeros((1, c), x.dtype))
-        n2 = norm2.variables["params"]
 
-        scale = jnp.exp(
-            jnp.minimum(ap["logit_scale"].astype(jnp.float32), jnp.log(100.0))
-        )
-        coords = jnp.asarray(wa.relative_coords_table(window, self.pretrained_window))
-        rel_index = jnp.asarray(wa.relative_position_index(window))
-        bias = wa.cpb_bias(
-            ap["cpb_w1"], ap["cpb_b1"], ap["cpb_w2"], coords, rel_index,
-            self.num_heads,
-        )
-        if shift > 0:
-            mask = jnp.asarray(wa.shift_attn_mask((h, w), window, shift))
-            z = bias[None] + mask[:, None].astype(bias.dtype)
-        else:
-            z = bias[None]
-        qkv_bias = jnp.concatenate(
-            [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
-        )
-
+        # --- attention half ---
+        shortcut = x
         shifted = jnp.roll(x, (-shift, -shift), (1, 2)) if shift > 0 else x
-        branch = sbp.fused_attention_branch(
-            shifted, ap["qkv_kernel"], qkv_bias, scale, z,
-            ap["proj"]["kernel"], ap["proj"]["bias"],
-            n1["scale"], n1["bias"],
-            window=window, num_heads=self.num_heads, interpret=interpret,
-        )
+        x_windows = wa.window_partition(shifted, window)
+        mask = jnp.asarray(wa.shift_attn_mask((h, w), window, shift)) if shift > 0 else None
+
+        if fuse_attn:
+            _ = attn_mod(jnp.zeros((1, n, c), x.dtype))
+            ap = attn_mod.variables["params"]
+            _ = norm1(jnp.zeros((1, c), x.dtype))
+            n1 = norm1.variables["params"]
+            coords = jnp.asarray(
+                wa.relative_coords_table(window, self.pretrained_window)
+            )
+            rel_index = jnp.asarray(wa.relative_position_index(window))
+            bias = wa.cpb_bias(
+                ap["cpb_w1"], ap["cpb_b1"], ap["cpb_w2"], coords, rel_index,
+                self.num_heads,
+            )
+            qkv_bias = jnp.concatenate(
+                [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
+            )
+            branch_w = fh.attention_half(
+                x_windows, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
+                bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
+                n1["scale"], n1["bias"], self.num_heads, interpret,
+            )
+        else:
+            branch_w = attn_mod(x_windows, mask)
+
+        branch = wa.window_reverse(branch_w, window, h, w)
         if shift > 0:
             branch = jnp.roll(branch, (shift, shift), (1, 2))
+        if not fuse_attn:
+            branch = norm1(branch)
         use_dp = self.drop_path_rate > 0.0 and not deterministic
         rng = self.make_rng("dropout") if use_dp else None
-        x = x + drop_path(branch, self.drop_path_rate, deterministic, rng)
+        x = shortcut + drop_path(branch, self.drop_path_rate, deterministic, rng)
 
-        branch2 = sbp.fused_mlp_branch(
-            x, mp["fc1"]["kernel"], mp["fc1"]["bias"],
-            mp["fc2"]["kernel"], mp["fc2"]["bias"],
-            n2["scale"], n2["bias"], interpret=interpret,
-        )
+        # --- mlp half ---
+        if fuse_mlp:
+            _ = mlp_mod(jnp.zeros((1, c), x.dtype))
+            mp = mlp_mod.variables["params"]
+            _ = norm2(jnp.zeros((1, c), x.dtype))
+            n2 = norm2.variables["params"]
+            branch2 = fh.mlp_half(
+                x.reshape(b * h * w, c),
+                mp["fc1"]["kernel"], mp["fc1"]["bias"],
+                mp["fc2"]["kernel"], mp["fc2"]["bias"],
+                n2["scale"], n2["bias"], interpret,
+            ).reshape(b, h, w, c)
+        else:
+            branch2 = norm2(mlp_mod(x, deterministic))
         rng = self.make_rng("dropout") if use_dp else None
         return x + drop_path(branch2, self.drop_path_rate, deterministic, rng)
 

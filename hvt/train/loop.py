@@ -104,6 +104,18 @@ class Trainer:
                 config_lib.to_dict(config), {"model": {"args": {"use_pallas": False}}}
             )
             self.config = config
+        # Fused block halves (hvt.ops.fused_halves_pallas): the production
+        # SwinV2 path on TPU (measured wins in BENCH.md); defaulted on for
+        # TPU meshes, off elsewhere (interpret mode is test-only).
+        if (
+            mesh_platform in ("tpu", "axon")
+            and config.model.name.startswith("swinv2")
+            and "fuse" not in config.model.args
+        ):
+            config = config_lib.loads(
+                config_lib.to_dict(config), {"model": {"args": {"fuse": True}}}
+            )
+            self.config = config
         self.model = build_model(config, self.info.num_classes)
         class_names = getattr(self.train_loader.dataset, "classes", None)
         self.objective = objectives_lib.build_objective(config, self.info, class_names)

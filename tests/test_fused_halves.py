@@ -1,0 +1,215 @@
+"""Parity tests for the fused block-half kernels (hvt.ops.fused_halves_pallas)
+against pure-jnp references, in interpret mode on CPU.
+
+The kernels do their matmuls bf16-in/f32-out (the same arithmetic XLA uses
+for a bf16 Dense layer), so tolerances are at bf16-matmul level relative to
+the f32 references.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvt.models import swinv2
+from hvt.ops import fused_halves_pallas as fh
+from hvt.ops import window_attention as wa
+
+
+def _ln_ref(x, s, b, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _assert_close(a, b, tol, name=""):
+    err = float(jnp.abs(a - b).max())
+    scale = float(jnp.abs(b).max()) + 1e-9
+    assert err <= tol * scale, f"{name}: rel err {err / scale:.4g} > {tol}"
+
+
+def _mlp_ref(x, w1, b1, w2, b2, lns, lnb):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    return _ln_ref(h @ w2 + b2, lns, lnb)
+
+
+def test_mlp_half_matches_reference():
+    rng = np.random.default_rng(0)
+    t, c, hidden = 96, 64, 256
+    x = jnp.asarray(rng.normal(size=(t, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, hidden)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(hidden,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(hidden, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    out = fh.mlp_half(x, w1, b1, w2, b2, lns, lnb, True)
+    ref = _mlp_ref(x, w1, b1, w2, b2, lns, lnb)
+    _assert_close(out, ref, 0.02, "mlp fwd")
+
+    ct = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    gk = jax.grad(
+        lambda *a: jnp.vdot(fh.mlp_half(*a, True), ct), argnums=tuple(range(7))
+    )(x, w1, b1, w2, b2, lns, lnb)
+    gr = jax.grad(
+        lambda *a: jnp.vdot(_mlp_ref(*a), ct), argnums=tuple(range(7))
+    )(x, w1, b1, w2, b2, lns, lnb)
+    names = ["dx", "dw1", "db1", "dw2", "db2", "dlns", "dlnb"]
+    for name, a, b in zip(names, gk, gr):
+        _assert_close(a, b, 0.03, f"mlp {name}")
+
+
+def _attn_ref(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj, lns, lnb, heads):
+    nwb, n, c = xw.shape
+    d = c // heads
+    qkv = xw @ wqkv + bqkv
+    qkv = qkv.reshape(nwb, n, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    qn = q / jnp.sqrt((q * q).sum(-1, keepdims=True) + 1e-24)
+    kn = k / jnp.sqrt((k * k).sum(-1, keepdims=True) + 1e-24)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn)
+    scale = jnp.exp(jnp.minimum(ls, jnp.log(100.0)))
+    attn = attn * scale[None] + bias[None]
+    if mask is not None:
+        attn = attn + jnp.tile(mask, (nwb // mask.shape[0], 1, 1))[:, None]
+    attn = jax.nn.softmax(attn, -1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
+    return _ln_ref(out @ wproj + bproj, lns, lnb)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_attention_half_matches_reference(shifted):
+    rng = np.random.default_rng(1)
+    nw, b, n, c, heads = 4, 2, 49, 96, 3
+    nwb = nw * b
+    xw = jnp.asarray(rng.normal(size=(nwb, n, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(heads, 1, 1)) * 0.5 + 1.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
+    mask = (
+        jnp.asarray(rng.normal(size=(nw, n, n)), jnp.float32) if shifted else None
+    )
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    out = fh.attention_half(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj,
+                            lns, lnb, heads, True)
+    ref = _attn_ref(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj, lns, lnb, heads)
+    _assert_close(out, ref, 0.02, "attn fwd")
+
+    ct = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    gk = jax.grad(
+        lambda *a: jnp.vdot(
+            fh.attention_half(a[0], a[1], a[2], a[3], a[4], mask, a[5], a[6],
+                              a[7], a[8], heads, True),
+            ct,
+        ),
+        argnums=tuple(range(9)),
+    )(xw, wqkv, bqkv, ls, bias, wproj, bproj, lns, lnb)
+    gr = jax.grad(
+        lambda *a: jnp.vdot(
+            _attn_ref(a[0], a[1], a[2], a[3], a[4], mask, a[5], a[6], a[7],
+                      a[8], heads),
+            ct,
+        ),
+        argnums=tuple(range(9)),
+    )(xw, wqkv, bqkv, ls, bias, wproj, bproj, lns, lnb)
+    names = ["dx", "dwqkv", "dbqkv", "dls", "dbias", "dwproj", "dbproj",
+             "dlns", "dlnb"]
+    for name, a, b in zip(names, gk, gr):
+        _assert_close(a, b, 0.03, f"attn {name}")
+
+
+def test_attention_half_production_shift_layout():
+    """Stage-1-shaped shifted case (nwz = 64 shift-mask windows, N = 49,
+    C = 96, heads = 3) at a reduced batch: pins the z-block index maps and
+    the accumulating backward grid against regressions."""
+    rng = np.random.default_rng(2)
+    nw, b, n, c, heads = 64, 1, 49, 96, 3
+    nwb = nw * b
+    xw = jnp.asarray(rng.normal(size=(nwb, n, c)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.05, jnp.float32)
+    bqkv = jnp.zeros((3 * c,), jnp.float32)
+    ls = jnp.full((heads, 1, 1), 1.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
+    mask = jnp.asarray(wa.shift_attn_mask((56, 56), 7, 3), jnp.float32)
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.05, jnp.float32)
+    bproj = jnp.zeros((c,), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32)
+    lnb = jnp.zeros((c,), jnp.float32)
+
+    out = fh.attention_half(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj,
+                            lns, lnb, heads, True)
+    ref = _attn_ref(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj,
+                    lns, lnb, heads)
+    _assert_close(out, ref, 0.02, "attn stage1 fwd")
+
+    ct = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    gk = jax.grad(
+        lambda a, w: jnp.vdot(
+            fh.attention_half(a, w, bqkv, ls, bias, mask, wproj, bproj,
+                              lns, lnb, heads, True),
+            ct,
+        ),
+        argnums=(0, 1),
+    )(xw, wqkv)
+    gr = jax.grad(
+        lambda a, w: jnp.vdot(
+            _attn_ref(a, w, bqkv, ls, bias, mask, wproj, bproj, lns, lnb, heads),
+            ct,
+        ),
+        argnums=(0, 1),
+    )(xw, wqkv)
+    _assert_close(gk[0], gr[0], 0.03, "attn stage1 dx")
+    _assert_close(gk[1], gr[1], 0.03, "attn stage1 dwqkv")
+
+
+def test_swinblock_fuse_flag_parity():
+    """Full swinv2_micro: fuse=True must match fuse=False (same params)
+    within bf16-matmul tolerance, forward (train+eval) and gradients.
+    Params are perturbed first — res-post-norm is zero-init, which makes
+    blocks near-identities and the comparison vacuous otherwise."""
+    rng = jax.random.key(0)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32
+    )
+    m_std = swinv2.swinv2_micro(10, fuse=False)
+    m_fused = swinv2.swinv2_micro(10, fuse=True)
+    v = m_std.init(rng, x, train=False)
+    noise = np.random.default_rng(7)
+    leaves, treedef = jax.tree_util.tree_flatten(v)
+    leaves = [
+        leaf + jnp.asarray(noise.normal(size=leaf.shape) * 0.05, leaf.dtype)
+        for leaf in leaves
+    ]
+    v = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    for train in (False, True):
+        kwargs = {"train": train}
+        if train:
+            kwargs["rngs"] = {"dropout": jax.random.key(1)}
+        o_std = m_std.apply(v, x, **kwargs)
+        o_fused = m_fused.apply(v, x, **kwargs)
+        _assert_close(o_fused, o_std, 0.02, f"swinblock fwd train={train}")
+
+    ct = jnp.asarray(np.random.default_rng(1).normal(size=(2, 10)), jnp.float32)
+
+    def loss(params, model):
+        out = model.apply(
+            {"params": params}, x, train=True, rngs={"dropout": jax.random.key(1)}
+        )
+        return jnp.vdot(out, ct)
+
+    g_std = jax.grad(loss)(v["params"], m_std)
+    g_fused = jax.grad(loss)(v["params"], m_fused)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_std),
+        jax.tree_util.tree_leaves(g_fused),
+    ):
+        name = "/".join(str(p) for p in path)
+        _assert_close(b, a, 0.05, f"swinblock grad {name}")
