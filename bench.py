@@ -68,6 +68,7 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
     cfg = config_lib.loads(cfg_overrides)
     algos = parse_algorithms(cfg)
     mesh = parallel.make_mesh(cfg.mesh)
+    parallel.set_kernel_mesh(mesh)
     prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
     model = build_model(cfg, NUM_CLASSES)
 

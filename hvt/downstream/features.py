@@ -115,6 +115,7 @@ def extract_features(
     model = build_model(flat_cfg, 2)
     data_cfg = config.train_dataset if is_train else config.eval_dataset
     mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
+    parallel.set_kernel_mesh(mesh)
     prep = DevicePrep.from_config(data_cfg, config.precision)
 
     crop = data_cfg.crop_size

@@ -249,7 +249,7 @@ class SwinBlock(nn.Module):
             qkv_bias = jnp.concatenate(
                 [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
             )
-            branch_w = fh.attention_half(
+            branch_w = fh.attention_half_spmd(
                 x_windows, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
                 bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
                 n1["scale"], n1["bias"], self.num_heads, interpret,
@@ -272,7 +272,7 @@ class SwinBlock(nn.Module):
             mp = mlp_mod.variables["params"]
             _ = norm2(jnp.zeros((1, c), x.dtype))
             n2 = norm2.variables["params"]
-            branch2 = fh.mlp_half(
+            branch2 = fh.mlp_half_spmd(
                 x.reshape(b * h * w, c),
                 mp["fc1"]["kernel"], mp["fc1"]["bias"],
                 mp["fc2"]["kernel"], mp["fc2"]["bias"],

@@ -646,6 +646,36 @@ def _attn_half_bwd(heads, interpret, res, g_out):
 attention_half.defvjp(_attn_half_fwd, _attn_half_bwd)
 
 
+def mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, interpret=False):
+    """mlp_half, shard_mapped over the data axis when a multi-device kernel
+    mesh is active (see hvt.parallel.shard_map_kernel). x's leading flat-token
+    dim is batch-major, so sharding it over 'data' splits whole images."""
+    from hvt import parallel
+
+    fn = parallel.shard_map_kernel(
+        lambda *a: mlp_half(*a, interpret), batch_argnums=(0,), n_args=7
+    )
+    return fn(x, w1, b1, w2, b2, lns, lnb)
+
+
+def attention_half_spmd(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
+                        lns, lnb, heads, interpret=False):
+    """attention_half, shard_mapped over the data axis when a multi-device
+    kernel mesh is active. x (nWB, N, C) is batch-major (window-minor), so a
+    data-axis split keeps whole images per shard and the per-window shift
+    mask indexing (window id = row % nW) stays valid."""
+    from hvt import parallel
+
+    fn = parallel.shard_map_kernel(
+        lambda x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_: attention_half(
+            x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, heads, interpret
+        ),
+        batch_argnums=(0,),
+        n_args=10,
+    )
+    return fn(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns, lnb)
+
+
 def fits_vmem(
     c: int, heads: int, n: int, mlp_hidden: int | None = None,
     train: bool = True,

@@ -162,9 +162,13 @@ def window_attention(
 ) -> jax.Array:
     """Dispatch: Pallas TPU kernel when on TPU, jnp reference otherwise."""
     if use_pallas and _pallas_available():
+        from hvt import parallel
         from hvt.ops import window_attention_pallas as wap
 
-        return wap.window_attention_kernel(q, k, v, logit_scale, bias, mask)
+        fn = parallel.shard_map_kernel(
+            wap.window_attention_kernel, batch_argnums=(0, 1, 2), n_args=6
+        )
+        return fn(q, k, v, logit_scale, bias, mask)
     return window_attention_reference(q, k, v, logit_scale, bias, mask)
 
 
@@ -193,11 +197,17 @@ def window_attention_qkv(
     (and their backward add_any copies, ~25% of a SwinV2 train step) never
     exist. Off-TPU it reshapes around the jnp reference."""
     if use_pallas and _pallas_available():
+        from hvt import parallel
         from hvt.ops import window_attention_pallas as wap
 
-        return wap.window_attention_packed(
-            qkv, logit_scale, bias, mask, num_heads=num_heads
+        fn = parallel.shard_map_kernel(
+            lambda qkv_, ls_, b_, m_: wap.window_attention_packed(
+                qkv_, ls_, b_, m_, num_heads=num_heads
+            ),
+            batch_argnums=(0,),
+            n_args=4,
         )
+        return fn(qkv, logit_scale, bias, mask)
     nwb, n, c3 = qkv.shape
     q, k, v = split_heads(qkv, num_heads)
     out = window_attention_reference(q, k, v, logit_scale, bias, mask)

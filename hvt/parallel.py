@@ -109,6 +109,63 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
 
 
 # ---------------------------------------------------------------------------
+# Pallas kernels under the mesh: per-shard execution via shard_map
+# ---------------------------------------------------------------------------
+#
+# Mosaic custom calls cannot be partitioned by GSPMD: under a multi-device
+# jit, JAX refuses to lower them ("Mosaic kernels cannot be automatically
+# partitioned. Please wrap the call in a shard_map", jax tpu_custom_call.py).
+# Every batch-leading kernel in hvt.ops is embarrassingly parallel over the
+# data axis, so the kernel entry points wrap themselves in a full-manual
+# shard_map over the active mesh: batch args sharded over "data", parameters
+# replicated (their cotangents are psum'd across the data axis by shard_map's
+# transpose — the same all-reduce DDP would do). Single-device meshes skip
+# the wrap entirely.
+#
+# The Trainer / bench declare the mesh with set_kernel_mesh BEFORE tracing;
+# model code stays mesh-agnostic.
+
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    """Declare the mesh jitted programs will run under (None to clear)."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def kernel_mesh() -> Optional[Mesh]:
+    """The active multi-device kernel mesh, or None when kernels can run
+    unwrapped (no mesh declared, or a single-device mesh)."""
+    mesh = _KERNEL_MESH
+    if mesh is not None and mesh.devices.size > 1:
+        return mesh
+    return None
+
+
+def shard_map_kernel(fn, batch_argnums: Sequence[int], n_args: int):
+    """Wrap a batch-leading kernel in shard_map over the active mesh.
+
+    ``batch_argnums`` index positional args whose leading dim is the
+    (window-major-batch) batch dim — sharded over the data axis; every other
+    arg is replicated. No-op when no multi-device mesh is active."""
+    mesh = kernel_mesh()
+    if mesh is None:
+        return fn
+    batch = frozenset(batch_argnums)
+    in_specs = tuple(
+        P(DATA_AXIS) if i in batch else P() for i in range(n_args)
+    )
+    # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
+    # metadata, which vma checking requires. Gradient correctness (the psum
+    # of replicated-arg cotangents) is pinned by tests/test_spmd_kernels.py.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tensor parallelism over the model axis (GSPMD parameter sharding)
 # ---------------------------------------------------------------------------
 #
@@ -121,9 +178,13 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
 #
 # Default rules: Megatron-style column/row split of the transformer MLP
 # (fc1 column-parallel, fc2 row-parallel). Attention parameters stay
-# replicated — the Pallas attention kernels are opaque custom calls that
-# GSPMD cannot partition, so sharding their operands would only buy
-# all-gathers around every kernel.
+# replicated — the Pallas attention kernels execute per-data-shard inside a
+# shard_map (see shard_map_kernel above), which replicates their parameter
+# operands across the mesh; sharding those params would only buy all-gathers
+# around every kernel. Note the fused MLP kernels (model.args.fuse) likewise
+# replicate fc1/fc2 inside the kernel region: with model>1 they still run
+# correctly but re-gather the TP-sharded weights each step — prefer
+# fuse=false when actually running TP>1 on memory-constrained chips.
 
 TP_RULES: tuple[tuple[str, PartitionSpec], ...] = (
     (r"mlp/fc1/kernel$", P(None, MODEL_AXIS)),

@@ -53,6 +53,10 @@ class Trainer:
         config_lib.assert_no_override(config)
         self.config = config
         self.mesh = mesh if mesh is not None else parallel.make_mesh(config.mesh)
+        # Declared before any tracing: Pallas kernel entry points wrap
+        # themselves in shard_map over this mesh (GSPMD cannot partition
+        # Mosaic custom calls — see hvt.parallel.shard_map_kernel).
+        parallel.set_kernel_mesh(self.mesh)
         self.log_interval = log_interval
 
         self.algos = algorithms_lib.parse_algorithms(config)

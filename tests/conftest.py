@@ -23,3 +23,17 @@ jax.config.update("jax_platforms", "cpu")
 from hvt.utils import compile_cache  # noqa: E402
 
 compile_cache.enable()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_kernel_mesh():
+    """The kernel mesh (hvt.parallel.set_kernel_mesh) is process-global
+    state set by Trainers and benches; clear it around every test so a
+    Trainer test can't leak a stale mesh into a direct kernel test."""
+    from hvt import parallel
+
+    parallel.set_kernel_mesh(None)
+    yield
+    parallel.set_kernel_mesh(None)
