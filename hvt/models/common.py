@@ -75,6 +75,73 @@ class GroupedBatchNorm(nn.Module):
         return y.astype(dtype)
 
 
+class PallasBatchNorm(nn.Module):
+    """Drop-in ``nn.BatchNorm`` whose training statistics and gradient
+    reductions run through Pallas channel-reduction kernels
+    (hvt/ops/bn_stats_pallas.py).
+
+    **Measured: keep this OFF for the conv models** (the ``bn_pallas``
+    flag defaults to False). On TPU, XLA fuses the BN statistics and
+    gradient reductions *into the adjacent convolutions* (multi-output
+    kOutput fusions running at HBM speed of light — see BENCH.md roofline);
+    an opaque custom call in that position forces extra layout copies and a
+    separate stats pass, measured 36% slower on a conv+BN+ReLU pair at
+    ResNet-50 stage-1 shapes. The module is kept as an ablation tool and as
+    the harness for the channel-reduction kernels, which are useful where a
+    reduction cannot fuse into a producer.
+
+    Parameter/variable tree matches flax ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``) so the flag can flip
+    on existing checkpoints. Off-TPU (and whenever the kernels decline a
+    shape) the same custom-VJP formulas evaluate in jnp — numerics are
+    identical up to reduction order. Eval mode is the standard elementwise
+    running-stat normalization either way.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    scale_init: nn.initializers.Initializer = nn.initializers.ones
+    use_pallas: bool = True  # pallas-vs-jnp inside bn_train; module opt-in is bn_pallas
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from hvt.ops import bn_stats_pallas
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (c,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (c,)
+        )
+        dtype = self.dtype or x.dtype
+
+        if self.use_running_average:
+            y = (x.astype(jnp.float32) - ra_mean.value) * jax.lax.rsqrt(
+                ra_var.value + self.epsilon
+            )
+            return (y * scale + bias).astype(dtype)
+
+        y2d, mean, var = bn_stats_pallas.bn_train(
+            x.reshape(-1, c),
+            scale.astype(jnp.float32),
+            bias.astype(jnp.float32),
+            self.epsilon,
+            dtype,
+            self.use_pallas,
+            False,
+        )
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return y2d.reshape(x.shape)
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng=None) -> jax.Array:
     """Per-sample stochastic depth (timm DropPath semantics): zero the whole
     residual branch for a sample with probability `rate`, rescale survivors."""

@@ -50,13 +50,31 @@ BN_SCALE_INITS: dict[str, Callable] = {
 }
 
 
-def make_batch_norm(train: bool, dtype, scale_init, bn_groups: int = 1):
-    """nn.BatchNorm, or per-group statistics when bn_groups > 1 (emulates the
-    reference's per-GPU DDP BatchNorm; see common.GroupedBatchNorm). The
-    explicit name keeps the parameter tree identical either way."""
+def make_batch_norm(
+    train: bool, dtype, scale_init, bn_groups: int = 1, bn_pallas: bool = False
+):
+    """BatchNorm flavor selector; the explicit name keeps the parameter tree
+    identical across all three:
+
+    * ``bn_groups > 1`` — per-group statistics (emulates the reference's
+      per-GPU DDP BatchNorm; see common.GroupedBatchNorm).
+    * ``bn_pallas`` — common.PallasBatchNorm: Pallas channel reductions on
+      TPU, jnp custom-VJP math elsewhere. Default OFF: XLA's conv+stats
+      fusion measures faster (see PallasBatchNorm docstring / BENCH.md).
+    * default: plain flax ``nn.BatchNorm``.
+    """
     if bn_groups > 1:
         return common.GroupedBatchNorm(
             groups=bn_groups,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            scale_init=scale_init,
+            name="BatchNorm_0",
+        )
+    if bn_pallas:
+        return common.PallasBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -108,6 +126,7 @@ class ConvBN(nn.Module):
     dtype: Any = None
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
+    bn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -126,7 +145,9 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             kernel_init=kaiming_normal,
         )(x)
-        x = make_batch_norm(train, self.dtype, self.bn_scale_init, self.bn_groups)(x)
+        x = make_batch_norm(
+            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas
+        )(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -151,6 +172,7 @@ class SpaceToDepthStem(nn.Module):
     dtype: Any = None
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
+    bn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -175,7 +197,9 @@ class SpaceToDepthStem(nn.Module):
             padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = make_batch_norm(train, self.dtype, self.bn_scale_init, self.bn_groups)(y)
+        y = make_batch_norm(
+            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas
+        )(y)
         return nn.relu(y)
 
 
@@ -189,6 +213,7 @@ class Bottleneck(nn.Module):
     dtype: Any = None
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
+    bn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -198,6 +223,7 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             bn_scale_init=self.bn_scale_init,
             bn_groups=self.bn_groups,
+            bn_pallas=self.bn_pallas,
         )
         out_features = self.features * 4
         shortcut = x
@@ -233,6 +259,10 @@ class ResNet(nn.Module):
     # N emulates the reference's N-GPU per-device DDP BatchNorm
     # (parity knob, see common.GroupedBatchNorm and PARITY.md).
     bn_groups: int = 1
+    # Ablation knob: route BN through the Pallas channel-reduction kernels
+    # (common.PallasBatchNorm). Off by default — XLA's conv+stats fusion
+    # measures faster on TPU (see BENCH.md roofline).
+    bn_pallas: bool = False
 
     @property
     def num_features(self) -> int:
@@ -252,7 +282,7 @@ class ResNet(nn.Module):
         if self.stem_s2d:
             x = SpaceToDepthStem(
                 self.width, dtype=self.dtype, bn_scale_init=bn_scale_init,
-                bn_groups=self.bn_groups, name="stem",
+                bn_groups=self.bn_groups, bn_pallas=self.bn_pallas, name="stem",
             )(x, train)
         else:
             x = ConvBN(
@@ -263,6 +293,7 @@ class ResNet(nn.Module):
                 dtype=self.dtype,
                 bn_scale_init=bn_scale_init,
                 bn_groups=self.bn_groups,
+                bn_pallas=self.bn_pallas,
                 name="stem",
             )(x, train)
         if self.blurpool:
@@ -285,6 +316,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     bn_scale_init=bn_scale_init,
                     bn_groups=self.bn_groups,
+                    bn_pallas=self.bn_pallas,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
                 block_idx += 1
@@ -349,6 +381,7 @@ def resnet50(
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
+    bn_pallas: bool = False,
     **unused,
 ) -> ResNet:
     return ResNet(
@@ -360,6 +393,7 @@ def resnet50(
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
         bn_groups=bn_groups,
+        bn_pallas=bn_pallas,
     )
 
 
@@ -386,6 +420,7 @@ def resnet101(
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
+    bn_pallas: bool = False,
     **unused,
 ) -> "ResNet":
     return ResNet(
@@ -397,6 +432,7 @@ def resnet101(
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
         bn_groups=bn_groups,
+        bn_pallas=bn_pallas,
     )
 
 
@@ -409,6 +445,7 @@ def resnet152(
     dtype: Any = jnp.bfloat16,
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
+    bn_pallas: bool = False,
     **unused,
 ) -> "ResNet":
     return ResNet(
@@ -420,6 +457,7 @@ def resnet152(
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
         bn_groups=bn_groups,
+        bn_pallas=bn_pallas,
     )
 
 
@@ -490,6 +528,7 @@ class BasicBlock(nn.Module):
     dtype: Any = None
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
+    bn_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -499,6 +538,7 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             bn_scale_init=self.bn_scale_init,
             bn_groups=self.bn_groups,
+            bn_pallas=self.bn_pallas,
         )
         shortcut = x
         if x.shape[-1] != self.features or self.stride != 1:
@@ -539,6 +579,7 @@ class BasicResNet(ResNet):
                     dtype=self.dtype,
                     bn_scale_init=bn_scale_init,
                     bn_groups=self.bn_groups,
+                    bn_pallas=self.bn_pallas,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))

@@ -41,15 +41,37 @@ def _load_xspace(path: str):
 
 _FAMILY = re.compile(r"^(.*?)[.\d]*$")
 
+_SHAPE = re.compile(r"(bf16|f32|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]")
+_DTYPE_BYTES = {
+    "bf16": 2, "f32": 4, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
+    "pred": 1,
+}
+
+
+def hlo_bytes(name: str) -> int:
+    """Total bytes of every shape mentioned in an HLO op string (operands +
+    outputs as printed). Divided by the op's self time this gives effective
+    HBM bandwidth — the roofline per-op diagnostic (BENCH.md)."""
+    total = 0
+    for dt, dims in _SHAPE.findall(name):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
 
 def family(name: str) -> str:
-    """fusion.123 / %fusion.4 → fusion; loop_convolution_fusion.5 → same."""
-    base = name.split("(")[0].strip("%")
+    """fusion.123 / %fusion.4 / 'copy-start.930 = ' → fusion / copy-start."""
+    base = name.split("(")[0].split(" = ")[0].split("=")[0].strip().strip("%")
     m = _FAMILY.match(base)
     return m.group(1).rstrip(".") if m else base
 
 
-def device_op_times(xspace) -> dict[str, tuple[float, int]]:
+def device_op_times(
+    xspace, include_async: bool = False
+) -> dict[str, tuple[float, int]]:
     """op name → (total self duration ms, count) over all device planes.
 
     Uses the bottom (leaf) lines of TPU/device planes; host planes are
@@ -66,7 +88,12 @@ def device_op_times(xspace) -> dict[str, tuple[float, int]]:
         for line in plane.lines:
             lname = line.name.lower()
             # XLA op lines carry per-op events; step/module lines aggregate.
+            # Async lines (DMA copy-start/done) overlap compute — their
+            # durations span until completion, so summing them alongside
+            # compute self-times double-counts; selected via include_async.
             if "step" in lname or "module" in lname:
+                continue
+            if ("async" in lname) != include_async:
                 continue
             for ev in line.events:
                 meta = ev_meta.get(ev.metadata_id)
@@ -83,10 +110,17 @@ def main():
     parser.add_argument("--top", type=int, default=30)
     parser.add_argument("--group", action="store_true",
                         help="aggregate by op family instead of exact name")
+    parser.add_argument("--async", dest="async_", action="store_true",
+                        help="show the async (DMA) line instead of compute")
+    parser.add_argument("--gbs", action="store_true",
+                        help="annotate rows with HLO bytes and effective GB/s "
+                             "(per occurrence; exact names only, not --group)")
+    parser.add_argument("--steps", type=int, default=1,
+                        help="profiled step count, to report per-step times")
     args = parser.parse_args()
 
     xspace, path = _load_xspace(args.path)
-    times = device_op_times(xspace)
+    times = device_op_times(xspace, include_async=args.async_)
     if not times:
         print(f"no device events found in {path}")
         return
@@ -99,10 +133,17 @@ def main():
         times = {k: (v[0], v[1]) for k, v in grouped.items()}
 
     total = sum(ms for ms, _ in times.values())
+    steps = max(args.steps, 1)
     print(f"# {path}")
-    print(f"# total device time: {total:.2f} ms")
+    print(f"# total device time: {total:.2f} ms"
+          + (f" ({total / steps:.2f} ms/step)" if steps > 1 else ""))
     for name, (ms, n) in sorted(times.items(), key=lambda kv: -kv[1][0])[: args.top]:
-        print(f"{ms:10.3f} ms {100 * ms / total:5.1f}%  x{n:<5d} {name}")
+        row = f"{ms / steps:10.3f} ms {100 * ms / total:5.1f}%  x{n:<5d}"
+        if args.gbs and not args.group:
+            nb = hlo_bytes(name)
+            gbs = nb * (n / steps) / (ms / steps / 1e3) / 1e9 if ms else 0.0
+            row += f" {nb / 2**20:9.1f} MiB {gbs:6.0f} GB/s "
+        print(f"{row} {name}")
 
 
 if __name__ == "__main__":

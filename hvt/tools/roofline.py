@@ -69,6 +69,11 @@ def hbm_bandwidth_gbs(mb: int = 512, chain: int = 16, repeats: int = 3) -> dict:
     whatever the chain length), so it cannot measure bandwidth. K reductions
     of the same array with loop-variant scalings cannot be fused or CSE'd —
     each reads the full array from HBM.
+
+    CAVEAT: this wall-clock number is a *lower bound* — per-measurement
+    dispatch/fetch latency on the tunneled runtime floors it well under the
+    true rate (see traced_hbm_probes, which measures ~750 GB/s for the same
+    pass by op self-time).
     """
     n = mb * 2**20 // 2  # bf16 elements
     x = jnp.ones((n,), jnp.bfloat16)
@@ -100,9 +105,10 @@ def hbm_copy_gbs(mb: int = 256, chain: int = 16, repeats: int = 3) -> dict:
 
     ``fori_loop`` executes its body kernel once per iteration — each
     iteration reads the full array and writes a new one (2 passes), and the
-    loop-carried dependency stops cross-iteration fusion. This bounds what a
-    pure data-movement pass achieves; if the reduction probe reports much
-    less, reductions are VPU-throughput-bound, not HBM-bound.
+    loop-carried dependency stops cross-iteration fusion.
+
+    CAVEAT: wall-clock lower bound, like hbm_bandwidth_gbs — trust
+    traced_hbm_probes for the true per-op rate.
     """
     n = mb * 2**20 // 2  # bf16 elements
     x = jnp.ones((n,), jnp.bfloat16)
@@ -160,11 +166,67 @@ def bn_stats_gbs(repeats: int = 3, chain: int = 8) -> dict:
     }
 
 
+def traced_hbm_probes(mb: int = 392, repeats: int = 3) -> list[dict]:
+    """Profiler-timed bandwidth — the only trustworthy methodology for
+    sub-100 ms regions on this runtime.
+
+    Wall-clock probes here include ~10-30 ms of dispatch/host-fetch latency
+    per measurement, which floors any small probe: chained-reduce "read
+    bandwidth" probes on this device measured 25-150 GB/s by wall clock while
+    the very same reduce fusion self-times at ~750 GB/s in the xplane trace
+    (≈ v5e's 819 GB/s spec). This probe runs one big reduction pass and one
+    big elementwise copy pass a few times under ``jax.profiler`` and reports
+    op *self time* from the device plane via hvt.tools.profile_summary.
+    """
+    import tempfile
+
+    from hvt.tools import profile_summary
+
+    n = mb * 2**20 // 2  # bf16 elements
+    c = 256
+    x = jnp.ones((n // c, c), jnp.bfloat16)
+
+    reduce_pass = jax.jit(
+        lambda x: jnp.sum(x.astype(jnp.float32) * jnp.float32(1.0000001))
+    )
+    copy_pass = jax.jit(lambda x: x * jnp.bfloat16(1.001953125))
+
+    float(reduce_pass(x))
+    _barrier(copy_pass(x))
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for _ in range(repeats):
+            float(reduce_pass(x))
+            _barrier(copy_pass(x))
+        jax.profiler.stop_trace()
+        xspace, _ = profile_summary._load_xspace(td)
+        times = profile_summary.device_op_times(xspace)
+
+    results = []
+    # The two dominant ops in this program are our passes; identify them by
+    # the bytes their HLO strings mention.
+    ranked = sorted(
+        times.items(), key=lambda kv: -profile_summary.hlo_bytes(kv[0])
+    )[:2]
+    for name, (ms, cnt) in ranked:
+        nb = profile_summary.hlo_bytes(name)
+        per_ms = ms / max(cnt, 1)
+        kind = "reduce" if "reduce" in name else "copy"
+        results.append({
+            "probe": f"hbm_traced_{kind}_{mb}MB",
+            "op_ms": round(per_ms, 3),
+            "gbs": round(nb / (per_ms / 1e3) / 1e9, 1),
+        })
+    return results
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="1024,2048,4096,8192")
     parser.add_argument("--chain", type=int, default=32)
     parser.add_argument("--mb", type=int, default=256)
+    parser.add_argument("--no-trace", action="store_true",
+                        help="skip the profiler-timed HBM probes")
     args = parser.parse_args()
 
     dev = jax.devices()[0]
@@ -174,6 +236,9 @@ def main():
     print(json.dumps(hbm_bandwidth_gbs(args.mb)), flush=True)
     print(json.dumps(hbm_copy_gbs(args.mb)), flush=True)
     print(json.dumps(bn_stats_gbs()), flush=True)
+    if not args.no_trace and dev.platform in ("tpu", "axon"):
+        for row in traced_hbm_probes():
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
