@@ -151,8 +151,6 @@ class Trainer:
         else:
             grad_accum = int(config.grad_accum)
         self.settings = make_settings(grad_accum)
-        if self.algos.sam_rho is not None and grad_accum != 1:
-            raise NotImplementedError("SAM with grad_accum > 1 is not supported")
         self.train_step = step_lib.build_train_step(
             self.model, self.objective, self.tx, self.prep, self.settings
         )

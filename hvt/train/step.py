@@ -150,6 +150,39 @@ def build_train_step(
             grads = jax.tree.map(lambda g: g / accum, grads)
             loss = loss_sum / accum
 
+            if settings.sam_rho:
+                # SAM under accumulation: a second microbatch scan at the
+                # perturbed point params + rho·g/|g|, with the same per-
+                # microbatch rng folds so dropout/mixup draws match the first
+                # pass (grad_accum == 1 SAM reuses its rng the same way).
+                # First-pass BN statistics are kept, as in the accum == 1
+                # branch (the second pass's _aux is discarded).
+                rho = settings.sam_rho
+
+                def sam_grads(g):
+                    gnorm = jnp.maximum(optax.global_norm(g), 1e-12)
+                    adv = jax.tree.map(
+                        lambda p, gi: p + (rho / gnorm) * gi.astype(p.dtype),
+                        state.params, g,
+                    )
+
+                    def body2(carry, xs):
+                        bs, grads_acc, i = carry
+                        im, la, mk = xs
+                        (_, (_, bs2)), g2 = grad_fn(
+                            adv, bs, im, la, mk,
+                            jax.random.fold_in(rng, i), scale,
+                        )
+                        return (bs2, jax.tree.map(jnp.add, grads_acc, g2), i + 1), None
+
+                    (_, g2_sum, _), _ = jax.lax.scan(
+                        body2, (state.batch_stats, zero_grads, 0), mb_data
+                    )
+                    return jax.tree.map(lambda x: x / accum, g2_sum)
+
+                do_sam = (state.step % settings.sam_interval) == 0
+                grads = jax.lax.cond(do_sam, sam_grads, lambda g: g, grads)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 

@@ -61,6 +61,47 @@ def test_grad_accum_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_sam_grad_accum_matches_full_batch():
+    """SAM's two-pass gradient under microbatch accumulation must equal the
+    single-batch SAM step on a batch-statistics-free model (the second scan
+    at the perturbed point averages exactly the full-batch SAM gradient)."""
+    images = np.random.default_rng(1).integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    labels = np.asarray([0, 1, 2, 3], np.int32)
+    mask = np.ones((4,), np.float32)
+
+    def setup_sam(grad_accum):
+        cfg = C.loads({"optim": {"name": "sgd", "lr": 0.01, "momentum": 0.0,
+                                  "weight_decay": 0.0}})
+        model = S.swinv2_micro(4, dtype=jnp.float32, drop_path_rate=0.0)
+        prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
+        tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+        rng = jax.random.key(0)
+        mesh = parallel.cpu_mesh(1)
+        state = jax.jit(
+            lambda: state_lib.create(
+                model, tx, rng,
+                prep.normalize(jnp.zeros((2, 16, 16, 3), jnp.uint8)), ema=False,
+            ),
+            out_shardings=parallel.replicated(mesh),
+        )()
+        settings = step_lib.StepSettings(
+            num_classes=4, grad_accum=grad_accum, sam_rho=0.05, sam_interval=1
+        )
+        step = step_lib.build_train_step(
+            model, objectives.soft_cross_entropy, tx, prep, settings
+        )
+        return state, step, rng
+
+    results = {}
+    for accum in (1, 2):
+        state, step, rng = setup_sam(accum)
+        new_state, stats = step(state, images, labels, mask, rng, scale=1.0)
+        results[accum] = jax.device_get(new_state.params)
+
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_hxe_micro_training_decreases_loss():
     """End-to-end hxe objective through the Trainer on synthetic data."""
     from hvt.train.loop import Trainer
