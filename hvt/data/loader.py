@@ -55,6 +55,9 @@ class Batch:
     images: np.ndarray
     labels: np.ndarray  # (B,) or (B, N_TIERS) int32
     mask: np.ndarray  # (B,) float32
+    # Dataset indices of each row (-1 for padding) — lets consumers map rows
+    # back to file paths (e.g. hvt.downstream.predict writes them per image).
+    indices: Optional[np.ndarray] = None
 
     @property
     def size(self) -> int:
@@ -182,7 +185,9 @@ class Loader:
 
         mask = np.zeros((bs,), dtype=np.float32)
         mask[:n_valid] = 1.0
-        return Batch(images=images, labels=labels, mask=mask)
+        row_idx = np.full((bs,), -1, dtype=np.int64)
+        row_idx[:n_valid] = idxs
+        return Batch(images=images, labels=labels, mask=mask, indices=row_idx)
 
     # -- iteration ----------------------------------------------------------
 

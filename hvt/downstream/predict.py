@@ -1,0 +1,154 @@
+"""Batch inference: checkpoint → per-image top-k predictions.
+
+The reference has no prediction entry point — its downstream evaluations go
+through sklearn classifiers over cached features (reference
+linear_probe.py / simpleshot.py). A production deployment of the same
+models needs plain batch inference, so hvt adds one: the same config
+surface (machine + exp layers), the same loader/device-prep stack the
+trainer uses, a jitted forward over the eval split, and one JSONL row per
+image with the top-k class names and probabilities.
+
+Weights resolve in this order:
+* ``config.load_path`` — a full hvt training checkpoint (Orbax TrainState);
+  EMA weights are used when present (matching how the Trainer evaluates,
+  reference configs/pretrain/inat21.yaml EMA algorithm), unless
+  ``use_ema=False``.
+* otherwise the pretrained-backbone URIs (``ckpt://``, ``swin://``,
+  ``wandb://``) via the PretrainedBackbone algorithm or
+  ``model.pretrained_checkpoint`` — head weights then come from the
+  checkpoint only if it has a matching head.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hvt import config as config_lib
+from hvt import parallel
+from hvt.data import DevicePrep, build_loader
+from hvt.downstream import features as features_lib
+from hvt.models import build_model
+from hvt.train import checkpoint as checkpoint_lib
+
+
+def _resolve_weights(config, variables, use_ema: bool):
+    """→ (params, batch_stats) as host numpy pytrees."""
+    if config.load_path:
+        raw = checkpoint_lib.load_raw(config.load_path)
+        params = raw["params"]
+        batch_stats = raw.get("batch_stats") or {}
+        if use_ema and raw.get("ema_params") is not None:
+            params = raw["ema_params"]
+            batch_stats = raw.get("ema_batch_stats") or batch_stats
+        return params, batch_stats
+    params = features_lib.load_pretrained_params(
+        config, jax.device_get(variables["params"])
+    )
+    return params, jax.device_get(variables.get("batch_stats", {}))
+
+
+def predict(
+    config: config_lib.Config,
+    *,
+    topk: int = 5,
+    use_ema: bool = True,
+    limit_batches: Optional[int] = None,
+):
+    """Run inference over the eval split; yields one dict per image."""
+    loader, info = build_loader(config, is_train=False)
+    model = build_model(config, info.num_classes)
+    data_cfg = config.eval_dataset
+    mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
+    parallel.set_kernel_mesh(mesh)
+    prep = DevicePrep.from_config(data_cfg, config.precision)
+
+    crop = data_cfg.crop_size
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(config.seed),
+            prep.normalize(jnp.zeros((2, crop, crop, 3), jnp.uint8)),
+            train=False,
+        ),
+        out_shardings=parallel.replicated(mesh),
+    )()
+    params, batch_stats = _resolve_weights(config, variables, use_ema)
+    params = jax.device_put(params, parallel.replicated(mesh))
+    batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
+
+    k = min(topk, info.fine_grained_num_classes)
+
+    @jax.jit
+    def step(params, batch_stats, images):
+        x = prep.normalize(images)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, (list, tuple)):  # multitask head → fine tier
+            out = out[-1]
+        probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, k)
+        return top_i, top_p
+
+    classes = getattr(loader.dataset, "classes", ())
+    paths = getattr(loader.dataset, "paths", None)
+    sharded = parallel.batch_sharding(mesh)
+    for batch_idx, batch in enumerate(loader.epoch(0)):
+        if limit_batches is not None and batch_idx >= limit_batches:
+            break
+        images = jax.device_put(batch.images, sharded)
+        top_i, top_p = step(params, batch_stats, images)
+        top_i, top_p = np.asarray(top_i), np.asarray(top_p)
+        for row in range(batch.images.shape[0]):
+            if batch.mask[row] <= 0:
+                continue
+            rec = {
+                "classes": [classes[i] if classes else int(i) for i in top_i[row]],
+                "class_ids": [int(i) for i in top_i[row]],
+                "probs": [round(float(p), 6) for p in top_p[row]],
+            }
+            label = batch.labels[row]
+            rec["label"] = (
+                [int(t) for t in label] if np.ndim(label) else int(label)
+            )
+            if paths is not None and batch.indices is not None:
+                rec["path"] = str(paths[int(batch.indices[row])])
+            yield rec
+
+
+def run(config: config_lib.Config, output: Optional[str], **kwargs) -> dict:
+    """Predict and write JSONL; returns {"count", "top1", "topk"} (accuracy
+    against the folder labels, reported for convenience)."""
+    n = 0
+    hit1 = hitk = 0
+    out_f = open(output, "w") if output else None
+    try:
+        for rec in predict(config, **kwargs):
+            n += 1
+            label = rec["label"][-1] if isinstance(rec["label"], list) else rec["label"]
+            if label == rec["class_ids"][0]:
+                hit1 += 1
+            if label in rec["class_ids"]:
+                hitk += 1
+            if out_f is not None:
+                out_f.write(json.dumps(rec) + "\n")
+            else:
+                print(json.dumps(rec))
+    finally:
+        if out_f is not None:
+            out_f.close()
+    summary = {
+        "count": n,
+        "top1": hit1 / n if n else 0.0,
+        "topk": hitk / n if n else 0.0,
+    }
+    if output:
+        print(f"[{config.run_name}] wrote {n} predictions to {output} "
+              f"(top1={summary['top1']:.4f}, topk={summary['topk']:.4f})")
+    return summary

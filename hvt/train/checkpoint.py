@@ -52,10 +52,23 @@ class Checkpointer:
         )
 
     def save(self, step: int, state) -> None:
+        """Asynchronous save: Orbax performs the device→host copy before
+        ``manager.save`` returns (safe even though the Trainer donates the
+        state buffers into the next step), and the host→disk write proceeds
+        in a background thread overlapped with training — the reference's
+        1024-epoch recipe checkpoints every epoch, so save latency is train
+        time. Any prior in-flight write is joined first; ``latest_step``/
+        ``restore``/``close`` also join, so readers never see a torn step."""
+        self.manager.wait_until_finished()
         self.manager.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
+        """Join any in-flight background write (needed before reading the
+        checkpoint files from disk, e.g. for a wandb-artifact upload)."""
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self.manager.wait_until_finished()
         return self.manager.latest_step()
 
     def restore(self, state, step: Optional[int] = None):
@@ -66,6 +79,7 @@ class Checkpointer:
         return self.manager.restore(step, args=ocp.args.StandardRestore(_abstract(state)))
 
     def close(self):
+        self.manager.wait_until_finished()
         self.manager.close()
 
 

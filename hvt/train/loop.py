@@ -284,6 +284,9 @@ class Trainer:
         monkey_patch.py:33-91). Upload is a clean no-op without wandb."""
         self.checkpointer.save(step, self.state)
         if self.config.save.wandb:
+            # The artifact upload reads the files from disk — join the
+            # (otherwise background) write first.
+            self.checkpointer.wait()
             epoch = step // self.steps_per_epoch
             self.logger.log_artifact(
                 self.checkpointer.directory / str(step),

@@ -1,0 +1,38 @@
+"""Batch-inference entry point (no reference counterpart — the reference's
+downstream paths are linear_probe.py / simpleshot.py; this serves the same
+checkpoints for production prediction).
+
+Usage:
+
+    python predict.py --machine configs/machines/local.yaml \
+        --exp configs/pretrain/debug_synthetic.yaml \
+        --output preds.jsonl [--topk 5] [--raw-weights]
+
+Writes one JSON line per image of the eval split: top-k class names/ids,
+probabilities, the folder label, and the file path. Weights come from
+``load_path`` (full hvt checkpoint; EMA weights by default) or the
+pretrained-backbone URIs — see hvt/downstream/predict.py.
+"""
+
+import argparse
+
+from hvt import config as config_lib
+from hvt.downstream import predict as predict_lib
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    config_lib.add_exp_args(parser)
+    parser.add_argument("--output", default=None, help="JSONL path (default: stdout)")
+    parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--raw-weights", action="store_true",
+                        help="use raw (non-EMA) weights from the checkpoint")
+    parser.add_argument("--limit-batches", type=int, default=None)
+    args = parser.parse_args()
+    config = config_lib.load(machine=args.machine, exps=args.exp)
+    predict_lib.run(
+        config,
+        args.output,
+        topk=args.topk,
+        use_ema=not args.raw_weights,
+        limit_batches=args.limit_batches,
+    )

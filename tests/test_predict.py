@@ -1,0 +1,115 @@
+"""Batch-inference entry (hvt/downstream/predict.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from hvt import config as C
+from hvt import parallel
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """A 2-step synthetic resnet_micro run with a saved checkpoint."""
+    from hvt.train.loop import Trainer
+
+    save_root = tmp_path_factory.mktemp("runs")
+    cfg = C.loads(
+        {
+            "run_name": "pred-src",
+            "max_duration": "2ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": str(save_root)},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 16, "crop_size": 32,
+                "global_batch_size": 8, "drop_last": True, "shuffle": True,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 12, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "sgd", "lr": 0.01, "momentum": 0.9,
+                      "weight_decay": 0.0},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [
+                {"cls": "EMA", "args": {"half_life": "4ba", "update_interval": "1ba"}},
+            ],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1, "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    tr.fit()
+    tr.close()
+    ckpt_dir = f"{save_root}/pred-src/checkpoints"
+    return cfg, ckpt_dir
+
+
+def test_predict_from_checkpoint(trained_run, tmp_path):
+    from hvt.downstream import predict as predict_lib
+
+    cfg, ckpt_dir = trained_run
+    pred_cfg = C.loads(C.to_dict(cfg), {"load_path": ckpt_dir})
+    out = tmp_path / "preds.jsonl"
+    summary = predict_lib.run(pred_cfg, str(out), topk=3)
+    assert summary["count"] == 12  # full eval split, padding dropped
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 12
+    for rec in rows:
+        assert len(rec["class_ids"]) == 3
+        assert len(rec["probs"]) == 3
+        assert all(0 <= c < 4 for c in rec["class_ids"])
+        # top-k probabilities are sorted and valid
+        assert rec["probs"] == sorted(rec["probs"], reverse=True)
+        assert 0.0 < sum(rec["probs"]) <= 1.0 + 1e-6
+        assert isinstance(rec["label"], int)
+    # top-1 accuracy consistent with the rows
+    top1 = sum(r["label"] == r["class_ids"][0] for r in rows) / len(rows)
+    assert summary["top1"] == pytest.approx(top1)
+
+
+def test_predict_ema_vs_raw_weights_differ(trained_run):
+    from hvt.downstream import predict as predict_lib
+
+    cfg, ckpt_dir = trained_run
+    pred_cfg = C.loads(C.to_dict(cfg), {"load_path": ckpt_dir})
+    ema = [r["probs"][0] for r in predict_lib.predict(pred_cfg, topk=1)]
+    raw = [r["probs"][0] for r in predict_lib.predict(
+        pred_cfg, topk=1, use_ema=False
+    )]
+    assert len(ema) == len(raw) == 12
+    # EMA weights lag the raw weights after 2 steps — outputs must differ.
+    assert any(abs(a - b) > 1e-9 for a, b in zip(ema, raw))
+
+
+def test_predict_multitask_uses_fine_tier(tmp_path):
+    """Multitask model (tuple num_classes): predictions come from the last
+    (species) tier and labels arrive as the 7-tier vector."""
+    from hvt.downstream import predict as predict_lib
+
+    cfg = C.loads(
+        {
+            "run_name": "pred-mt",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    rows = list(predict_lib.predict(cfg, topk=2))
+    assert len(rows) == 8
+    for rec in rows:
+        assert isinstance(rec["label"], list) and len(rec["label"]) == 7
+        assert len(rec["class_ids"]) == 2
