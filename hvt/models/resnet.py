@@ -472,6 +472,7 @@ def resnet34(
     _warn_ignored_basic_kwargs("resnet34", unused)
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
+        bn_pallas=bool(unused.get("bn_pallas", False)),
         stage_sizes=(3, 4, 6, 3),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -492,6 +493,7 @@ def resnet18(
     _warn_ignored_basic_kwargs("resnet18", unused)
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
+        bn_pallas=bool(unused.get("bn_pallas", False)),
         stage_sizes=(2, 2, 2, 2),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -512,6 +514,7 @@ def resnet_micro(
     _warn_ignored_basic_kwargs("resnet_micro", unused)
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
+        bn_pallas=bool(unused.get("bn_pallas", False)),
         stage_sizes=(1, 1),
         width=8,
         num_classes=num_classes,
@@ -563,7 +566,8 @@ class BasicResNet(ResNet):
         x = x.astype(self.dtype)
         x = ConvBN(
             self.width, 7, stride=2, dtype=self.dtype,
-            bn_scale_init=bn_scale_init, bn_groups=self.bn_groups, name="stem",
+            bn_scale_init=bn_scale_init, bn_groups=self.bn_groups,
+            bn_pallas=self.bn_pallas, name="stem",
         )(x, train)
         if self.blurpool:
             x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))

@@ -219,7 +219,12 @@ class SwinBlock(nn.Module):
         attn_mod = WindowAttention(
             dim=c, window=window, num_heads=self.num_heads,
             pretrained_window=self.pretrained_window, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            # In the fused branch this module is only invoked on a (1, N, C)
+            # dummy to materialize the parameter tree — route that dummy off
+            # the Pallas path: under a multi-chip mesh the kernels wrap in a
+            # data-axis shard_map, and a leading dim of 1 is not divisible
+            # by the data axis (crashes at trace time on real pods).
+            use_pallas=self.use_pallas and not fuse_attn, name="attn",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
                              bias_init=zeros_init, dtype=self.dtype, name="norm1")

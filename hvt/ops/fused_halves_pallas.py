@@ -41,7 +41,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hvt.ops.window_attention_pallas import _merge_bias_mask, _packed_pick
+from hvt.ops.window_attention_pallas import (
+    _merge_bias_mask,
+    _packed_pick,
+    packed_heads_backward,
+    packed_heads_forward,
+)
 
 _LN_EPS = 1e-5
 
@@ -307,31 +312,6 @@ mlp_half.defvjp(_mlp_half_fwd, _mlp_half_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_heads_fwd(qkv, z, scale_ref, heads, g, n, c):
-    """Per-head cosine attention on packed qkv (g, N, 3C) f32 → (g, N, C).
-    Head split via lane slices (Mosaic supports neither a lane-dim shape
-    cast nor sub-128 lane blocks — see window_attention_pallas)."""
-    hd = c // heads
-    batched = (((2,), (2,)), ((0,), (0,)))
-    outs = []
-    for i in range(heads):
-        q = qkv[:, :, i * hd : (i + 1) * hd]
-        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
-        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
-        qn = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-        kn = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
-        attn = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
-        zi = jnp.broadcast_to(z[:, i], (g, n, n))
-        attn = jax.nn.softmax(attn * scale_ref[i, 0, 0] + zi, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                attn, v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    return jnp.concatenate(outs, axis=-1)
-
-
 def _per_window_dot(x3: jax.Array, w) -> jax.Array:
     """(g, N, A) @ (A, B) → (g, N, B) as g unrolled 2D dots.
 
@@ -369,7 +349,7 @@ def _attn_fwd_kernel(
     qkv = qkv + bqkv_ref[...].astype(jnp.float32)[None]
     z = z_ref[...].astype(jnp.float32)
 
-    out = _attn_heads_fwd(qkv, z, scale_ref, heads, g, n, c)  # (g, N, C)
+    out = packed_heads_forward(qkv, z, scale_ref, heads, g, n, c)  # (g, N, C)
     proj = _per_window_dot(out, wproj_ref[...])
     proj = proj + bproj_ref[...].astype(jnp.float32)[None]
     branch, _, _ = _ln_fwd(
@@ -389,7 +369,6 @@ def _attn_bwd_kernel(
     b = pl.program_id(1)
     first = (b == 0) & (wb == 0)
     g_blk, n, c = x_ref.shape
-    hd = c // heads
 
     x3 = x_ref[...]
     gout = g_ref[...].astype(jnp.float32)  # (g, N, C)
@@ -399,7 +378,7 @@ def _attn_bwd_kernel(
     # --- recompute forward ---
     qkv3 = _per_window_dot(x3, wqkv_ref[...])
     qkv3 = qkv3 + bqkv_ref[...].astype(jnp.float32)[None]
-    attn_out = _attn_heads_fwd(qkv3, z, scale_ref, heads, g_blk, n, c)
+    attn_out = packed_heads_forward(qkv3, z, scale_ref, heads, g_blk, n, c)
     proj = _per_window_dot(attn_out, wproj_ref[...])
     proj = proj + bproj_ref[...].astype(jnp.float32)[None]
     mu = jnp.mean(proj, axis=-1, keepdims=True)
@@ -418,48 +397,10 @@ def _attn_bwd_kernel(
     dwproj = sum(_dot_t(attn_out[j], dproj[j]) for j in range(g_blk))
     dbproj = jnp.sum(jnp.sum(dproj, axis=0), axis=0, keepdims=True)
 
-    # --- attention backward (per-head, mirrors _packed_bwd_kernel) ---
-    batched = (((2,), (2,)), ((0,), (0,)))
-    dqs, dks, dvs, dzs, dscales = [], [], [], [], []
-    for i in range(heads):
-        q = qkv3[:, :, i * hd : (i + 1) * hd]
-        k = qkv3[:, :, c + i * hd : c + (i + 1) * hd]
-        v = qkv3[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
-        go = dao3[:, :, i * hd : (i + 1) * hd]
-        scale = scale_ref[i, 0, 0]
-
-        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
-        qn = q * inv_qn
-        kn = k * inv_kn
-
-        cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
-        zi = jnp.broadcast_to(z[:, i], (g_blk, n, n))
-        attn = jax.nn.softmax(cos * scale + zi, axis=-1)
-
-        dvs.append(
-            jax.lax.dot_general(
-                attn, go, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
-        dp = jax.lax.dot_general(go, v, batched, preferred_element_type=jnp.float32)
-        ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
-
-        dzs.append(ds if gz == g_blk else jnp.sum(ds, axis=0, keepdims=True))
-        dscales.append(jnp.sum(ds * cos, axis=(0, 2)).reshape(1, n))
-
-        dcos = ds * scale
-        dqn = jax.lax.dot_general(
-            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dkn = jax.lax.dot_general(
-            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dqs.append((dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn)
-        dks.append((dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn)
-
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, N, 3C)
+    # --- attention backward (shared per-head loop, window_attention_pallas) ---
+    dqkv, dz_contrib, dscale_contrib = packed_heads_backward(
+        qkv3, dao3, z, scale_ref, heads, g_blk, n, c, gz
+    )
 
     # --- qkv projection backward ---
     dx = _per_window_dot_rhs_t(dqkv, wqkv_ref[...])
@@ -468,8 +409,6 @@ def _attn_bwd_kernel(
 
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
-    dz_contrib = jnp.stack(dzs, axis=1)  # (gz, H, N, N)
-
     @pl.when(b == 0)
     def _init_dz():
         dz_ref[...] = dz_contrib.astype(dz_ref.dtype)
@@ -477,8 +416,6 @@ def _attn_bwd_kernel(
     @pl.when(b != 0)
     def _acc_dz():
         dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
-
-    dscale_contrib = jnp.concatenate(dscales, axis=0)  # (H, N)
 
     @pl.when(first)
     def _init_acc():

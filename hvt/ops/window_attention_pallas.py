@@ -343,15 +343,15 @@ def window_attention_kernel(q, k, v, logit_scale, bias, mask=None, interpret=Fal
 # qkv matmul's VJP directly.
 
 
-def _packed_fwd_kernel(g_blk: int, heads: int, qkv_ref, scale_ref, z_ref, o_ref):
-    """Head split via per-head VMEM lane slices (Mosaic supports neither a
-    lane-dim shape cast nor sub-128 lane blocks, so slicing is the split)."""
-    g, n, c3 = qkv_ref.shape
-    c = c3 // 3
-    hd = c // heads
-    qkv = qkv_ref[...].astype(jnp.float32)
-    z = z_ref[...].astype(jnp.float32)  # (gz, H, N, N)
+def packed_heads_forward(qkv, z, scale_ref, heads: int, g: int, n: int, c: int):
+    """Per-head cosine attention on packed (g, N, 3C) f32 qkv → (g, N, C) f32.
 
+    Head split via per-head VMEM lane slices (Mosaic supports neither a
+    lane-dim shape cast nor sub-128 lane blocks, so slicing is the split).
+    The single in-VMEM implementation shared by the packed kernels here and
+    the fused block halves (hvt/ops/fused_halves_pallas.py) — the math must
+    stay bit-identical between the two families."""
+    hd = c // heads
     batched = (((2,), (2,)), ((0,), (0,)))
     outs = []
     for i in range(heads):
@@ -371,7 +371,69 @@ def _packed_fwd_kernel(g_blk: int, heads: int, qkv_ref, scale_ref, z_ref, o_ref)
                 preferred_element_type=jnp.float32,
             )
         )
-    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def packed_heads_backward(
+    qkv, gout, z, scale_ref, heads: int, g: int, n: int, c: int, gz: int
+):
+    """Backward of packed_heads_forward, recomputed flash-style from qkv.
+
+    → (dqkv (g, N, 3C), dz_contrib (gz, H, N, N), dscale_contrib (H, N)),
+    all f32; dz is pre-summed over the block's windows when gz == 1. Shared
+    by _packed_bwd_kernel and the fused attention half."""
+    hd = c // heads
+    batched = (((2,), (2,)), ((0,), (0,)))
+    dqs, dks, dvs, dzs, dscales = [], [], [], [], []
+    for i in range(heads):
+        q = qkv[:, :, i * hd : (i + 1) * hd]
+        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
+        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
+        go = gout[:, :, i * hd : (i + 1) * hd]
+        scale = scale_ref[i, 0, 0]
+
+        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        qn = q * inv_qn
+        kn = k * inv_kn
+
+        cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
+        zi = jnp.broadcast_to(z[:, i], (g, n, n))
+        attn = jax.nn.softmax(cos * scale + zi, axis=-1)
+
+        dvs.append(
+            jax.lax.dot_general(
+                attn, go, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dp = jax.lax.dot_general(go, v, batched, preferred_element_type=jnp.float32)
+        ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+
+        dzs.append(ds if gz == g else jnp.sum(ds, axis=0, keepdims=True))
+        dscales.append(jnp.sum(ds * cos, axis=(0, 2)).reshape(1, n))
+
+        dcos = ds * scale
+        dqn = jax.lax.dot_general(
+            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dkn = jax.lax.dot_general(
+            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqs.append((dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn)
+        dks.append((dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn)
+
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, N, 3C) packed order
+    return dqkv, jnp.stack(dzs, axis=1), jnp.concatenate(dscales, axis=0)
+
+
+def _packed_fwd_kernel(g_blk: int, heads: int, qkv_ref, scale_ref, z_ref, o_ref):
+    g, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    qkv = qkv_ref[...].astype(jnp.float32)
+    z = z_ref[...].astype(jnp.float32)  # (gz, H, N, N)
+    out = packed_heads_forward(qkv, z, scale_ref, heads, g, n, c)
+    o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _packed_pick(
@@ -429,62 +491,22 @@ def _packed_bwd_kernel(
     qkv_ref, scale_ref, z_ref, g_ref,
     dqkv_ref, dz_ref, dscale_ref,
 ):
-    """Backward mirror of _packed_fwd_kernel (per-head lane slices); dz and
-    dscale accumulate across the batch grid dim like _attention_bwd_kernel."""
+    """Backward mirror of _packed_fwd_kernel (shared per-head loop in
+    packed_heads_backward); dz and dscale accumulate across the batch grid
+    dim like _attention_bwd_kernel."""
     wb = pl.program_id(0)
     b = pl.program_id(1)
     g, n, c3 = qkv_ref.shape
     c = c3 // 3
-    hd = c // heads
 
     qkv = qkv_ref[...].astype(jnp.float32)
     gout = g_ref[...].astype(jnp.float32)  # (g, N, C)
     z = z_ref[...].astype(jnp.float32)
 
-    batched = (((2,), (2,)), ((0,), (0,)))
-    dqs, dks, dvs, dzs, dscales = [], [], [], [], []
-    for i in range(heads):
-        q = qkv[:, :, i * hd : (i + 1) * hd]
-        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
-        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
-        go = gout[:, :, i * hd : (i + 1) * hd]
-        scale = scale_ref[i, 0, 0]
-
-        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
-        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
-        qn = q * inv_qn
-        kn = k * inv_kn
-
-        cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
-        zi = jnp.broadcast_to(z[:, i], (g, n, n))
-        attn = jax.nn.softmax(cos * scale + zi, axis=-1)
-
-        dvs.append(
-            jax.lax.dot_general(
-                attn, go, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
-        dp = jax.lax.dot_general(go, v, batched, preferred_element_type=jnp.float32)
-        ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
-
-        dzs.append(ds if gz == g else jnp.sum(ds, axis=0, keepdims=True))
-        dscales.append(jnp.sum(ds * cos, axis=(0, 2)).reshape(1, n))
-
-        dcos = ds * scale
-        dqn = jax.lax.dot_general(
-            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dkn = jax.lax.dot_general(
-            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )
-        dqs.append((dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn)
-        dks.append((dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn)
-
-    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, N, 3C) packed order
+    dqkv, dz_contrib, dscale_contrib = packed_heads_backward(
+        qkv, gout, z, scale_ref, heads, g, n, c, gz
+    )
     dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype)
-
-    dz_contrib = jnp.stack(dzs, axis=1)  # (gz, H, N, N)
 
     @pl.when(b == 0)
     def _init_dz():
@@ -493,8 +515,6 @@ def _packed_bwd_kernel(
     @pl.when(b != 0)
     def _acc_dz():
         dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
-
-    dscale_contrib = jnp.concatenate(dscales, axis=0)  # (H, N)
 
     @pl.when((b == 0) & (wb == 0))
     def _init_dscale():

@@ -1,5 +1,8 @@
 """Summarize a jax.profiler trace: per-op device time, grouped and ranked.
 
+The reference has no analog (no tracer at all, SURVEY.md §5); this is the
+observability half of owning the training loop and kernels.
+
 The trainer can capture traces (HVT_PROFILE_DIR, hvt/train/loop.py) but this
 image has no tensorboard profile plugin to read them; this tool parses the
 .xplane.pb directly via TensorFlow's bundled xplane protobuf and prints the

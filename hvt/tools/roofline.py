@@ -1,5 +1,10 @@
 """Device characterization: matmul roofline + HBM bandwidth probes.
 
+The reference has no analog (its only performance instrumentation is
+Composer's SpeedMonitor, reference main.py:91-96); this tool exists because
+hvt owns its kernels and needs measured per-device ceilings to reason about
+them (BENCH.md).
+
 Measures what the chip actually delivers (the numbers BENCH.md's roofline
 table cites), with the methodology this runtime requires:
 

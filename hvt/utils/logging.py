@@ -55,21 +55,24 @@ class RunLogger:
                 "wandb package is not installed — metrics stay in the jsonl "
                 "logs and checkpoints are not uploaded as artifacts"
             )
-        if use_wandb and _HAS_WANDB:
-            if rank == 0:
-                self._wandb_run = wandb.init(
-                    name=run_name, entity=wandb_entity or None,
-                    project=wandb_project or None, tags=tags or [],
-                )
-                self.run_info = {
-                    "entity": getattr(self._wandb_run, "entity", "") or "",
-                    "project": getattr(self._wandb_run, "project", "") or "",
-                    "run_id": getattr(self._wandb_run, "id", "") or "",
-                }
-            if world > 1:
-                from hvt import parallel
+        if use_wandb and _HAS_WANDB and rank == 0:
+            self._wandb_run = wandb.init(
+                name=run_name, entity=wandb_entity or None,
+                project=wandb_project or None, tags=tags or [],
+            )
+            self.run_info = {
+                "entity": getattr(self._wandb_run, "entity", "") or "",
+                "project": getattr(self._wandb_run, "project", "") or "",
+                "run_id": getattr(self._wandb_run, "id", "") or "",
+            }
+        # The broadcast is a collective: EVERY process must enter it whenever
+        # wandb adoption is requested, even a process whose image lacks the
+        # wandb package (heterogeneous hosts) — gating it on _HAS_WANDB would
+        # hang the ranks that do have it.
+        if use_wandb and world > 1:
+            from hvt import parallel
 
-                self.run_info = parallel.broadcast_small_json(self.run_info, world)
+            self.run_info = parallel.broadcast_small_json(self.run_info, world)
 
     def log(self, step: int, metrics: dict[str, Any], prefix: str = "") -> None:
         record = {
@@ -135,6 +138,30 @@ class RunLogger:
         self._file.close()
         if self._wandb_run is not None:
             self._wandb_run.finish()
+
+
+def publish_run_metrics(config, metrics: dict, prefix: str) -> None:
+    """One-shot metric publication for the downstream entry points
+    (linear_probe/simpleshot/predict) through the same logging stack as
+    training: jsonl under <save_root>/<run_name>/logs plus the optional
+    wandb sink (the reference logs these to wandb — reference
+    linear_probe.py:202,238 / simpleshot.py:200-207); a clean no-op without
+    the wandb package."""
+    import os
+
+    from hvt import config as config_lib
+
+    logger = RunLogger(
+        os.path.join(config.machine.save_root, config.run_name),
+        config.run_name,
+        use_wandb=config.save.wandb,
+        wandb_entity=config.wandb.entity,
+        wandb_project=config.wandb.project,
+        tags=list(config.tags),
+    )
+    logger.log_config(config_lib.to_yaml(config))
+    logger.log(0, metrics, prefix=prefix)
+    logger.close()
 
 
 def _scalar(v):

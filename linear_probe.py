@@ -8,7 +8,6 @@ the classifier is sklearn logistic regression with a small grid search
 """
 
 import argparse
-import os
 
 import numpy as np
 import sklearn.linear_model
@@ -19,7 +18,7 @@ import sklearn.preprocessing
 from hvt import config as config_lib
 from hvt import hierarchy
 from hvt.downstream import features as F
-from hvt.utils.logging import RunLogger
+from hvt.utils.logging import publish_run_metrics
 
 
 def build_linear_model(n_jobs: int = 8):
@@ -76,20 +75,7 @@ def main(config: config_lib.Config) -> dict:
     for key, value in metrics.items():
         print(f"{key}: {value:.4f}")
 
-    # Machine-collectable results through the same logging stack as training
-    # (the reference logs probe metrics to wandb, linear_probe.py:202,238);
-    # clean no-op jsonl-only logging without the wandb package.
-    logger = RunLogger(
-        os.path.join(config.machine.save_root, config.run_name),
-        config.run_name,
-        use_wandb=config.save.wandb,
-        wandb_entity=config.wandb.entity,
-        wandb_project=config.wandb.project,
-        tags=list(config.tags),
-    )
-    logger.log_config(config_lib.to_yaml(config))
-    logger.log(0, metrics, prefix="linear-probe")
-    logger.close()
+    publish_run_metrics(config, metrics, prefix="linear-probe")
     return metrics
 
 

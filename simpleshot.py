@@ -7,7 +7,6 @@ or parent-constrained top-down hierarchical nearest-centroid.
 """
 
 import argparse
-import os
 
 import numpy as np
 import sklearn.neighbors
@@ -16,7 +15,7 @@ from hvt import config as config_lib
 from hvt import hierarchy
 from hvt.downstream import centroid as centroid_lib
 from hvt.downstream import features as F
-from hvt.utils.logging import RunLogger
+from hvt.utils.logging import publish_run_metrics
 
 
 def main(config: config_lib.Config) -> dict:
@@ -79,19 +78,7 @@ def main(config: config_lib.Config) -> dict:
     for key, value in metrics.items():
         print(f"{key}: {value:.4f}")
 
-    # Same logging stack as training (the reference logs simpleshot metrics
-    # to wandb, simpleshot.py:200-207); jsonl-only without the package.
-    logger = RunLogger(
-        os.path.join(config.machine.save_root, config.run_name),
-        config.run_name,
-        use_wandb=config.save.wandb,
-        wandb_entity=config.wandb.entity,
-        wandb_project=config.wandb.project,
-        tags=list(config.tags),
-    )
-    logger.log_config(config_lib.to_yaml(config))
-    logger.log(0, metrics, prefix="simpleshot")
-    logger.close()
+    publish_run_metrics(config, metrics, prefix="simpleshot")
     return metrics
 
 

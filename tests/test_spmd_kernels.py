@@ -101,6 +101,26 @@ def test_mlp_half_sharded_matches_unsharded(mesh8):
         assert err <= 5e-3 * scale, f"{name}: rel err {err / scale}"
 
 
+def test_fused_eval_param_materialization_survives_mesh(mesh8, monkeypatch):
+    """Regression: the fused-eval branch materializes the attention params
+    with a (1, N, C) dummy call. Routed through the Pallas dispatch under a
+    multi-chip mesh, that leading dim of 1 is not divisible by the data axis
+    and shard_map raises at trace time — exactly what a real pod hits, since
+    _pallas_available() is True there. The dummy must stay off the Pallas
+    path (SwinBlock constructs the module with use_pallas=False when
+    fusing)."""
+    from hvt.ops import window_attention as wa_mod
+
+    monkeypatch.setattr(wa_mod, "_pallas_available", lambda: True)
+    model = swinv2.swinv2_micro(4, fuse=True)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    # Trace-only (nothing executes, so CPU lacking real Mosaic is fine);
+    # pre-fix this raised "axis sizes not evenly divisible" from shard_map.
+    jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=False)
+    )
+
+
 def test_swin_micro_fused_train_step_on_mesh(mesh8):
     """End-to-end: swinv2_micro with fuse=True (interpret kernels inside
     shard_map) value_and_grad's under an 8-device jit with the batch sharded
