@@ -121,6 +121,47 @@ def test_fused_eval_param_materialization_survives_mesh(mesh8, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("family", ["swin", "resnet"])
+def test_models_trace_with_pallas_dispatch_on_mesh(mesh8, monkeypatch, family):
+    """Trace-only sweep: both model families, train and eval, with the
+    Pallas dispatch forced on under the 8-device mesh — every kernel entry
+    point's shard_map in_specs must divide cleanly for any tensor the models
+    produce (nothing executes, so CPU lacking real Mosaic is fine)."""
+    from hvt.models import resnet as rn
+    from hvt.ops import bn_stats_pallas as bsp
+    from hvt.ops import window_attention as wa_mod
+
+    monkeypatch.setattr(wa_mod, "_pallas_available", lambda: True)
+    monkeypatch.setattr(bsp, "_pallas_available", lambda: True)
+
+    if family == "swin":
+        model = swinv2.swinv2_micro(4, fuse=True)
+    else:
+        model = rn.ResNet(stage_sizes=(1, 1), num_classes=4, width=8,
+                          dtype=jnp.float32, bn_pallas=True)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), x, train=False)
+    )
+
+    def train_loss(params, batch_stats, images):
+        kwargs = {"rngs": {"dropout": jax.random.key(1)}}
+        if batch_stats:
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"], **kwargs,
+            )
+        else:
+            out = model.apply({"params": params}, images, train=True, **kwargs)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    bs = variables.get("batch_stats", {})
+    jax.eval_shape(
+        jax.grad(train_loss), variables["params"], bs, x
+    )
+
+
 def test_swin_micro_fused_train_step_on_mesh(mesh8):
     """End-to-end: swinv2_micro with fuse=True (interpret kernels inside
     shard_map) value_and_grad's under an 8-device jit with the batch sharded
