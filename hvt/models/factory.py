@@ -46,6 +46,7 @@ def _registry():
         "swinv2_small": _swin("swinv2_small"),
         "swinv2_base": _swin("swinv2_base"),
         "swinv2_large": _swin("swinv2_large"),
+        "swinv2_large_window12_192": _swin("swinv2_large_window12_192"),
     }
 
 

@@ -449,6 +449,9 @@ swinv2_tiny_window16_256 = _variant(96, (2, 2, 6, 2), (3, 6, 12, 24), 16)
 swinv2_small = _variant(96, (2, 2, 18, 2), (3, 6, 12, 24), 7)
 swinv2_base = _variant(128, (2, 2, 18, 2), (4, 8, 16, 32), 7)
 swinv2_large = _variant(192, (2, 2, 18, 2), (6, 12, 24, 48), 7)
+# Canonical SwinV2-L geometry at 192 px (stage grids 48/24/12/6 need
+# window 12; window 7 only divides the 224-px grids).
+swinv2_large_window12_192 = _variant(192, (2, 2, 18, 2), (6, 12, 24, 48), 12)
 swinv2_micro = _variant(16, (1, 1), (2, 4), 4)  # tests only
 
 

@@ -57,6 +57,14 @@ def relative_position_index(window_size: int) -> np.ndarray:
 def window_partition(x: jax.Array, window: int) -> jax.Array:
     """(B, H, W, C) → (B·nW, window², C) (reference swinv2.py:69-86)."""
     b, h, w, c = x.shape
+    if h % window or w % window:
+        raise ValueError(
+            f"feature grid {h}x{w} is not divisible by window_size {window} "
+            f"(image size must keep every stage's grid a multiple of the "
+            f"window; the reference has the same constraint — e.g. use "
+            f"window 7 at 224 px or the *_window12_192 / *_window8_256 "
+            f"variants at their native sizes)"
+        )
     x = x.reshape(b, h // window, window, w // window, window, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(-1, window * window, c)

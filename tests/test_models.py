@@ -213,3 +213,45 @@ def test_registry_wider_families():
         assert m.num_features == feats, name
     assert factory._registry()["resnet101"](10).stage_sizes == (3, 4, 23, 3)
     assert factory._registry()["resnet152"](10).stage_sizes == (3, 8, 36, 3)
+
+
+def test_swin_variants_trace_at_native_resolutions():
+    """Every Swin registry entry traces (init + train grad) at its native
+    image size with the Pallas dispatch forced on — catches window/grid
+    divisibility and kernel BlockSpec shape breaks without TPU hardware.
+    Non-divisible combinations raise a clear error, not a reshape failure."""
+    import jax.numpy as jnp
+
+    from hvt.models import swinv2
+    from hvt.ops import window_attention as wa_mod
+
+    orig = wa_mod._pallas_available
+    wa_mod._pallas_available = lambda: True
+    try:
+        for name, img in [
+            ("swinv2_tiny", 224),
+            ("swinv2_small", 224),
+            ("swinv2_base", 224),
+            ("swinv2_large", 224),
+            ("swinv2_large_window12_192", 192),
+            ("swinv2_tiny_window8_256", 256),
+        ]:
+            model = getattr(swinv2, name)(10)
+            x = jnp.zeros((2, img, img, 3), jnp.bfloat16)
+            v = jax.eval_shape(
+                lambda m=model, x=x: m.init(jax.random.key(0), x, train=False)
+            )
+
+            def loss(p, x, m=model):
+                out = m.apply({"params": p}, x, train=True,
+                              rngs={"dropout": jax.random.key(1)})
+                return jnp.sum(out.astype(jnp.float32) ** 2)
+
+            jax.eval_shape(jax.grad(loss), v["params"], x)
+
+        with pytest.raises(ValueError, match="not divisible by window_size"):
+            model = swinv2.swinv2_large(10)  # window 7 at 192: 48 % 7 != 0
+            x = jnp.zeros((2, 192, 192, 3), jnp.bfloat16)
+            jax.eval_shape(lambda: model.init(jax.random.key(0), x, train=False))
+    finally:
+        wa_mod._pallas_available = orig
