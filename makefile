@@ -7,6 +7,12 @@ bench:
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py 8
 
+roofline:
+	python -m hvt.tools.roofline
+
+loader-bench:
+	python -m hvt.tools.loader_bench --threads 1,2,4
+
 fmt:
 	@command -v ruff >/dev/null 2>&1 && ruff format hvt tests *.py || echo "ruff not installed; skipping format"
 
