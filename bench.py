@@ -41,7 +41,7 @@ A100_SWINV2_TINY_IMAGES_PER_SEC = 760.0
 IMAGE_SIZE = int(os.environ.get("HVT_BENCH_IMAGE_SIZE", 224))
 NUM_CLASSES = 10000  # iNat21
 WARMUP_STEPS = 5
-MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 20))
+MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 50))
 
 
 def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
