@@ -53,14 +53,37 @@ def _resolve_weights(config, variables, use_ema: bool):
     return params, jax.device_get(variables.get("batch_stats", {}))
 
 
+def _top_down_decode(tier_logits, lookups):
+    """Constrained hierarchical decode: per-tier argmax where each tier's
+    candidates are restricted to children of the previous tier's prediction
+    (the constrained top-down rule of the reference's hierarchical nearest
+    centroid, reference hierarchy.py:538-597, applied to logits). Returns
+    (tier_preds list, masked fine-tier logits)."""
+    neg = jnp.float32(-1e30)
+    preds = [jnp.argmax(tier_logits[0].astype(jnp.float32), axis=-1)]
+    masked = tier_logits[0].astype(jnp.float32)
+    for t in range(1, len(tier_logits)):
+        parents = jnp.asarray(lookups[t - 1])  # (n_t,) child → parent idx
+        allowed = parents[None, :] == preds[-1][:, None]
+        masked = jnp.where(allowed, tier_logits[t].astype(jnp.float32), neg)
+        preds.append(jnp.argmax(masked, axis=-1))
+    return preds, masked
+
+
 def predict(
     config: config_lib.Config,
     *,
     topk: int = 5,
     use_ema: bool = True,
+    hierarchical: bool = False,
     limit_batches: Optional[int] = None,
 ):
-    """Run inference over the eval split; yields one dict per image."""
+    """Run inference over the eval split; yields one dict per image.
+
+    ``hierarchical`` (multitask models only): decode top-down with the
+    parent constraint — tier t's prediction is the best class among the
+    children of tier t-1's prediction; top-k/probs then come from the
+    constrained species tier."""
     loader, info = build_loader(config, is_train=False)
     model = build_model(config, info.num_classes)
     data_cfg = config.eval_dataset
@@ -82,6 +105,18 @@ def predict(
     batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
 
     k = min(topk, info.fine_grained_num_classes)
+    classes = getattr(loader.dataset, "classes", ())
+    if hierarchical:
+        if not isinstance(info.num_classes, tuple):
+            raise ValueError(
+                "hierarchical decoding needs a multitask model "
+                "(hierarchy.variant: multitask)"
+            )
+        from hvt import hierarchy as hierarchy_lib
+
+        lookups = hierarchy_lib.parent_lookup_from_classes(classes)
+    else:
+        lookups = None
 
     @jax.jit
     def step(params, batch_stats, images):
@@ -90,21 +125,27 @@ def predict(
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, x, train=False)
-        if isinstance(out, (list, tuple)):  # multitask head → fine tier
-            out = out[-1]
+        tiers = None
+        if isinstance(out, (list, tuple)):  # multitask head
+            if lookups is not None:
+                tier_preds, masked = _top_down_decode(out, lookups)
+                tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
+                out = masked  # constrained fine-tier logits
+            else:
+                out = out[-1]
         probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
         top_p, top_i = jax.lax.top_k(probs, k)
-        return top_i, top_p
+        return top_i, top_p, tiers
 
-    classes = getattr(loader.dataset, "classes", ())
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if limit_batches is not None and batch_idx >= limit_batches:
             break
         images = jax.device_put(batch.images, sharded)
-        top_i, top_p = step(params, batch_stats, images)
+        top_i, top_p, tiers = step(params, batch_stats, images)
         top_i, top_p = np.asarray(top_i), np.asarray(top_p)
+        tiers = None if tiers is None else np.asarray(tiers)
         for row in range(batch.images.shape[0]):
             if batch.mask[row] <= 0:
                 continue
@@ -113,6 +154,8 @@ def predict(
                 "class_ids": [int(i) for i in top_i[row]],
                 "probs": [round(float(p), 6) for p in top_p[row]],
             }
+            if tiers is not None:
+                rec["tier_ids"] = [int(t) for t in tiers[row]]
             label = batch.labels[row]
             rec["label"] = (
                 [int(t) for t in label] if np.ndim(label) else int(label)

@@ -214,6 +214,19 @@ def build_tree_dist_matrix(directory: str | pathlib.Path) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def parent_lookup_from_classes(classes: Sequence[str]) -> list[np.ndarray]:
+    """(N_TIERS-1) parent vectors straight from a class-name list (the same
+    construction as :func:`build_parent_label_lookup` without a disk scan —
+    used where the classes are already known, e.g. prediction)."""
+    table, num_classes = assign_tier_indices(list(classes))
+    vectors = []
+    for tier in range(1, N_TIERS):
+        vec = np.zeros((num_classes[tier],), dtype=np.int64)
+        vec[table[:, tier]] = table[:, tier - 1]
+        vectors.append(vec)
+    return vectors
+
+
 def build_parent_label_lookup(
     directory: str | pathlib.Path,
 ) -> list[np.ndarray]:
@@ -224,14 +237,7 @@ def build_parent_label_lookup(
     assignment as :func:`assign_tier_indices`).
     """
     labels = union_labels(directory)
-    table, num_classes = assign_tier_indices([lab.raw for lab in labels])
-
-    vectors = []
-    for tier in range(1, N_TIERS):
-        vec = np.zeros((num_classes[tier],), dtype=np.int64)
-        vec[table[:, tier]] = table[:, tier - 1]
-        vectors.append(vec)
-    return vectors
+    return parent_lookup_from_classes([lab.raw for lab in labels])
 
 
 # ---------------------------------------------------------------------------

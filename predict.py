@@ -26,6 +26,9 @@ if __name__ == "__main__":
     parser.add_argument("--topk", type=int, default=5)
     parser.add_argument("--raw-weights", action="store_true",
                         help="use raw (non-EMA) weights from the checkpoint")
+    parser.add_argument("--hierarchical", action="store_true",
+                        help="multitask models: top-down parent-constrained "
+                             "decode; rows gain per-tier predictions")
     parser.add_argument("--limit-batches", type=int, default=None)
     args = parser.parse_args()
     config = config_lib.load(machine=args.machine, exps=args.exp)
@@ -34,5 +37,6 @@ if __name__ == "__main__":
         args.output,
         topk=args.topk,
         use_ema=not args.raw_weights,
+        hierarchical=args.hierarchical,
         limit_batches=args.limit_batches,
     )

@@ -113,3 +113,46 @@ def test_predict_multitask_uses_fine_tier(tmp_path):
     for rec in rows:
         assert isinstance(rec["label"], list) and len(rec["label"]) == 7
         assert len(rec["class_ids"]) == 2
+
+
+def test_predict_hierarchical_top_down_consistent(tmp_path):
+    """Constrained decoding: every tier's prediction must be a child of the
+    previous tier's prediction, and the fine-tier id matches class_ids[0]."""
+    from hvt import hierarchy as hierarchy_lib
+    from hvt.downstream import predict as predict_lib
+
+    cfg = C.loads(
+        {
+            "run_name": "pred-hier",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 6,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    rows = list(predict_lib.predict(cfg, topk=2, hierarchical=True))
+    assert len(rows) == 8
+
+    from hvt.data import build_loader
+
+    loader, _ = build_loader(cfg, is_train=False)
+    lookups = hierarchy_lib.parent_lookup_from_classes(loader.dataset.classes)
+    for rec in rows:
+        tiers = rec["tier_ids"]
+        assert len(tiers) == 7
+        for t in range(1, 7):
+            assert lookups[t - 1][tiers[t]] == tiers[t - 1], (t, tiers)
+        assert rec["class_ids"][0] == tiers[-1]
+
+    # flat decode must raise without a multitask model
+    flat = C.loads(C.to_dict(cfg), {"hierarchy": {"variant": "",
+                                                  "multitask_coeffs": []}})
+    with pytest.raises(ValueError, match="multitask"):
+        list(predict_lib.predict(flat, hierarchical=True))
