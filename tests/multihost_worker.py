@@ -58,6 +58,10 @@ def main() -> None:
             "loader": {"num_workers": 1, "prefetch_batches": 1},
         }
     )
+    if pid == 0:
+        pathlib.Path(outdir, "config.json").write_text(
+            json.dumps(config_lib.to_dict(cfg))
+        )
     trainer = Trainer(cfg, log_interval=10)
     try:
         metrics = trainer.fit()
