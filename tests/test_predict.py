@@ -115,6 +115,57 @@ def test_predict_multitask_uses_fine_tier(tmp_path):
         assert len(rec["class_ids"]) == 2
 
 
+def test_predict_folder_dataset_reports_paths(tmp_path):
+    """On an ImageFolder dataset every row carries the source file path, in
+    the loader's deterministic (unshuffled) order."""
+    from PIL import Image
+
+    from hvt.downstream import predict as predict_lib
+
+    names = [
+        "00000_animalia_chordata_aves_passeriformes_corvidae_corvus_corax",
+        "00001_animalia_chordata_aves_passeriformes_corvidae_corvus_cornix",
+    ]
+    rng = np.random.default_rng(0)
+    for split, k in [("val", 3)]:
+        for name in names:
+            d = tmp_path / "ds" / split / name
+            d.mkdir(parents=True)
+            for i in range(k):
+                Image.fromarray(
+                    rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+                ).save(d / f"{i}.jpg")
+    # the folder scanner requires a train split too
+    for name in names:
+        d = tmp_path / "ds" / "train" / name
+        d.mkdir(parents=True)
+        Image.fromarray(
+            rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+        ).save(d / "0.jpg")
+
+    cfg = C.loads(
+        {
+            "run_name": "pred-folder",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"datasets": {"fix": str(tmp_path / "ds")},
+                        "save_root": str(tmp_path / "runs")},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 4},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    rows = list(predict_lib.predict(cfg, topk=1))
+    assert len(rows) == 6
+    seen = [r["path"] for r in rows]
+    assert len(set(seen)) == 6
+    for r in rows:
+        assert r["path"].endswith(".jpg")
+        # the label matches the class directory in the path
+        assert names[r["label"]] in r["path"]
+        assert r["classes"][0] in names
+
+
 def test_predict_hierarchical_top_down_consistent(tmp_path):
     """Constrained decoding: every tier's prediction must be a child of the
     previous tier's prediction, and the fine-tier id matches class_ids[0]."""
