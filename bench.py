@@ -19,11 +19,25 @@ is comparable round to round); the "workloads" map carries both models:
      "vs_baseline": N, "workloads": {"resnet50": {...}, "swinv2_tiny": {...}}}
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against fixed reference-hardware points (the reference trains on A100-class
-GPUs, slurm/train.bash:2-7): 3023 images/sec for ResNet-50 (MLPerf-class A100
-training throughput) and 760 images/sec for SwinV2-Tiny (timm-benchmark-class
-A100 train throughput for swinv2 tiny at 224 with AMP + channels-last).
-value/vs_baseline > 1 means one TPU chip outpaces one reference-class GPU.
+against **synthetic anchors**: fixed constants chosen to represent one
+reference-class GPU (the reference trains on A100-class nodes,
+slurm/train.bash:2-7), not citations of a specific published run.
+* 3023 img/s for ResNet-50 — the scale of per-A100 throughput in MLPerf v2.x
+  ResNet-50 closed-division submissions (8×A100-SXM4-80GB nodes, mixed
+  precision, LARS batch ~408/GPU; per-GPU ≈ 2.8-3.2k img/s).
+* 760 img/s for SwinV2-Tiny — the scale of timm's benchmark.py train
+  throughput for swinv2_tiny_window8_256-class models on one A100 (AMP +
+  channels-last; published timm CSVs put swin-tiny-sized models at
+  ~700-800 img/s train).
+Neither anchor is reproducible to the digit from a citation (zero-egress
+image; exact numbers vary by submission/config), so treat vs_baseline as a
+stable round-over-round scale, not a claim about a specific A100 run —
+BENCH.md "Comparison points" records this. value/vs_baseline > 1 means one
+TPU chip outpaces one reference-class GPU.
+
+Each workload is measured over HVT_BENCH_WINDOWS (default 3) windows of
+HVT_BENCH_STEPS steps; the JSON carries min/median/max so round-over-round
+deltas can be read against the noise floor. The headline value is the median.
 """
 
 import json
@@ -42,9 +56,12 @@ IMAGE_SIZE = int(os.environ.get("HVT_BENCH_IMAGE_SIZE", 224))
 NUM_CLASSES = 10000  # iNat21
 WARMUP_STEPS = 5
 MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 50))
+# Repeat the measured window so every reported number carries a spread —
+# round-over-round deltas are only meaningful against the noise floor.
+MEASURE_WINDOWS = int(os.environ.get("HVT_BENCH_WINDOWS", 3))
 
 
-def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
+def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
     """Build the full train step for one workload and time it.
 
     Timing uses a host fetch of a loss value data-dependent on every step
@@ -114,15 +131,34 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> float:
         state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
     float(stats["loss_sum"])  # true barrier (see docstring)
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
-    float(stats["loss_sum"])
-    elapsed = time.perf_counter() - t0
+    rates = []
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
+        float(stats["loss_sum"])
+        elapsed = time.perf_counter() - t0
+        rates.append(MEASURE_STEPS * batch / elapsed / n_chips)
 
     # Drop device references so the next workload starts with free HBM.
     del state, stats, images, labels, mask, base_rng
-    return MEASURE_STEPS * batch / elapsed / n_chips
+    return rates
+
+
+def _summarize(rates: list[float], baseline: float, batch_per_chip: int) -> dict:
+    med = float(np.median(rates))
+    return {
+        "value": round(med, 2),
+        "vs_baseline": round(med / baseline, 4),
+        "batch_per_chip": batch_per_chip,
+        "spread": {
+            "min": round(min(rates), 2),
+            "median": round(med, 2),
+            "max": round(max(rates), 2),
+            "windows": len(rates),
+            "steps_per_window": MEASURE_STEPS,
+        },
+    }
 
 
 def main():
@@ -140,6 +176,12 @@ def main():
     r50_args = {}
     if os.environ.get("HVT_BENCH_S2D", "1") == "1":
         r50_args["stem_s2d"] = True
+    # Selective remat experiment knob, e.g. HVT_BENCH_REMAT=1,2 (stage list).
+    if os.environ.get("HVT_BENCH_REMAT"):
+        r50_args["remat_stages"] = [
+            int(s) for s in os.environ["HVT_BENCH_REMAT"].split(",")
+        ]
+        r50_args["remat_policy"] = os.environ.get("HVT_BENCH_REMAT_POLICY", "nothing")
     r50 = measure(
         {
             "model": {"name": "resnet50", "args": r50_args},
@@ -174,25 +216,18 @@ def main():
             swin_batch,
         )
 
+    r50_summary = _summarize(r50, A100_R50_IMAGES_PER_SEC, r50_batch)
     record = {
         "metric": "resnet50_inat21_train_images_per_sec_per_chip",
-        "value": round(r50, 2),
+        "value": r50_summary["value"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(r50 / A100_R50_IMAGES_PER_SEC, 4),
-        "workloads": {
-            "resnet50": {
-                "value": round(r50, 2),
-                "vs_baseline": round(r50 / A100_R50_IMAGES_PER_SEC, 4),
-                "batch_per_chip": r50_batch,
-            },
-        },
+        "vs_baseline": r50_summary["vs_baseline"],
+        "workloads": {"resnet50": r50_summary},
     }
     if swin is not None:
-        record["workloads"]["swinv2_tiny"] = {
-            "value": round(swin, 2),
-            "vs_baseline": round(swin / A100_SWINV2_TINY_IMAGES_PER_SEC, 4),
-            "batch_per_chip": swin_batch,
-        }
+        record["workloads"]["swinv2_tiny"] = _summarize(
+            swin, A100_SWINV2_TINY_IMAGES_PER_SEC, swin_batch
+        )
     print(json.dumps(record))
 
 

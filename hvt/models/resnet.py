@@ -49,6 +49,32 @@ BN_SCALE_INITS: dict[str, Callable] = {
     "ones": nn.initializers.ones,
 }
 
+# Rematerialization policies for per-block jax.checkpoint (selective remat:
+# trade recompute FLOPs for HBM traffic on the bandwidth-bound train step —
+# see BENCH.md "bytes/step"). Convolutions are not dot_general, so the
+# dots_saveable policy still recomputes every conv; "nothing" is full
+# per-block recompute.
+REMAT_POLICIES: dict[str, Any] = {
+    "nothing": jax.checkpoint_policies.nothing_saveable,
+    "dots": jax.checkpoint_policies.dots_saveable,
+}
+
+
+def maybe_remat(block_cls, stage: int, remat_stages, remat_policy: str):
+    """Wrap a block class in nn.remat when its (1-based) stage is listed.
+
+    The lifted transform keeps the parameter tree unchanged (checkpoints are
+    interchangeable with the un-rematted model); `train` is static argnum 2
+    (self is 0).
+    """
+    if stage not in tuple(remat_stages):
+        return block_cls
+    return nn.remat(
+        block_cls,
+        static_argnums=(2,),
+        policy=REMAT_POLICIES[remat_policy],
+    )
+
 
 def make_batch_norm(
     train: bool, dtype, scale_init, bn_groups: int = 1, bn_pallas: bool = False
@@ -263,6 +289,11 @@ class ResNet(nn.Module):
     # (common.PallasBatchNorm). Off by default — XLA's conv+stats fusion
     # measures faster on TPU (see BENCH.md roofline).
     bn_pallas: bool = False
+    # Selective rematerialization: 1-based stage indices whose blocks run
+    # under jax.checkpoint (recompute activations in backward instead of
+    # saving them — a bandwidth/FLOPs trade on the HBM-bound R50 step).
+    remat_stages: Sequence[int] = ()
+    remat_policy: str = "nothing"
 
     @property
     def num_features(self) -> int:
@@ -306,9 +337,12 @@ class ResNet(nn.Module):
         total_blocks = sum(self.stage_sizes)
         block_idx = 0
         for stage, blocks in enumerate(self.stage_sizes):
+            block_cls = maybe_remat(
+                Bottleneck, stage + 1, self.remat_stages, self.remat_policy
+            )
             for block in range(blocks):
                 dp = self.stochastic_depth_rate * block_idx / max(total_blocks - 1, 1)
-                x = Bottleneck(
+                x = block_cls(
                     features=self.width * (2**stage),
                     stride=2 if stage > 0 and block == 0 else 1,
                     blurpool=self.blurpool,
@@ -382,6 +416,8 @@ def resnet50(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    remat_stages: Sequence[int] = (),
+    remat_policy: str = "nothing",
     **unused,
 ) -> ResNet:
     return ResNet(
@@ -394,6 +430,8 @@ def resnet50(
         bn_scale_init_name=bn_scale_init,
         bn_groups=bn_groups,
         bn_pallas=bn_pallas,
+        remat_stages=tuple(remat_stages),
+        remat_policy=remat_policy,
     )
 
 
@@ -421,9 +459,13 @@ def resnet101(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    remat_stages: Sequence[int] = (),
+    remat_policy: str = "nothing",
     **unused,
 ) -> "ResNet":
     return ResNet(
+        remat_stages=tuple(remat_stages),
+        remat_policy=remat_policy,
         stage_sizes=(3, 4, 23, 3),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -446,9 +488,13 @@ def resnet152(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    remat_stages: Sequence[int] = (),
+    remat_policy: str = "nothing",
     **unused,
 ) -> "ResNet":
     return ResNet(
+        remat_stages=tuple(remat_stages),
+        remat_policy=remat_policy,
         stage_sizes=(3, 8, 36, 3),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -473,6 +519,8 @@ def resnet34(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        remat_stages=tuple(unused.get("remat_stages", ())),
+        remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(3, 4, 6, 3),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -494,6 +542,8 @@ def resnet18(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        remat_stages=tuple(unused.get("remat_stages", ())),
+        remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(2, 2, 2, 2),
         num_classes=num_classes,
         blurpool=blurpool,
@@ -515,6 +565,8 @@ def resnet_micro(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        remat_stages=tuple(unused.get("remat_stages", ())),
+        remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(1, 1),
         width=8,
         num_classes=num_classes,
@@ -575,8 +627,11 @@ class BasicResNet(ResNet):
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, blocks in enumerate(self.stage_sizes):
+            block_cls = maybe_remat(
+                BasicBlock, stage + 1, self.remat_stages, self.remat_policy
+            )
             for block in range(blocks):
-                x = BasicBlock(
+                x = block_cls(
                     features=self.width * (2**stage),
                     stride=2 if stage > 0 and block == 0 else 1,
                     blurpool=self.blurpool,

@@ -31,6 +31,20 @@ def test_every_config_composes(path):
     parse_algorithms(cfg)
 
 
+def test_fixed_parity_configs_use_ghost_bn():
+    """The fixed parity configs reproduce the reference's per-GPU DDP BN
+    batches (4 GPUs, reference slurm/train.bash:2-7) via ghost BN — see
+    PARITY.md "Intentional deviations"."""
+    fixed = sorted((CONFIGS / "pretrain" / "fixed").glob("*.yaml"))
+    assert len(fixed) == 5
+    for path in fixed:
+        cfg = C.load(
+            machine="configs/machines/local.yaml",
+            exps=["configs/pretrain/inat21.yaml", str(path)],
+        )
+        assert cfg.model.args.get("bn_groups") == 4, path
+
+
 def test_recipe_stack_composes_with_pretrain():
     for recipe in ("mild", "medium", "hot"):
         cfg = C.load(
