@@ -116,6 +116,14 @@ class Loader:
 
     # -- sample order -------------------------------------------------------
 
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        """The dataset indices this host visits in `epoch`, in batch order.
+
+        Pure function of (seed, epoch) — consumers that only need labels
+        (e.g. hvt.downstream.features) read `dataset.labels[epoch_indices(e)]`
+        instead of decoding every image."""
+        return self._epoch_indices(epoch)
+
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:

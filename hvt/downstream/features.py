@@ -74,9 +74,9 @@ def extract_features(
     kind: str,
     hierarchical_labels: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """→ (features (N, D), labels (N,) or (N, 7)). Cached on disk; labels are
-    re-scanned each call (they're cheap), matching reference
-    linear_probe.py:132-141."""
+    """→ (features (N, D), labels (N,) or (N, 7)). Features cached on disk;
+    labels come from the folder scan (no decode), in the same epoch-0 order
+    the features were extracted in."""
     # The loaders pad the final batch; mask rows are dropped at the end.
     cfg_dict = config_lib.to_dict(config)
     if hierarchical_labels:
@@ -87,10 +87,11 @@ def extract_features(
     loader_cfg = config_lib.loads(cfg_dict)
 
     loader, _info = build_loader(loader_cfg, is_train=is_train)
-    labels_parts = [
-        batch.labels[batch.mask > 0] for batch in loader.epoch(0)
-    ]
-    labels = np.concatenate(labels_parts, axis=0)
+    # Labels come straight from the scanned dataset in epoch-0 batch order —
+    # no image is decoded for them (the reference wastefully decodes the whole
+    # split just to collect labels, reference linear_probe.py:129-141; on a
+    # cache hit hvt opens no image at all).
+    labels = np.asarray(loader.dataset.labels)[loader.epoch_indices(0)]
 
     cache = cache_path(config, kind, is_train)
     if os.path.isfile(cache):

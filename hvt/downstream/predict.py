@@ -58,16 +58,19 @@ def _top_down_decode(tier_logits, lookups):
     candidates are restricted to children of the previous tier's prediction
     (the constrained top-down rule of the reference's hierarchical nearest
     centroid, reference hierarchy.py:538-597, applied to logits). Returns
-    (tier_preds list, masked fine-tier logits)."""
+    (tier_preds list, masked fine-tier logits, per-row allowed-child count
+    of the fine tier)."""
     neg = jnp.float32(-1e30)
     preds = [jnp.argmax(tier_logits[0].astype(jnp.float32), axis=-1)]
     masked = tier_logits[0].astype(jnp.float32)
+    n_allowed = jnp.full(masked.shape[:1], masked.shape[-1], jnp.int32)
     for t in range(1, len(tier_logits)):
         parents = jnp.asarray(lookups[t - 1])  # (n_t,) child → parent idx
         allowed = parents[None, :] == preds[-1][:, None]
         masked = jnp.where(allowed, tier_logits[t].astype(jnp.float32), neg)
         preds.append(jnp.argmax(masked, axis=-1))
-    return preds, masked
+        n_allowed = allowed.sum(axis=-1).astype(jnp.int32)
+    return preds, masked, n_allowed
 
 
 def predict(
@@ -114,6 +117,19 @@ def predict(
             )
         from hvt import hierarchy as hierarchy_lib
 
+        # A multitask model can be trained on non-hierarchy-named folders;
+        # in that case the parent lookup below would silently build garbage
+        # (or crash deep in assign_tier_indices), so validate the class-name
+        # format first (reference hierarchy.py:242-286 taxonomy dirnames).
+        try:
+            for name in classes:
+                hierarchy_lib.HierarchicalLabel.parse(name)
+        except (ValueError, AssertionError) as e:
+            raise ValueError(
+                "hierarchical decoding needs taxonomy-formatted class "
+                "directory names ('<index>_<kingdom>_..._<species>', "
+                f"reference hierarchy.py:242-286); got {name!r}"
+            ) from e
         lookups = hierarchy_lib.parent_lookup_from_classes(classes)
     else:
         lookups = None
@@ -125,17 +141,17 @@ def predict(
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, x, train=False)
-        tiers = None
+        tiers = n_allowed = None
         if isinstance(out, (list, tuple)):  # multitask head
             if lookups is not None:
-                tier_preds, masked = _top_down_decode(out, lookups)
+                tier_preds, masked, n_allowed = _top_down_decode(out, lookups)
                 tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
                 out = masked  # constrained fine-tier logits
             else:
                 out = out[-1]
         probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
         top_p, top_i = jax.lax.top_k(probs, k)
-        return top_i, top_p, tiers
+        return top_i, top_p, tiers, n_allowed
 
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)
@@ -143,16 +159,21 @@ def predict(
         if limit_batches is not None and batch_idx >= limit_batches:
             break
         images = jax.device_put(batch.images, sharded)
-        top_i, top_p, tiers = step(params, batch_stats, images)
+        top_i, top_p, tiers, n_allowed = step(params, batch_stats, images)
         top_i, top_p = np.asarray(top_i), np.asarray(top_p)
         tiers = None if tiers is None else np.asarray(tiers)
+        n_allowed = None if n_allowed is None else np.asarray(n_allowed)
         for row in range(batch.images.shape[0]):
             if batch.mask[row] <= 0:
                 continue
+            # Hierarchical decode: when the predicted parent has fewer than k
+            # children, top_k pads with out-of-branch classes at ~0
+            # probability — trim to the branch's actual child count.
+            kk = k if n_allowed is None else min(k, int(n_allowed[row]))
             rec = {
-                "classes": [classes[i] if classes else int(i) for i in top_i[row]],
-                "class_ids": [int(i) for i in top_i[row]],
-                "probs": [round(float(p), 6) for p in top_p[row]],
+                "classes": [classes[i] if classes else int(i) for i in top_i[row][:kk]],
+                "class_ids": [int(i) for i in top_i[row][:kk]],
+                "probs": [round(float(p), 6) for p in top_p[row][:kk]],
             }
             if tiers is not None:
                 rec["tier_ids"] = [int(t) for t in tiers[row]]

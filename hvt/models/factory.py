@@ -64,13 +64,36 @@ def build_model(config, num_classes: Union[int, tuple[int, ...]]):
 
     registry = _registry()
     name = config.model.name
-    if name not in registry:
+    if name in registry:
+        builder = registry[name]
+    elif ":" in name:
+        # Open-name escape hatch, the analog of the reference accepting any
+        # timm string (reference models.py:16-25): ``module.path:symbol``
+        # resolves by import to a builder with the registry signature
+        # ``builder(num_classes, **kwargs) -> flax module``.
+        import importlib
+
+        module_name, _, symbol = name.partition(":")
+        try:
+            module = importlib.import_module(module_name)
+        except ImportError as e:
+            raise ValueError(
+                f"model {name!r}: cannot import module {module_name!r}"
+            ) from e
+        builder = getattr(module, symbol, None)
+        if not callable(builder):
+            raise ValueError(
+                f"model {name!r}: {module_name}.{symbol} is not a callable "
+                "model builder (expected builder(num_classes, **kwargs))"
+            )
+    else:
         raise ValueError(
             f"unknown model {name!r}. The reference resolves model names "
             "through timm (reference models.py:16-25); hvt ships native flax "
             f"implementations of the models its configs use: {sorted(registry)}. "
-            "For another architecture, add a flax implementation to "
-            "hvt/models/ and register it in hvt.models.factory._registry."
+            "For another architecture, register a flax implementation in "
+            "hvt.models.factory._registry, or use the open-name form "
+            "'module.path:symbol' to resolve a builder by import."
         )
 
     blurpool = any(a.cls == "BlurPool" for a in config.algorithms)
@@ -86,7 +109,7 @@ def build_model(config, num_classes: Union[int, tuple[int, ...]]):
                 kwargs.setdefault(
                     "drop_path_rate", float(algo.args.get("drop_rate", 0.1))
                 )
-    return registry[name](num_classes, blurpool=blurpool, **kwargs)
+    return builder(num_classes, blurpool=blurpool, **kwargs)
 
 
 def features_only(config) -> bool:

@@ -117,18 +117,25 @@ class RunLogger:
 
         The reference uploads every checkpoint as an artifact with
         ``latest``/``ep{N}-ba{M}`` aliases (reference monkey_patch.py:33-91);
-        downstream runs consume them through ``wandb://`` URIs. No-ops
-        (returning False) on non-zero ranks and when no run exists.
+        downstream runs consume them through ``wandb://`` URIs. Its uploader
+        skips ``.txt`` files and symlinks (reference monkey_patch.py:76-80) —
+        mirrored here for directory uploads. No-ops (returning False) on
+        non-zero ranks and when no run exists.
         """
         if self._wandb_run is None:
+            return False
+        path = pathlib.Path(path)
+        if path.is_symlink() or path.suffix == ".txt":
             return False
         artifact = wandb.Artifact(
             name=name, type=artifact_type,
             metadata={"timestamp": time.time(), **(metadata or {})},
         )
-        path = pathlib.Path(path)
         if path.is_dir():
-            artifact.add_dir(str(path))
+            for sub in sorted(path.rglob("*")):
+                if sub.is_symlink() or sub.suffix == ".txt" or not sub.is_file():
+                    continue
+                artifact.add_file(str(sub), name=str(sub.relative_to(path)))
         else:
             artifact.add_file(str(path))
         self._wandb_run.log_artifact(artifact, aliases=list(aliases or []))

@@ -104,8 +104,8 @@ class _FakeArtifact:
     def add_dir(self, p):
         self.dirs.append(p)
 
-    def add_file(self, p):
-        self.files.append(p)
+    def add_file(self, p, name=None):
+        self.files.append((p, name))
 
 
 class _FakeWandb:
@@ -138,10 +138,21 @@ def test_runlogger_wandb_metrics_and_artifact(tmp_path, monkeypatch):
     assert logger.run_info == {"entity": "ent", "project": "proj", "run_id": "run123"}
     logger.log(3, {"acc@1": 0.5}, prefix="eval")
     (ckdir := tmp_path / "checkpoints" / "7").mkdir(parents=True)
+    # The uploader skips .txt files and symlinks like the reference's
+    # (reference monkey_patch.py:76-80); everything else uploads with
+    # directory-relative names.
+    (ckdir / "weights.ckpt").write_bytes(b"w")
+    (sub := ckdir / "state").mkdir()
+    (sub / "opt.msgpack").write_bytes(b"o")
+    (ckdir / "notes.txt").write_text("skip me")
+    (ckdir / "latest-link").symlink_to(ckdir / "weights.ckpt")
     assert logger.log_artifact(
         ckdir, name="myrun-checkpoints", aliases=["latest", "ep1-ba7"],
         metadata={"step": 7},
     )
+    # whole-artifact skip rules: a .txt or symlink top-level path is refused
+    (txt := tmp_path / "alone.txt").write_text("x")
+    assert not logger.log_artifact(txt, name="nope")
     logger.close()
 
     run = fake.runs[0]
@@ -149,7 +160,11 @@ def test_runlogger_wandb_metrics_and_artifact(tmp_path, monkeypatch):
     artifact, aliases = run.artifacts[0]
     assert aliases == ["latest", "ep1-ba7"]
     assert artifact.name == "myrun-checkpoints"
-    assert artifact.dirs == [str(ckdir)]
+    assert artifact.dirs == []  # files added individually (skip rules apply)
+    assert sorted(name for _, name in artifact.files) == [
+        "state/opt.msgpack", "weights.ckpt",
+    ]
+    assert len(run.artifacts) == 1  # the .txt upload was refused
     assert artifact.metadata["step"] == 7 and "timestamp" in artifact.metadata
     assert run.finished
 

@@ -60,6 +60,25 @@ def test_extract_features_and_cache(ds_root, tmp_path):
     np.testing.assert_array_equal(feats, feats2)
 
 
+def test_cached_features_decode_no_images(ds_root, tmp_path, monkeypatch):
+    """On a cache hit no image is opened at all — labels come from the folder
+    scan, not a decode pass (the reference decodes the whole split for labels,
+    reference linear_probe.py:129-141)."""
+    cfg = _probe_config(ds_root, tmp_path)
+    feats, labels = F.extract_features(cfg, is_train=True, kind="linear-probe")
+
+    def boom(*a, **k):
+        raise AssertionError("image decode attempted on a feature-cache hit")
+
+    monkeypatch.setattr("PIL.Image.open", boom)
+    monkeypatch.setattr("hvt.data.native.load_batch", boom)
+    feats2, labels2 = F.extract_features(cfg, is_train=True, kind="linear-probe")
+    np.testing.assert_array_equal(feats, feats2)
+    np.testing.assert_array_equal(labels, labels2)
+    # label order still matches the feature extraction order (seeded epoch 0)
+    assert labels2.shape == (20,)
+
+
 def test_extract_features_hierarchical_labels(ds_root, tmp_path):
     cfg = _probe_config(ds_root, tmp_path, variant="simpleshot")
     _, labels = F.extract_features(

@@ -100,6 +100,24 @@ def test_factory_variants_and_errors():
     assert m2.num_classes == (2, 3)
 
 
+def test_factory_open_name_escape_hatch():
+    """'module:symbol' resolves a builder by import — the analog of the
+    reference accepting any timm string (reference models.py:16-25)."""
+    cfg = C.loads({"model": {"name": "hvt.models.resnet:resnet_micro"}})
+    m = build_model(cfg, 10)
+    assert isinstance(m, R.BasicResNet)
+    assert m.num_classes == 10
+
+    with pytest.raises(ValueError, match="cannot import"):
+        build_model(C.loads({"model": {"name": "no.such.module:thing"}}), 10)
+    with pytest.raises(ValueError, match="not a callable"):
+        build_model(
+            C.loads({"model": {"name": "hvt.models.resnet:BN_SCALE_INITS"}}), 10
+        )
+    with pytest.raises(ValueError, match="unknown model"):
+        build_model(C.loads({"model": {"name": "resnet_nano"}}), 10)
+
+
 def test_factory_blurpool_from_algorithms():
     cfg = C.loads(
         {"model": {"name": "resnet_micro"}, "algorithms": [{"cls": "BlurPool"}]}

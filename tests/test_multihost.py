@@ -35,13 +35,14 @@ def test_two_process_training(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon TPU plugin out
     env.pop("XLA_FLAGS", None)  # 1 CPU device per process
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = "/root/repo"
+    repo_root = pathlib.Path(__file__).parents[1]
+    env["PYTHONPATH"] = str(repo_root)
 
     worker = pathlib.Path(__file__).with_name("multihost_worker.py")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port), str(tmp_path)],
-            env=env, cwd="/root/repo",
+            env=env, cwd=str(repo_root),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(2)

@@ -207,3 +207,52 @@ def test_predict_hierarchical_top_down_consistent(tmp_path):
                                                   "multitask_coeffs": []}})
     with pytest.raises(ValueError, match="multitask"):
         list(predict_lib.predict(flat, hierarchical=True))
+
+    # Branch-limited top-k: every returned entry lies in the predicted
+    # parent's branch (no ~0-probability out-of-branch padding), so rows may
+    # carry fewer than k entries when the branch is small.
+    deep_rows = list(predict_lib.predict(cfg, topk=5, hierarchical=True))
+    for rec in deep_rows:
+        parent = rec["tier_ids"][-2]
+        assert 1 <= len(rec["class_ids"]) <= 5
+        assert len(rec["classes"]) == len(rec["probs"]) == len(rec["class_ids"])
+        for cid in rec["class_ids"]:
+            assert lookups[-1][cid] == parent, (cid, parent)
+
+
+def test_predict_hierarchical_rejects_bad_class_names(tmp_path, monkeypatch):
+    """--hierarchical on class names that aren't taxonomy-formatted fails with
+    a clear message instead of building a garbage parent lookup."""
+    from hvt.downstream import predict as predict_lib
+
+    cfg = C.loads(
+        {
+            "run_name": "pred-badnames",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+
+    real_build_loader = predict_lib.build_loader
+
+    def renamed_loader(config, is_train):
+        import dataclasses
+
+        loader, info = real_build_loader(config, is_train=is_train)
+        loader.dataset = dataclasses.replace(
+            loader.dataset, classes=[f"not-a-taxon-{i}" for i in range(4)]
+        )
+        return loader, info
+
+    monkeypatch.setattr(predict_lib, "build_loader", renamed_loader)
+    with pytest.raises(ValueError, match="taxonomy-formatted"):
+        list(predict_lib.predict(cfg, hierarchical=True))
