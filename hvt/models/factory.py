@@ -39,6 +39,7 @@ def _registry():
         "resnet34": resnet.resnet34,
         "resnet18": resnet.resnet18,
         "resnet_micro": resnet.resnet_micro,
+        "resnet_micro_bottleneck": resnet.resnet_micro_bottleneck,
         "swinv2_micro": _swin("swinv2_micro"),
         "swinv2_tiny": _swin("swinv2_tiny"),
         "swinv2_tiny_window8_256": _swin("swinv2_tiny_window8_256"),

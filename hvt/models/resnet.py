@@ -77,7 +77,8 @@ def maybe_remat(block_cls, stage: int, remat_stages, remat_policy: str):
 
 
 def make_batch_norm(
-    train: bool, dtype, scale_init, bn_groups: int = 1, bn_pallas: bool = False
+    train: bool, dtype, scale_init, bn_groups: int = 1, bn_pallas: bool = False,
+    bn_custom: bool = False,
 ):
     """BatchNorm flavor selector; the explicit name keeps the parameter tree
     identical across all three:
@@ -97,6 +98,22 @@ def make_batch_norm(
             epsilon=1e-5,
             dtype=dtype,
             scale_init=scale_init,
+            name="BatchNorm_0",
+        )
+    if bn_custom and not bn_pallas:
+        # Custom-VJP BatchNorm in plain jnp: identical math, but the backward
+        # recomputes x-hat from the bf16 input instead of letting AD save two
+        # full-size f32 intermediates per BN (flax's `x - mean` and the
+        # normalized product are saved in f32) — the dominant HBM traffic of
+        # the R50 train step (BENCH.md "bytes/step"). No Mosaic custom call,
+        # so XLA's conv+stats fusion is preserved.
+        return common.PallasBatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            scale_init=scale_init,
+            use_pallas=False,
             name="BatchNorm_0",
         )
     if bn_pallas:
@@ -153,6 +170,7 @@ class ConvBN(nn.Module):
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
     bn_pallas: bool = False
+    bn_custom: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -172,7 +190,8 @@ class ConvBN(nn.Module):
             kernel_init=kaiming_normal,
         )(x)
         x = make_batch_norm(
-            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas
+            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas,
+            self.bn_custom,
         )(x)
         if self.act:
             x = nn.relu(x)
@@ -199,6 +218,7 @@ class SpaceToDepthStem(nn.Module):
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
     bn_pallas: bool = False
+    bn_custom: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -224,7 +244,8 @@ class SpaceToDepthStem(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         y = make_batch_norm(
-            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas
+            train, self.dtype, self.bn_scale_init, self.bn_groups, self.bn_pallas,
+            self.bn_custom,
         )(y)
         return nn.relu(y)
 
@@ -240,6 +261,7 @@ class Bottleneck(nn.Module):
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
     bn_pallas: bool = False
+    bn_custom: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -250,6 +272,7 @@ class Bottleneck(nn.Module):
             bn_scale_init=self.bn_scale_init,
             bn_groups=self.bn_groups,
             bn_pallas=self.bn_pallas,
+            bn_custom=self.bn_custom,
         )
         out_features = self.features * 4
         shortcut = x
@@ -289,6 +312,7 @@ class ResNet(nn.Module):
     # (common.PallasBatchNorm). Off by default — XLA's conv+stats fusion
     # measures faster on TPU (see BENCH.md roofline).
     bn_pallas: bool = False
+    bn_custom: bool = False
     # Selective rematerialization: 1-based stage indices whose blocks run
     # under jax.checkpoint (recompute activations in backward instead of
     # saving them — a bandwidth/FLOPs trade on the HBM-bound R50 step).
@@ -313,7 +337,7 @@ class ResNet(nn.Module):
         if self.stem_s2d:
             x = SpaceToDepthStem(
                 self.width, dtype=self.dtype, bn_scale_init=bn_scale_init,
-                bn_groups=self.bn_groups, bn_pallas=self.bn_pallas, name="stem",
+                bn_groups=self.bn_groups, bn_pallas=self.bn_pallas, bn_custom=self.bn_custom, name="stem",
             )(x, train)
         else:
             x = ConvBN(
@@ -325,6 +349,7 @@ class ResNet(nn.Module):
                 bn_scale_init=bn_scale_init,
                 bn_groups=self.bn_groups,
                 bn_pallas=self.bn_pallas,
+                bn_custom=self.bn_custom,
                 name="stem",
             )(x, train)
         if self.blurpool:
@@ -351,6 +376,7 @@ class ResNet(nn.Module):
                     bn_scale_init=bn_scale_init,
                     bn_groups=self.bn_groups,
                     bn_pallas=self.bn_pallas,
+                    bn_custom=self.bn_custom,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
                 block_idx += 1
@@ -416,6 +442,7 @@ def resnet50(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    bn_custom: bool = False,
     remat_stages: Sequence[int] = (),
     remat_policy: str = "nothing",
     **unused,
@@ -430,6 +457,7 @@ def resnet50(
         bn_scale_init_name=bn_scale_init,
         bn_groups=bn_groups,
         bn_pallas=bn_pallas,
+        bn_custom=bn_custom,
         remat_stages=tuple(remat_stages),
         remat_policy=remat_policy,
     )
@@ -459,6 +487,7 @@ def resnet101(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    bn_custom: bool = False,
     remat_stages: Sequence[int] = (),
     remat_policy: str = "nothing",
     **unused,
@@ -467,6 +496,7 @@ def resnet101(
         remat_stages=tuple(remat_stages),
         remat_policy=remat_policy,
         stage_sizes=(3, 4, 23, 3),
+        bn_custom=bn_custom,
         num_classes=num_classes,
         blurpool=blurpool,
         stochastic_depth_rate=stochastic_depth_rate,
@@ -488,6 +518,7 @@ def resnet152(
     bn_scale_init: str = "uniform01",
     bn_groups: int = 1,
     bn_pallas: bool = False,
+    bn_custom: bool = False,
     remat_stages: Sequence[int] = (),
     remat_policy: str = "nothing",
     **unused,
@@ -496,6 +527,7 @@ def resnet152(
         remat_stages=tuple(remat_stages),
         remat_policy=remat_policy,
         stage_sizes=(3, 8, 36, 3),
+        bn_custom=bn_custom,
         num_classes=num_classes,
         blurpool=blurpool,
         stochastic_depth_rate=stochastic_depth_rate,
@@ -519,6 +551,7 @@ def resnet34(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        bn_custom=bool(unused.get("bn_custom", False)),
         remat_stages=tuple(unused.get("remat_stages", ())),
         remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(3, 4, 6, 3),
@@ -542,6 +575,7 @@ def resnet18(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        bn_custom=bool(unused.get("bn_custom", False)),
         remat_stages=tuple(unused.get("remat_stages", ())),
         remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(2, 2, 2, 2),
@@ -549,6 +583,41 @@ def resnet18(
         blurpool=blurpool,
         dtype=dtype,
         bn_scale_init_name=bn_scale_init,
+    )
+
+
+def resnet_micro_bottleneck(
+    num_classes: Union[int, tuple[int, ...]],
+    *,
+    blurpool: bool = False,
+    stochastic_depth_rate: float = 0.0,
+    stem_s2d: bool = False,
+    dtype: Any = jnp.float32,
+    bn_scale_init: str = "ones",
+    bn_groups: int = 1,
+    bn_pallas: bool = False,
+    bn_custom: bool = False,
+    remat_stages: Sequence[int] = (),
+    remat_policy: str = "nothing",
+    **unused,
+) -> ResNet:
+    """Tiny 2-stage *bottleneck* ResNet: the full resnet50 block family
+    (stochastic depth, blurpool, s2d stem) at test scale — the CI stand-in
+    for the hot-recipe composition (configs/recipes/hot.yaml)."""
+    return ResNet(
+        stage_sizes=(1, 1),
+        width=8,
+        num_classes=num_classes,
+        blurpool=blurpool,
+        stochastic_depth_rate=stochastic_depth_rate,
+        stem_s2d=stem_s2d,
+        dtype=dtype,
+        bn_scale_init_name=bn_scale_init,
+        bn_groups=bn_groups,
+        bn_pallas=bn_pallas,
+        bn_custom=bn_custom,
+        remat_stages=tuple(remat_stages),
+        remat_policy=remat_policy,
     )
 
 
@@ -565,6 +634,7 @@ def resnet_micro(
     return BasicResNet(
         bn_groups=int(unused.get("bn_groups", 1)),
         bn_pallas=bool(unused.get("bn_pallas", False)),
+        bn_custom=bool(unused.get("bn_custom", False)),
         remat_stages=tuple(unused.get("remat_stages", ())),
         remat_policy=str(unused.get("remat_policy", "nothing")),
         stage_sizes=(1, 1),
@@ -584,6 +654,7 @@ class BasicBlock(nn.Module):
     bn_scale_init: Callable = uniform01
     bn_groups: int = 1
     bn_pallas: bool = False
+    bn_custom: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -594,6 +665,7 @@ class BasicBlock(nn.Module):
             bn_scale_init=self.bn_scale_init,
             bn_groups=self.bn_groups,
             bn_pallas=self.bn_pallas,
+            bn_custom=self.bn_custom,
         )
         shortcut = x
         if x.shape[-1] != self.features or self.stride != 1:
@@ -619,7 +691,7 @@ class BasicResNet(ResNet):
         x = ConvBN(
             self.width, 7, stride=2, dtype=self.dtype,
             bn_scale_init=bn_scale_init, bn_groups=self.bn_groups,
-            bn_pallas=self.bn_pallas, name="stem",
+            bn_pallas=self.bn_pallas, bn_custom=self.bn_custom, name="stem",
         )(x, train)
         if self.blurpool:
             x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
@@ -639,6 +711,7 @@ class BasicResNet(ResNet):
                     bn_scale_init=bn_scale_init,
                     bn_groups=self.bn_groups,
                     bn_pallas=self.bn_pallas,
+                    bn_custom=self.bn_custom,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
         x = jnp.mean(x, axis=(1, 2))

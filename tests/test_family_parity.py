@@ -1,0 +1,309 @@
+"""Family-scale training parity vs torch (SURVEY.md §7 "Numerical parity").
+
+test_torch_parity.py pins the conv/BN/SGD/label-smoothing composition on a
+generic TinyNet; these tests pin the *model families* themselves:
+
+* the ResNet block family **including BlurPool** (anti-aliased stem maxpool,
+  blurred strided convs, blurred downsample shortcut — Composer's BlurPool
+  surgery, reference algorithmic.py:11-17) trained for 10 steps against a
+  hand-built torch twin — losses, final parameters, and BN running stats;
+* the SwinV2 family: hvt's flax module and the reference's own vendored torch
+  module (reference swinv2.py:390-436) driven through 5 AdamW steps from
+  identical weights — per-step loss trajectories and final parameters.
+
+Both run at f32 on CPU (tests/conftest.py pins the cpu backend; on the axon
+TPU f32 matmuls take bf16 MXU passes, so parity must be checked here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+import torch.nn.functional as TF
+
+from hvt import config as C
+from hvt import objectives
+from hvt.models import resnet as R
+from hvt.train import optim as optim_lib
+
+CLASSES = 4
+
+
+# --------------------------------------------------------------------------
+# ResNet family + BlurPool
+# --------------------------------------------------------------------------
+
+
+class TorchBlur(torch.nn.Module):
+    """Depthwise 3×3 binomial blur — the torch twin of resnet.blur_2d."""
+
+    def __init__(self, channels: int, stride: int = 1):
+        super().__init__()
+        k = torch.tensor([1.0, 2.0, 1.0])
+        k2 = torch.outer(k, k)
+        k2 = (k2 / k2.sum()).expand(channels, 1, 3, 3).clone()
+        self.register_buffer("weight", k2)
+        self.stride = stride
+        self.channels = channels
+
+    def forward(self, x):
+        return TF.conv2d(
+            x, self.weight, stride=self.stride, padding=1, groups=self.channels
+        )
+
+
+class TorchMicroBlurResNet(torch.nn.Module):
+    """Torch twin of resnet_micro(blurpool=True): BasicResNet((1, 1), width 8)
+    with the BlurPool rewrites (stride-1 maxpool + blurred subsample; blur
+    before every strided conv, including the downsample shortcut)."""
+
+    def __init__(self):
+        super().__init__()
+        bn = lambda c: torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)  # noqa: E731
+        self.stem_conv = torch.nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+        self.stem_bn = bn(8)
+        self.pool_blur = TorchBlur(8, stride=2)
+        # stage1_block0: 8 -> 8, stride 1 (no blur triggered)
+        self.b1_conv1 = torch.nn.Conv2d(8, 8, 3, padding=1, bias=False)
+        self.b1_bn1 = bn(8)
+        self.b1_conv2 = torch.nn.Conv2d(8, 8, 3, padding=1, bias=False)
+        self.b1_bn2 = bn(8)
+        # stage2_block0: 8 -> 16, stride 2, blurred
+        self.b2_blur = TorchBlur(8, stride=1)
+        self.b2_conv1 = torch.nn.Conv2d(8, 16, 3, stride=2, padding=1, bias=False)
+        self.b2_bn1 = bn(16)
+        self.b2_conv2 = torch.nn.Conv2d(16, 16, 3, padding=1, bias=False)
+        self.b2_bn2 = bn(16)
+        self.ds_blur = TorchBlur(8, stride=1)
+        self.ds_conv = torch.nn.Conv2d(8, 16, 1, stride=2, bias=False)
+        self.ds_bn = bn(16)
+        self.head = torch.nn.Linear(16, CLASSES)
+
+    def forward(self, x):
+        x = torch.relu(self.stem_bn(self.stem_conv(x)))
+        x = TF.max_pool2d(x, 3, stride=1, padding=1)
+        x = self.pool_blur(x)
+        y = torch.relu(self.b1_bn1(self.b1_conv1(x)))
+        y = self.b1_bn2(self.b1_conv2(y))
+        x = torch.relu(y + x)
+        sc = self.ds_bn(self.ds_conv(self.ds_blur(x)))
+        y = torch.relu(self.b2_bn1(self.b2_conv1(self.b2_blur(x))))
+        y = self.b2_bn2(self.b2_conv2(y))
+        x = torch.relu(y + sc)
+        x = x.mean(dim=(2, 3))
+        return self.head(x)
+
+
+def _copy_convbn(tconv, tbn, fparams, fstats=None):
+    with torch.no_grad():
+        tconv.weight.copy_(
+            torch.tensor(np.asarray(fparams["Conv_0"]["kernel"]).transpose(3, 2, 0, 1))
+        )
+        tbn.weight.copy_(torch.tensor(np.asarray(fparams["BatchNorm_0"]["scale"])))
+        tbn.bias.copy_(torch.tensor(np.asarray(fparams["BatchNorm_0"]["bias"])))
+
+
+def test_resnet_blurpool_family_ten_steps_match_torch():
+    STEPS, B = 10, 8
+    LR, MOM, WD, SMOOTH = 0.05, 0.9, 0.01, 0.1
+    rng = np.random.default_rng(0)
+    data = [
+        (
+            rng.normal(size=(B, 32, 32, 3)).astype(np.float32),
+            rng.integers(0, CLASSES, (B,), dtype=np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    model = R.resnet_micro(CLASSES, blurpool=True, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(data[0][0]), train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    cfg = C.loads({"optim": {"name": "sgd", "lr": LR, "momentum": MOM,
+                             "weight_decay": WD}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, labels):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"],
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            smoothed = onehot * (1 - SMOOTH) + SMOOTH / CLASSES
+            loss = objectives.soft_cross_entropy(
+                logits, smoothed, jnp.ones((labels.shape[0],))
+            )
+            return loss, upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    tnet = TorchMicroBlurResNet()
+    _copy_convbn(tnet.stem_conv, tnet.stem_bn, params["stem"])
+    b1 = params["stage1_block0"]
+    _copy_convbn(tnet.b1_conv1, tnet.b1_bn1, b1["conv1"])
+    _copy_convbn(tnet.b1_conv2, tnet.b1_bn2, b1["conv2"])
+    b2 = params["stage2_block0"]
+    _copy_convbn(tnet.b2_conv1, tnet.b2_bn1, b2["conv1"])
+    _copy_convbn(tnet.b2_conv2, tnet.b2_bn2, b2["conv2"])
+    _copy_convbn(tnet.ds_conv, tnet.ds_bn, b2["downsample"])
+    with torch.no_grad():
+        tnet.head.weight.copy_(torch.tensor(np.asarray(params["head"]["kernel"]).T))
+        tnet.head.bias.copy_(torch.tensor(np.asarray(params["head"]["bias"])))
+
+    # forward parity before training (eval mode: fresh running stats)
+    tnet.eval()
+    with torch.no_grad():
+        want = tnet(torch.tensor(data[0][0].transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(data[0][0]), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    tnet.train()
+
+    # reference no-decay grouping (reference optim.py:48-58)
+    decay, no_decay = [], []
+    for name, p in tnet.named_parameters():
+        (no_decay if (p.ndim <= 1 or name.endswith(".bias")) else decay).append(p)
+    topt = torch.optim.SGD(
+        [{"params": decay, "weight_decay": WD},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR, momentum=MOM, nesterov=True,
+    )
+
+    losses_j, losses_t = [], []
+    for images, labels in data:
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses_j.append(float(loss))
+
+        topt.zero_grad()
+        logits = tnet(torch.tensor(images.transpose(0, 3, 1, 2)))
+        tloss = TF.cross_entropy(logits, torch.tensor(labels),
+                                 label_smoothing=SMOOTH)
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-3)
+
+    # Final parameters + BN running statistics agree. Momentum accumulates
+    # f32 reduction-order differences over 10 steps, so the state tolerance
+    # is looser than the per-step loss one (losses pin the dynamics).
+    np.testing.assert_allclose(
+        np.asarray(params["stem"]["Conv_0"]["kernel"]).transpose(3, 2, 0, 1),
+        tnet.stem_conv.weight.detach().numpy(), rtol=2e-3, atol=4e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["stage2_block0"]["downsample"]["Conv_0"]["kernel"])
+        .transpose(3, 2, 0, 1),
+        tnet.ds_conv.weight.detach().numpy(), rtol=2e-3, atol=4e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch_stats["stage2_block0"]["conv1"]["BatchNorm_0"]["mean"]),
+        tnet.b2_bn1.running_mean.numpy(), rtol=2e-3, atol=4e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(batch_stats["stage2_block0"]["conv1"]["BatchNorm_0"]["var"]),
+        tnet.b2_bn1.running_var.numpy(), rtol=4e-3, atol=4e-3,
+    )
+
+
+# --------------------------------------------------------------------------
+# SwinV2 family: optimizer-driven trajectory vs the reference torch module
+# --------------------------------------------------------------------------
+
+
+def test_swin_five_adamw_steps_match_reference():
+    import test_swinv2 as TS
+
+    STEPS, B = 5, 4
+    LR, WD = 1e-3, 0.05
+    ref, ours, params = TS._make_pair(num_classes=CLASSES, seed=1)
+    ref.train()  # all drop rates are 0 — deterministic either way
+
+    rng = np.random.default_rng(3)
+    data = [
+        (
+            rng.normal(size=(B, TS.IMG, TS.IMG, 3)).astype(np.float32),
+            rng.integers(0, CLASSES, (B,), dtype=np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    no_decay_subs = tuple(getattr(ours, "no_weight_decay_substrings", ()))
+    cfg = C.loads({"optim": {"name": "adamw", "lr": LR, "weight_decay": WD}})
+    tx = optim_lib.build_optimizer(
+        cfg.optim, lambda s: jnp.asarray(1.0), no_decay_substrings=no_decay_subs
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = ours.apply(
+                {"params": p}, images, train=True,
+                rngs={"dropout": jax.random.key(0)},
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            return objectives.soft_cross_entropy(
+                logits, onehot, jnp.ones((labels.shape[0],))
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    # torch twin optimizer with the reference's no-decay grouping
+    # (reference optim.py:48-58 + swinv2.py:810-816 keyword exemptions)
+    skip_names = set(ref.no_weight_decay())
+    skip_keywords = set(ref.no_weight_decay_keywords())
+    decay, no_decay = [], []
+    for name, p in ref.named_parameters():
+        if (
+            p.ndim <= 1
+            or name.endswith(".bias")
+            or name in skip_names
+            or any(k in name for k in skip_keywords)
+        ):
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    topt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": WD},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR,
+    )
+
+    losses_j, losses_t = [], []
+    for images, labels in data:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses_j.append(float(loss))
+
+        topt.zero_grad()
+        logits = ref(torch.tensor(images.transpose(0, 3, 1, 2)))
+        tloss = TF.cross_entropy(logits, torch.tensor(labels))
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+
+    # per-step trajectories agree at f32 (directive: <= 1e-3 relative)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-3)
+
+    # final parameters agree on representative tensors across the net
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]).T,
+        sd["head.weight"].numpy(), rtol=2e-3, atol=2e-4,
+    )
+    got_qkv = np.asarray(params["stage0_block0"]["attn"]["qkv_kernel"]).T
+    np.testing.assert_allclose(
+        got_qkv, sd["layers.0.blocks.0.attn.qkv.weight"].numpy(),
+        rtol=2e-3, atol=1e-3,
+    )
