@@ -176,10 +176,11 @@ def main():
     r50_args = {}
     if os.environ.get("HVT_BENCH_S2D", "1") == "1":
         r50_args["stem_s2d"] = True
-    # Custom-VJP BatchNorm (saves one bf16 residual per BN instead of two
-    # f32 AD intermediates — see BENCH.md "bytes/step"). HVT_BENCH_BN=flax
-    # reverts to flax nn.BatchNorm.
-    if os.environ.get("HVT_BENCH_BN", "custom") == "custom":
+    # Custom-VJP BatchNorm ablation (saves one bf16 residual per BN instead
+    # of two f32 AD intermediates). Measured NEUTRAL (99.4 vs 99.3 ms/step):
+    # XLA already converts the f32 AD saves to bf16 in the compiled program —
+    # see BENCH.md "bytes/step". Default off, matching the Trainer.
+    if os.environ.get("HVT_BENCH_BN", "flax") == "custom":
         r50_args["bn_custom"] = True
     # Selective remat experiment knob, e.g. HVT_BENCH_REMAT=1,2 (stage list).
     if os.environ.get("HVT_BENCH_REMAT"):
