@@ -127,6 +127,95 @@ def convert_swin_state_dict(
     return params
 
 
+def export_swin_state_dict(params: Mapping) -> dict[str, np.ndarray]:
+    """hvt.models.swinv2 flax params tree → torch SwinV2 state dict.
+
+    The exact inverse of :func:`convert_swin_state_dict`, so hvt-trained
+    SwinV2 weights round-trip into the Microsoft/reference torch format
+    (reference swinv2.py:870-895 consumes these via ``swin://``) — a user of
+    the reference can take an hvt checkpoint back to their torch tooling.
+    Derived buffers (relative_position_index, relative_coords_table) are
+    non-persistent in the reference and are not emitted.
+    """
+    params = jax_to_np(params)
+    sd: dict[str, np.ndarray] = {}
+
+    def dense(prefix, leaf, has_bias=True):
+        sd[f"{prefix}.weight"] = leaf["kernel"].T
+        if has_bias:
+            sd[f"{prefix}.bias"] = leaf["bias"]
+
+    def norm(prefix, leaf):
+        sd[f"{prefix}.weight"] = leaf["scale"]
+        sd[f"{prefix}.bias"] = leaf["bias"]
+
+    sd["patch_embed.proj.weight"] = params["patch_embed"]["kernel"].transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = params["patch_embed"]["bias"]
+    if "patch_norm" in params:
+        norm("patch_embed.norm", params["patch_norm"])
+    if "absolute_pos_embed" in params:
+        ape = params["absolute_pos_embed"]  # (1, H, W, C)
+        sd["absolute_pos_embed"] = ape.reshape(1, -1, ape.shape[-1])
+
+    block_pat = re.compile(r"^stage(\d+)_block(\d+)$")
+    merge_pat = re.compile(r"^stage(\d+)_merge$")
+    for key, leaf in params.items():
+        m = block_pat.match(key)
+        if m:
+            s, i = m.group(1), m.group(2)
+            p = f"layers.{s}.blocks.{i}"
+            norm(f"{p}.norm1", leaf["norm1"])
+            norm(f"{p}.norm2", leaf["norm2"])
+            attn = leaf["attn"]
+            sd[f"{p}.attn.qkv.weight"] = attn["qkv_kernel"].T
+            sd[f"{p}.attn.q_bias"] = attn["q_bias"]
+            sd[f"{p}.attn.v_bias"] = attn["v_bias"]
+            sd[f"{p}.attn.logit_scale"] = attn["logit_scale"]
+            sd[f"{p}.attn.cpb_mlp.0.weight"] = attn["cpb_w1"].T
+            sd[f"{p}.attn.cpb_mlp.0.bias"] = attn["cpb_b1"]
+            sd[f"{p}.attn.cpb_mlp.2.weight"] = attn["cpb_w2"].T
+            dense(f"{p}.attn.proj", attn["proj"])
+            dense(f"{p}.mlp.fc1", leaf["mlp"]["fc1"])
+            dense(f"{p}.mlp.fc2", leaf["mlp"]["fc2"])
+            continue
+        m = merge_pat.match(key)
+        if m:
+            s = m.group(1)
+            dense(f"layers.{s}.downsample.reduction", leaf["reduction"], has_bias=False)
+            norm(f"layers.{s}.downsample.norm", leaf["norm"])
+
+    norm("norm", params["norm"])
+    head = params.get("head")
+    if head is not None:
+        if "kernel" in head:
+            dense("head", head)
+        else:
+            t = 0
+            while f"tier{t}" in head:
+                dense(f"head.heads.{t}", head[f"tier{t}"])
+                t += 1
+    return sd
+
+
+def jax_to_np(tree):
+    """Recursively materialize a (possibly device-resident) param tree as
+    host numpy, preserving the dict structure."""
+    if isinstance(tree, Mapping):
+        return {k: jax_to_np(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def save_swin_checkpoint(params: Mapping, path: str) -> None:
+    """Write an hvt Swin params tree as a reference-format ``.pt`` file
+    (``{"model": state_dict}``, reference swinv2.py:883-885) loadable by the
+    reference's Checkpoint parser and by hvt's own ``swin://`` URIs."""
+    import torch
+
+    sd = {k: torch.tensor(np.asarray(v, np.float32))
+          for k, v in export_swin_state_dict(params).items()}
+    torch.save({"model": sd}, path)
+
+
 def load_swin_checkpoint(uri: str, depths: tuple[int, ...] | None = None) -> dict:
     """swin://path → flax params. The .pt file holds {"model": state_dict}
     (reference swinv2.py:883-885)."""

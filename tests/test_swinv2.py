@@ -259,3 +259,109 @@ def test_swin_uri_checkpoint_roundtrip(tmp_path):
     assert torch_compat.infer_depths(ref.state_dict()) == CFG["depths"]
     with pytest.raises(ValueError):
         torch_compat.parse_swin_uri("notswin://x")
+
+
+def test_export_swin_checkpoint_roundtrip(tmp_path):
+    """hvt → reference-format .pt → back: the export is the exact inverse of
+    the swin:// import, and the reference torch module consumes the exported
+    file directly (reference swinv2.py:870-895)."""
+    ref, ours, params = _make_pair(num_classes=5, seed=4)
+
+    # Every persistent tensor survives the flax→torch export bit-for-bit
+    # (params came from ref's own state dict, so export must reproduce it).
+    exported = torch_compat.export_swin_state_dict(params)
+    ref_sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    persistent = torch_compat.filter_buffers(ref_sd)
+    # attn_mask is registered persistently by the reference but is derived
+    # from the input resolution (reference swinv2.py:357-388) — not exported.
+    persistent = {k: v for k, v in persistent.items() if "attn_mask" not in k}
+    assert set(exported) == set(persistent)
+    for k in persistent:
+        np.testing.assert_array_equal(exported[k], persistent[k], err_msg=k)
+
+    # The saved .pt file loads through BOTH consumers:
+    path = tmp_path / "export.pt"
+    torch_compat.save_swin_checkpoint(params, str(path))
+    # 1. the reference torch module (strict on persistent keys)
+    blob = torch.load(str(path), map_location="cpu", weights_only=True)["model"]
+    missing, unexpected = ref.load_state_dict(blob, strict=False)
+    assert not unexpected
+    derived = torch_compat.NON_PERSISTENT + ("attn_mask",)
+    assert all(any(b in k for b in derived) for k in missing)
+    # 2. hvt's own swin:// importer, round-tripping to the original tree
+    again = torch_compat.load_swin_checkpoint(f"swin://{path}", CFG["depths"])
+
+    def flat(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}/"))
+            else:
+                out[f"{prefix}{k}"] = np.asarray(v)
+        return out
+
+    fa, fb = flat(params), flat(again)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=k)
+
+
+def test_export_torch_cli_from_training_checkpoint(tmp_path):
+    """Train swinv2_micro for 2 steps, export the checkpoint with the CLI
+    helper, and reload it through swin:// — EMA weights are the export."""
+    from hvt import config as C
+    from hvt import parallel
+    from hvt.tools import export_torch
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "swin-export",
+            "max_duration": "2ba",
+            "seed": 0,
+            "model": {"name": "swinv2_micro", "args": {"use_pallas": False}},
+            "machine": {"save_root": str(tmp_path)},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 16, "crop_size": 32,
+                "global_batch_size": 8, "drop_last": True, "shuffle": True,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.01},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [
+                {"cls": "EMA", "args": {"half_life": "4ba", "update_interval": "1ba"}},
+            ],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1, "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    tr.fit()
+    ema = jax.device_get(tr.state.ema_params)
+    tr.close()
+
+    ckpts = f"{tmp_path}/swin-export/checkpoints"
+    out = tmp_path / "export.pt"
+    info = export_torch.export(ckpts, str(out))
+    assert info["source"] == "ema_params"
+
+    again = torch_compat.load_swin_checkpoint(f"swin://{out}")
+    got = np.asarray(again["head"]["kernel"])
+    want = np.asarray(ema["head"]["kernel"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    # non-swin checkpoints are rejected with a clear message
+    from hvt.train import checkpoint as checkpoint_lib
+
+    orig = checkpoint_lib.load_raw
+    checkpoint_lib.load_raw = lambda uri: {"params": {"stem": {}, "head": {}}}
+    try:
+        with pytest.raises(ValueError, match="SwinV2 family"):
+            export_torch.export("whatever", str(out))
+    finally:
+        checkpoint_lib.load_raw = orig

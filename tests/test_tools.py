@@ -1,6 +1,7 @@
 """Diagnostics tools: profile_summary parsing helpers, loader_bench smoke."""
 
 import json
+import pathlib
 import subprocess
 import sys
 
@@ -32,10 +33,31 @@ def test_loader_bench_smoke(tmp_path):
         capture_output=True, text=True, timeout=300,
         env={"PATH": "/usr/bin:/bin", "HOME": "/root",
              "JAX_PLATFORMS": "cpu", "PYTHONPATH": "."},
-        cwd="/root/repo",
+        cwd=str(pathlib.Path(__file__).parents[1]),
     )
     assert out.returncode == 0, out.stderr[-2000:]
     rows = [json.loads(line) for line in out.stdout.strip().splitlines()]
     paths = {r.get("path") or r.get("skipped") for r in rows}
     assert any(r.get("path") == "pil" and r["images"] == 8 for r in rows), rows
     assert "native" in paths or any("skipped" in r for r in rows)
+
+
+def test_residuals_audit_tool():
+    """The saved-residual audit finds flax BN's f32 saves and confirms the
+    bn_custom flavor eliminates them (the BENCH.md round-3 dtype audit)."""
+    from hvt.tools import residuals as RZ
+
+    plain = RZ.audit_model("resnet_micro", batch=4, crop=32, num_classes=10)
+    f32 = sum(r.nbytes for r in plain if r.dtype == "f32")
+    assert f32 > 0
+    assert any("normalization" in r.where for r in plain)
+
+    custom = RZ.audit_model(
+        "resnet_micro", batch=4, crop=32, num_classes=10,
+        model_args={"bn_custom": True},
+    )
+    f32_custom = sum(r.nbytes for r in custom if r.dtype == "f32")
+    assert f32_custom < f32 / 10  # full-size f32 saves gone
+
+    text = RZ.summarize(plain, 4)
+    assert "MB/image" in text and "largest tensors" in text
