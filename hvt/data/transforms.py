@@ -49,19 +49,21 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((left, top, left + size, top + size))
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: int,
+def sample_crop_box(
+    w: int,
+    h: int,
     rng: np.random.Generator,
     scale: tuple[float, float] = (0.08, 1.0),
     ratio: tuple[float, float] = (3 / 4, 4 / 3),
-) -> Image.Image:
-    """torchvision-style RandomResizedCrop (reference data.py:120-122).
+) -> tuple[int, int, int, int]:
+    """RandomResizedCrop box sampling → (left, top, cw, ch).
 
-    Samples a crop area uniform in scale·area and a log-uniform aspect ratio,
-    with 10 attempts then a clamped center-crop fallback.
+    torchvision semantics (reference data.py:120-122): crop area uniform in
+    scale·area, aspect ratio log-uniform in `ratio`, 10 rejection attempts,
+    then the largest ratio-clamped center crop as fallback. Split out from
+    :func:`random_resized_crop` so the sampling distribution is testable
+    (SURVEY.md §7 'RandomResizedCrop RNG distribution matching').
     """
-    w, h = img.size
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
 
@@ -73,7 +75,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             left = int(rng.integers(0, w - cw + 1))
             top = int(rng.integers(0, h - ch + 1))
-            return img.resize((size, size), BILINEAR, box=(left, top, left + cw, top + ch))
+            return left, top, cw, ch
 
     # Fallback: largest center crop within the ratio bounds.
     in_ratio = w / h
@@ -84,6 +86,19 @@ def random_resized_crop(
     else:
         cw, ch = w, h
     left, top = (w - cw) // 2, (h - ch) // 2
+    return left, top, cw, ch
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: int,
+    rng: np.random.Generator,
+    scale: tuple[float, float] = (0.08, 1.0),
+    ratio: tuple[float, float] = (3 / 4, 4 / 3),
+) -> Image.Image:
+    """torchvision-style RandomResizedCrop (reference data.py:120-122)."""
+    w, h = img.size
+    left, top, cw, ch = sample_crop_box(w, h, rng, scale, ratio)
     return img.resize((size, size), BILINEAR, box=(left, top, left + cw, top + ch))
 
 

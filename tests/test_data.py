@@ -292,3 +292,45 @@ def test_loader_early_exit_retires_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_random_resized_crop_distribution():
+    """The crop sampler follows torchvision's RandomResizedCrop law
+    (SURVEY.md §7 parity hard part): area fraction ~ U(0.08, 1), aspect
+    ratio log-uniform in [3/4, 4/3], position uniform."""
+    rng = np.random.default_rng(0)
+    W = H = 100
+    fracs, aspects, lefts = [], [], []
+    for _ in range(4000):
+        left, top, cw, ch = T.sample_crop_box(W, H, rng)
+        assert 0 <= left <= W - cw and 0 <= top <= H - ch
+        fracs.append(cw * ch / (W * H))
+        aspects.append(cw / ch)
+        lefts.append(left / max(W - cw, 1))
+    fracs, aspects = np.asarray(fracs), np.asarray(aspects)
+    # Area fraction is drawn U(0.08, 1) but crops whose (area, aspect) pair
+    # exceeds the image are rejected and retried — exactly torchvision's
+    # acceptance law, which thins large areas (mean ≈ 0.476 on a square
+    # image, not the naive 0.54). Below frac 0.7 acceptance is ~certain, so
+    # the histogram there must be flat.
+    assert abs(fracs.mean() - 0.476) < 0.02
+    assert fracs.min() < 0.12 and fracs.max() > 0.95
+    hist, _ = np.histogram(fracs[fracs < 0.7], bins=8, range=(0.08, 0.7))
+    assert hist.min() > 0.8 * hist.mean()
+    # aspect ratio: log-uniform in [3/4, 4/3] → E[log] = 0, full support
+    logs = np.log(aspects)
+    assert abs(logs.mean()) < 0.02
+    assert aspects.min() < 0.78 and aspects.max() > 1.28
+    assert aspects.min() > 0.70 and aspects.max() < 1.40  # int rounding slack
+    # position uniform across the valid range
+    assert abs(np.mean(lefts) - 0.5) < 0.03
+
+
+def test_random_resized_crop_fallback_clamps_ratio():
+    """An extreme-aspect image exhausts the 10 attempts and takes the
+    ratio-clamped center-crop fallback (torchvision semantics)."""
+    rng = np.random.default_rng(1)
+    # 300x40: in_ratio 7.5 >> 4/3 → fallback crop (40*4/3, 40), centered
+    left, top, cw, ch = T.sample_crop_box(300, 40, rng, scale=(0.95, 1.0))
+    assert (cw, ch) == (int(round(40 * 4 / 3)), 40)
+    assert left == (300 - cw) // 2 and top == 0
