@@ -81,13 +81,17 @@ def make_batch_norm(
     bn_custom: bool = False,
 ):
     """BatchNorm flavor selector; the explicit name keeps the parameter tree
-    identical across all three:
+    identical across all four:
 
     * ``bn_groups > 1`` — per-group statistics (emulates the reference's
       per-GPU DDP BatchNorm; see common.GroupedBatchNorm).
-    * ``bn_pallas`` — common.PallasBatchNorm: Pallas channel reductions on
-      TPU, jnp custom-VJP math elsewhere. Default OFF: XLA's conv+stats
-      fusion measures faster (see PallasBatchNorm docstring / BENCH.md).
+    * ``bn_custom`` — custom-VJP jnp BatchNorm (PallasBatchNorm's jnp path):
+      same math, but the backward saves only the bf16 input + per-channel
+      stats instead of AD's two f32 intermediates. Measured perf-neutral on
+      TPU (XLA already converts the f32 saves — BENCH.md "bytes/step");
+      ships as the residual-audit ablation. ``bn_pallas`` wins if both set.
+    * ``bn_pallas`` — common.PallasBatchNorm with Pallas channel reductions.
+      Default OFF: XLA's conv+stats fusion measures faster (BENCH.md).
     * default: plain flax ``nn.BatchNorm``.
     """
     if bn_groups > 1:
