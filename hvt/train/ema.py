@@ -35,13 +35,23 @@ class EmaConfig:
 
 
 def update(cfg: EmaConfig, step: jax.Array, ema_tree, new_tree):
-    """EMA ← decay·EMA + (1-decay)·new on update steps, identity otherwise."""
+    """EMA ← decay·EMA + (1-decay)·new on update steps, identity otherwise.
+
+    The skip branch is a ``lax.cond`` identity, not a ``where`` with d=1:
+    with the train state donated, XLA aliases the identity branch's outputs
+    to the inputs, so non-update steps (19 of every 20 on the reference
+    recipe) pay zero HBM traffic for the EMA tree instead of a full
+    read+write pass (~300 MB/step on R50)."""
     if ema_tree is None:
         return None
     do = (step % cfg.update_interval_steps) == 0
-    d = jnp.where(do, cfg.decay, 1.0)
+    d = cfg.decay
 
-    def upd(e, p):
-        return (d * e + (1.0 - d) * p.astype(e.dtype)).astype(e.dtype)
+    def take_step(args):
+        e, p = args
+        return jax.tree.map(
+            lambda e, p: (d * e + (1.0 - d) * p.astype(e.dtype)).astype(e.dtype),
+            e, p,
+        )
 
-    return jax.tree.map(upd, ema_tree, new_tree)
+    return jax.lax.cond(do, take_step, lambda args: args[0], (ema_tree, new_tree))
