@@ -36,9 +36,16 @@ def cache_path(config: config_lib.Config, kind: str, is_train: bool) -> str:
     return os.path.join(save_dir, f"{data_cfg.path or 'synthetic'}-{split}-features.npy")
 
 
-def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
+def load_pretrained_variables(
+    config: config_lib.Config, params: dict, batch_stats: dict | None
+) -> tuple[dict, dict | None]:
     """Load the pretrained backbone per config (PretrainedBackbone algorithm
-    args or model.pretrained_checkpoint), supporting ckpt:// and swin:// URIs."""
+    args or model.pretrained_checkpoint), supporting ckpt:// and swin:// URIs.
+
+    Returns (params, batch_stats): hvt ``ckpt://`` checkpoints carry
+    BatchNorm running statistics, which must transfer with the weights — a
+    frozen backbone normalizes with them (reference models.py:155-205 loads
+    the full torch state dict)."""
     uri = None
     strict = False
     for algo in config.algorithms:
@@ -48,7 +55,7 @@ def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
     if uri is None:
         uri = config.model.pretrained_checkpoint
     if not uri:
-        return params
+        return params, batch_stats
 
     if uri.startswith("wandb://"):
         # wandb artifacts hold torch-format checkpoints in the reference's
@@ -64,8 +71,13 @@ def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
             checkpoint_lib.strip_head(dict(params)), loaded, strict=strict
         )
         merged.update({k: params[k] for k in params if k == "head"})
-        return merged
-    return checkpoint_lib.load_pretrained_backbone(uri, params, strict=strict)
+        return merged, batch_stats
+    return checkpoint_lib.load_pretrained(uri, params, batch_stats, strict=strict)
+
+
+def load_pretrained_params(config: config_lib.Config, params: dict) -> dict:
+    """Params-only variant of :func:`load_pretrained_variables`."""
+    return load_pretrained_variables(config, params, None)[0]
 
 
 def extract_features(
@@ -126,9 +138,12 @@ def extract_features(
             jax.numpy.zeros((2, crop, crop, 3), jax.numpy.uint8)), train=False),
         out_shardings=parallel.replicated(mesh),
     )()
-    params = load_pretrained_params(config, jax.device_get(variables["params"]))
+    params, batch_stats = load_pretrained_variables(
+        config,
+        jax.device_get(variables["params"]),
+        jax.device_get(variables.get("batch_stats", {})),
+    )
     params = jax.device_put(params, parallel.replicated(mesh))
-    batch_stats = variables.get("batch_stats", {})
 
     feature_step = step_lib.build_feature_step(model, prep)
     sharded = parallel.batch_sharding(mesh)

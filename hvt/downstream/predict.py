@@ -47,10 +47,11 @@ def _resolve_weights(config, variables, use_ema: bool):
             params = raw["ema_params"]
             batch_stats = raw.get("ema_batch_stats") or batch_stats
         return params, batch_stats
-    params = features_lib.load_pretrained_params(
-        config, jax.device_get(variables["params"])
+    return features_lib.load_pretrained_variables(
+        config,
+        jax.device_get(variables["params"]),
+        jax.device_get(variables.get("batch_stats", {})),
     )
-    return params, jax.device_get(variables.get("batch_stats", {}))
 
 
 def _top_down_decode(tier_logits, lookups):

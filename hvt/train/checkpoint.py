@@ -184,19 +184,43 @@ def merge_backbone(
     return merged
 
 
-def load_pretrained_backbone(
-    uri: str, params: dict, strict: bool = False
-) -> dict:
+def load_pretrained(
+    uri: str, params: dict, batch_stats: dict | None, strict: bool = False
+) -> tuple[dict, dict | None]:
     """PretrainedBackbone algorithm analog (reference algorithmic.py:35-85):
-    fetch checkpoint, take its params (EMA params if present), strip the
-    head, and merge into the current params."""
+    fetch checkpoint, take its params AND batch statistics (EMA versions
+    when present), strip the head, and merge into the current variables.
+
+    The reference loads the torch state dict, which carries BatchNorm
+    running statistics alongside the weights — a frozen pretrained backbone
+    (linear probe / simpleshot, reference models.py:155-205) normalizes
+    with the *trained* running stats, so they must transfer with the
+    parameters."""
     raw = load_raw(uri)
     src = raw.get("params", raw)
+    src_stats = raw.get("batch_stats") or {}
     if raw.get("ema_params") is not None:
         src = raw["ema_params"]
+        src_stats = raw.get("ema_batch_stats") or src_stats
     src = strip_head(dict(src))
     target = dict(params)
     backbone_current = strip_head(target)
     merged = merge_backbone(backbone_current, src, strict=strict)
     merged.update({k: target[k] for k in target if k == "head"})
+
+    merged_stats = batch_stats
+    if batch_stats and src_stats:
+        merged_stats = merge_backbone(
+            strip_head(dict(batch_stats)), strip_head(dict(src_stats)),
+            strict=strict,
+        )
+    return merged, merged_stats
+
+
+def load_pretrained_backbone(
+    uri: str, params: dict, strict: bool = False
+) -> dict:
+    """Params-only variant of :func:`load_pretrained` (kept for callers with
+    no batch statistics, e.g. the SwinV2 family)."""
+    merged, _ = load_pretrained(uri, params, None, strict=strict)
     return merged

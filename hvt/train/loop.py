@@ -162,13 +162,20 @@ class Trainer:
         self.state = self._init_state()
         if self.algos.pretrained_backbone is not None:
             uri, strict = self.algos.pretrained_backbone
-            params = checkpoint_lib.load_pretrained_backbone(
-                uri, jax.device_get(self.state.params), strict=strict
+            params, batch_stats = checkpoint_lib.load_pretrained(
+                uri,
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats),
+                strict=strict,
             )
             shardings = jax.tree.map(lambda a: a.sharding, self.state.params)
-            self.state = self.state.replace(
-                params=jax.device_put(params, shardings)
-            )
+            replace = {"params": jax.device_put(params, shardings)}
+            if batch_stats:
+                bs_shardings = jax.tree.map(
+                    lambda a: a.sharding, self.state.batch_stats
+                )
+                replace["batch_stats"] = jax.device_put(batch_stats, bs_shardings)
+            self.state = self.state.replace(**replace)
 
         # Checkpointing / logging -----------------------------------------
         save_folder = os.path.join(config.machine.save_root, config.run_name)

@@ -225,3 +225,80 @@ def test_hierarchical_centroid_requires_two_classes():
     y = np.tile(table[0], (4, 1))  # single class everywhere
     with pytest.raises(ValueError):
         centroid_lib.HierarchicalNearestCentroid(lookups).fit(X, y)
+
+
+def test_pretrained_backbone_transfers_batch_stats(ds_root, tmp_path):
+    """ckpt:// pretrained loading carries BatchNorm running statistics, not
+    just weights — a frozen backbone must normalize with the trained stats
+    (the reference loads the full torch state dict, models.py:155-205)."""
+    import jax
+
+    from hvt import parallel
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "bs-src",
+            "max_duration": "3ba",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"datasets": {"fix": str(ds_root)},
+                        "save_root": str(tmp_path)},
+            "train_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                              "global_batch_size": 8, "drop_last": True,
+                              "shuffle": True},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 8},
+            "optim": {"name": "sgd", "lr": 0.05, "momentum": 0.9,
+                      "weight_decay": 0.0},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    tr.fit()
+    trained_stats = jax.device_get(tr.state.batch_stats)
+    tr.close()
+    ckpts = f"{tmp_path}/bs-src/checkpoints"
+
+    # The downstream feature path picks up the running stats with the params.
+    import jax.numpy as jnp
+
+    probe_cfg = C.loads(
+        C.to_dict(_probe_config(ds_root, tmp_path / "probe")),
+        {"algorithms": [{"cls": "PretrainedBackbone",
+                         "args": {"checkpoint": ckpts}}]},
+    )
+    from hvt.models import build_model
+
+    model = build_model(C.loads(C.to_dict(probe_cfg),
+                                {"hierarchy": {"variant": ""}}), 2)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    params, stats = F.load_pretrained_variables(
+        probe_cfg, jax.device_get(variables["params"]),
+        jax.device_get(variables["batch_stats"]),
+    )
+    got = np.asarray(stats["stem"]["BatchNorm_0"]["mean"])
+    want = np.asarray(trained_stats["stem"]["BatchNorm_0"]["mean"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # and they genuinely differ from the fresh init (zeros)
+    assert np.abs(want).max() > 1e-4
+
+    # The Trainer's PretrainedBackbone path transfers them too.
+    ft_cfg = C.loads(
+        C.to_dict(cfg),
+        {"run_name": "bs-ft",
+         "algorithms": [{"cls": "PretrainedBackbone",
+                         "args": {"checkpoint": ckpts}}]},
+    )
+    tr2 = Trainer(ft_cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    got2 = np.asarray(
+        jax.device_get(tr2.state.batch_stats)["stem"]["BatchNorm_0"]["mean"]
+    )
+    np.testing.assert_allclose(got2, want, rtol=1e-6)
+    tr2.close()
