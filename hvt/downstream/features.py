@@ -56,22 +56,8 @@ def load_pretrained_variables(
         uri = config.model.pretrained_checkpoint
     if not uri:
         return params, batch_stats
-
-    if uri.startswith("wandb://"):
-        # wandb artifacts hold torch-format checkpoints in the reference's
-        # world; resolve to a local file then treat as swin-format.
-        local = checkpoint_lib.resolve_wandb_uri(uri)
-        uri = f"swin://{local}"
-    if uri.startswith("swin://"):
-        from hvt.models import torch_compat
-
-        loaded = torch_compat.load_swin_checkpoint(uri, depths=None)
-        loaded = checkpoint_lib.strip_head(loaded)
-        merged = checkpoint_lib.merge_backbone(
-            checkpoint_lib.strip_head(dict(params)), loaded, strict=strict
-        )
-        merged.update({k: params[k] for k in params if k == "head"})
-        return merged, batch_stats
+    # checkpoint_lib.load_pretrained routes every scheme (ckpt://, swin://,
+    # torch://, wandb://) and merges batch statistics with the weights.
     return checkpoint_lib.load_pretrained(uri, params, batch_stats, strict=strict)
 
 

@@ -225,3 +225,180 @@ def load_swin_checkpoint(uri: str, depths: tuple[int, ...] | None = None) -> dic
     blob = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = blob.get("model", blob)
     return convert_swin_state_dict(state_dict, depths)
+
+
+# ---------------------------------------------------------------------------
+# ResNet family (timm/torchvision naming: conv1/bn1, layer{s}.{b}, fc)
+# ---------------------------------------------------------------------------
+
+
+def infer_resnet_stage_sizes(state_dict: Mapping[str, np.ndarray]) -> tuple[int, ...]:
+    """Stage sizes from ``layer{s}.{b}.*`` key names."""
+    counts: dict[int, int] = {}
+    pat = re.compile(r"^layer(\d+)\.(\d+)\.")
+    for key in state_dict:
+        m = pat.match(key)
+        if m:
+            s, b = int(m.group(1)), int(m.group(2))
+            counts[s] = max(counts.get(s, 0), b + 1)
+    if not counts:
+        raise ValueError("no layer{s}.{b} keys — not a torch ResNet state dict?")
+    return tuple(counts[s] for s in sorted(counts))
+
+
+def convert_resnet_state_dict(
+    state_dict: Mapping[str, np.ndarray], stem_s2d: bool = False
+) -> tuple[dict, dict]:
+    """Torch/timm ResNet state dict → (flax params, batch_stats) for
+    hvt.models.resnet.
+
+    Covers both block families (bottleneck conv1-3, basic conv1-2), the
+    downsample shortcut, and the multitask-head surgery naming
+    (``fc.heads.{t}``, reference hierarchy.py:50-62). BatchNorm running
+    statistics convert alongside the weights — they are part of the model.
+    ``stem_s2d=True`` targets the space-to-depth stem's param path
+    (``stem/kernel``); the kernel itself is the standard (7, 7, 3, w) tensor
+    either way (hvt.models.resnet.SpaceToDepthStem).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def convbn(dst: str, conv_key: str, bn_key: str):
+        p, s = params, stats
+        *parents, leaf = dst.split("/")
+        for part in parents:
+            p = p.setdefault(part, {})
+            s = s.setdefault(part, {})
+        p[leaf] = {
+            "Conv_0": {"kernel": sd[f"{conv_key}.weight"].transpose(2, 3, 1, 0)},
+            "BatchNorm_0": {"scale": sd[f"{bn_key}.weight"],
+                            "bias": sd[f"{bn_key}.bias"]},
+        }
+        s[leaf] = {"BatchNorm_0": {"mean": sd[f"{bn_key}.running_mean"],
+                                   "var": sd[f"{bn_key}.running_var"]}}
+
+    convbn("stem", "conv1", "bn1")
+    if stem_s2d:
+        # same kernel, flat param path (stem/kernel + stem/BatchNorm_0)
+        stem = params.pop("stem")
+        params["stem"] = {"kernel": stem["Conv_0"]["kernel"],
+                          "BatchNorm_0": stem["BatchNorm_0"]}
+
+    for s, blocks in enumerate(infer_resnet_stage_sizes(sd), start=1):
+        for b in range(blocks):
+            src = f"layer{s}.{b}"
+            dst = f"stage{s}_block{b}"
+            for i in (1, 2, 3):
+                if f"{src}.conv{i}.weight" in sd:
+                    convbn(f"{dst}/conv{i}", f"{src}.conv{i}", f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                convbn(f"{dst}/downsample", f"{src}.downsample.0", f"{src}.downsample.1")
+
+    if "fc.weight" in sd:
+        params["head"] = {"kernel": sd["fc.weight"].T, "bias": sd["fc.bias"]}
+    else:
+        tiers = {}
+        t = 0
+        while f"fc.heads.{t}.weight" in sd:
+            tiers[f"tier{t}"] = {"kernel": sd[f"fc.heads.{t}.weight"].T,
+                                 "bias": sd[f"fc.heads.{t}.bias"]}
+            t += 1
+        if tiers:
+            params["head"] = tiers
+    return params, stats
+
+
+def export_resnet_state_dict(params: Mapping, batch_stats: Mapping) -> dict[str, np.ndarray]:
+    """(flax params, batch_stats) → torch/timm ResNet state dict — the exact
+    inverse of :func:`convert_resnet_state_dict`. ``num_batches_tracked``
+    buffers are emitted as zeros (torch tracks them; hvt does not need to)."""
+    params = jax_to_np(params)
+    batch_stats = jax_to_np(batch_stats)
+    sd: dict[str, np.ndarray] = {}
+
+    def convbn(src_p: Mapping, src_s: Mapping, conv_key: str, bn_key: str):
+        if "Conv_0" in src_p:
+            kernel = src_p["Conv_0"]["kernel"]
+            bn = src_p["BatchNorm_0"]
+        else:  # space-to-depth stem: flat kernel param
+            kernel = src_p["kernel"]
+            bn = src_p["BatchNorm_0"]
+        sd[f"{conv_key}.weight"] = kernel.transpose(3, 2, 0, 1)
+        sd[f"{bn_key}.weight"] = bn["scale"]
+        sd[f"{bn_key}.bias"] = bn["bias"]
+        sd[f"{bn_key}.running_mean"] = src_s["BatchNorm_0"]["mean"]
+        sd[f"{bn_key}.running_var"] = src_s["BatchNorm_0"]["var"]
+        sd[f"{bn_key}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    convbn(params["stem"], batch_stats["stem"], "conv1", "bn1")
+    pat = re.compile(r"^stage(\d+)_block(\d+)$")
+    for key in params:
+        m = pat.match(key)
+        if not m:
+            continue
+        s, b = m.group(1), m.group(2)
+        src = f"layer{s}.{b}"
+        for i in (1, 2, 3):
+            if f"conv{i}" in params[key]:
+                convbn(params[key][f"conv{i}"], batch_stats[key][f"conv{i}"],
+                       f"{src}.conv{i}", f"{src}.bn{i}")
+        if "downsample" in params[key]:
+            convbn(params[key]["downsample"], batch_stats[key]["downsample"],
+                   f"{src}.downsample.0", f"{src}.downsample.1")
+
+    head = params.get("head")
+    if head is not None:
+        if "kernel" in head:
+            sd["fc.weight"] = head["kernel"].T
+            sd["fc.bias"] = head["bias"]
+        else:
+            t = 0
+            while f"tier{t}" in head:
+                sd[f"fc.heads.{t}.weight"] = head[f"tier{t}"]["kernel"].T
+                sd[f"fc.heads.{t}.bias"] = head[f"tier{t}"]["bias"]
+                t += 1
+    return sd
+
+
+def save_resnet_checkpoint(params: Mapping, batch_stats: Mapping, path: str) -> None:
+    """Write hvt ResNet variables as a torch-format ``.pt``
+    (``{"model": state_dict}``, matching the Swin convention here)."""
+    import torch
+
+    sd = {}
+    for k, v in export_resnet_state_dict(params, batch_stats).items():
+        dtype = torch.int64 if v.dtype == np.int64 else torch.float32
+        sd[k] = torch.tensor(np.asarray(v), dtype=dtype)
+    torch.save({"model": sd}, path)
+
+
+# ---------------------------------------------------------------------------
+# Family-detecting torch:// loader
+# ---------------------------------------------------------------------------
+
+_TORCH_URI = re.compile(r"^torch://(.+)$")
+
+
+def load_torch_variables(uri: str) -> tuple[dict, dict]:
+    """``torch://<path>`` (or ``swin://<path>``) → (flax params, batch_stats).
+
+    Detects the model family from the state-dict key names: ``layers.*``
+    (SwinV2, reference swinv2.py) or ``layer1.*``/``conv1`` (timm ResNet).
+    SwinV2 has no batch statistics (LayerNorm) — its stats tree is empty.
+    """
+    import torch
+
+    m = _TORCH_URI.match(uri) or _SWIN_URI.match(uri)
+    if not m:
+        raise ValueError(f"uri {uri!r} doesn't match torch://<path> or swin://<path>")
+    blob = torch.load(m.group(1), map_location="cpu", weights_only=True)
+    sd = blob.get("model", blob.get("state_dict", blob))
+    if any(k.startswith("layers.") for k in sd):
+        return convert_swin_state_dict(sd), {}
+    if any(k.startswith("layer1.") for k in sd) or "conv1.weight" in sd:
+        return convert_resnet_state_dict(sd)
+    raise ValueError(
+        f"torch checkpoint {uri!r}: unrecognized family (expected SwinV2 "
+        "'layers.*' or ResNet 'layer{s}.{b}'/'conv1' key names)"
+    )

@@ -1,10 +1,12 @@
-"""Export an hvt SwinV2 training checkpoint to the reference torch format.
+"""Export an hvt training checkpoint to the reference torch format.
 
-The reverse of the ``swin://`` import path: the reference (and the Microsoft
-tooling it vendored, reference swinv2.py:870-895) reads ``.pt`` files holding
-``{"model": state_dict}``; this tool converts an hvt Orbax training
-checkpoint's Swin parameters back to that layout, so a user moving between
-the frameworks can take hvt-trained weights into their torch stack.
+The reverse of the ``swin://``/``torch://`` import path: the reference (and
+the Microsoft tooling it vendored, reference swinv2.py:870-895) reads ``.pt``
+files holding ``{"model": state_dict}``; this tool converts an hvt Orbax
+training checkpoint back to that layout — SwinV2 in the Microsoft naming,
+ResNet in the timm ``conv1/bn1/layer{s}.{b}/fc`` naming with BatchNorm
+running statistics included — so a user moving between the frameworks can
+take hvt-trained weights into their torch stack.
 
 Usage:
     python -m hvt.tools.export_torch <checkpoint-uri> <out.pt> [--raw]
@@ -26,20 +28,30 @@ def export(uri: str, out: str, use_ema: bool = True) -> dict:
 
     raw = checkpoint_lib.load_raw(uri)
     params = raw.get("params")
-    if use_ema and raw.get("ema_params") is not None:
+    stats = raw.get("batch_stats") or {}
+    ema = use_ema and raw.get("ema_params") is not None
+    if ema:
         params = raw["ema_params"]
+        stats = raw.get("ema_batch_stats") or stats
     if params is None:
         raise ValueError(f"checkpoint {uri!r} carries no params")
-    if not any(k.startswith("stage") or k == "patch_embed" for k in params):
+    if "patch_embed" in params:  # SwinV2 family (LayerNorm — no batch stats)
+        torch_compat.save_swin_checkpoint(params, out)
+        keys = len(torch_compat.export_swin_state_dict(params))
+        family = "swinv2"
+    elif "stem" in params:  # ResNet family — running stats travel along
+        torch_compat.save_resnet_checkpoint(params, stats, out)
+        keys = len(torch_compat.export_resnet_state_dict(params, stats))
+        family = "resnet"
+    else:
         raise ValueError(
-            "torch export currently covers the SwinV2 family (the reference's "
-            "swin:// format, reference swinv2.py:870-895); this checkpoint "
-            f"doesn't look like one (top-level keys: {sorted(params)[:8]})"
+            "torch export covers the SwinV2 family (the reference's swin:// "
+            "format, reference swinv2.py:870-895) and the ResNet family "
+            "(timm conv1/bn1/layer{s} naming); this checkpoint matches "
+            f"neither (top-level keys: {sorted(params)[:8]})"
         )
-    torch_compat.save_swin_checkpoint(params, out)
-    return {"keys": len(torch_compat.export_swin_state_dict(params)),
-            "source": "ema_params" if (use_ema and raw.get("ema_params") is not None)
-            else "params"}
+    return {"keys": keys, "family": family,
+            "source": "ema_params" if ema else "params"}
 
 
 def main():
@@ -50,7 +62,8 @@ def main():
                         help="export raw params even when EMA weights exist")
     args = parser.parse_args()
     info = export(args.checkpoint, args.out, use_ema=not args.raw)
-    print(f"wrote {args.out}: {info['keys']} tensors from {info['source']}")
+    print(f"wrote {args.out}: {info['family']}, {info['keys']} tensors "
+          f"from {info['source']}")
 
 
 if __name__ == "__main__":

@@ -195,13 +195,25 @@ def load_pretrained(
     running statistics alongside the weights — a frozen pretrained backbone
     (linear probe / simpleshot, reference models.py:155-205) normalizes
     with the *trained* running stats, so they must transfer with the
-    parameters."""
-    raw = load_raw(uri)
-    src = raw.get("params", raw)
-    src_stats = raw.get("batch_stats") or {}
-    if raw.get("ema_params") is not None:
-        src = raw["ema_params"]
-        src_stats = raw.get("ema_batch_stats") or src_stats
+    parameters.
+
+    URI schemes: ``ckpt://``/bare path (hvt Orbax checkpoints, EMA weights
+    preferred), ``swin://``/``torch://`` (torch-format files of either model
+    family, hvt.models.torch_compat), ``wandb://`` (an artifact holding a
+    torch-format file, reference algorithmic.py:122-147)."""
+    if uri.startswith("wandb://"):
+        uri = f"torch://{resolve_wandb_uri(uri)}"
+    if uri.startswith(("swin://", "torch://")):
+        from hvt.models import torch_compat
+
+        src, src_stats = torch_compat.load_torch_variables(uri)
+    else:
+        raw = load_raw(uri)
+        src = raw.get("params", raw)
+        src_stats = raw.get("batch_stats") or {}
+        if raw.get("ema_params") is not None:
+            src = raw["ema_params"]
+            src_stats = raw.get("ema_batch_stats") or src_stats
     src = strip_head(dict(src))
     target = dict(params)
     backbone_current = strip_head(target)

@@ -273,3 +273,115 @@ def test_swin_variants_trace_at_native_resolutions():
             jax.eval_shape(lambda: model.init(jax.random.key(0), x, train=False))
     finally:
         wa_mod._pallas_available = orig
+
+
+def test_resnet_torch_state_dict_roundtrip(tmp_path):
+    """hvt ResNet variables → timm-named torch state dict → back: exact
+    inverse, both block families, running stats included."""
+    import jax
+
+    from hvt.models import torch_compat as TC
+
+    for name in ("resnet_micro_bottleneck", "resnet_micro"):
+        model = build_model(C.loads({"model": {"name": name}}), 6)
+        v = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=False)
+        params = jax.device_get(v["params"])
+        stats = jax.device_get(v["batch_stats"])
+
+        sd = TC.export_resnet_state_dict(params, stats)
+        # timm naming conventions present
+        assert "conv1.weight" in sd and "bn1.running_mean" in sd
+        assert "fc.weight" in sd
+        assert any(k.startswith("layer1.0.conv1") for k in sd)
+        assert any("downsample.0.weight" in k for k in sd)
+
+        p2, s2 = TC.convert_resnet_state_dict(sd)
+
+        def flat(tree, prefix=""):
+            out = {}
+            for k, val in tree.items():
+                if isinstance(val, dict):
+                    out.update(flat(val, f"{prefix}{k}/"))
+                else:
+                    out[f"{prefix}{k}"] = np.asarray(val)
+            return out
+
+        fa, fb = flat(params), flat(p2)
+        assert set(fa) == set(fb), name
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k], err_msg=f"{name}:{k}")
+        sa, sb = flat(stats), flat(s2)
+        assert set(sa) == set(sb)
+        for k in sa:
+            np.testing.assert_array_equal(sa[k], sb[k], err_msg=f"{name}:{k}")
+
+
+def test_resnet_torch_pt_loads_via_torch_uri(tmp_path):
+    """save_resnet_checkpoint output loads back through the family-detecting
+    torch:// loader and through load_pretrained's merge (stats included)."""
+    import jax
+
+    from hvt.models import torch_compat as TC
+    from hvt.train import checkpoint as ckpt_lib
+
+    model = build_model(C.loads({"model": {"name": "resnet_micro"}}), 6)
+    v = model.init(jax.random.key(1), jnp.zeros((2, 32, 32, 3)), train=False)
+    params = jax.device_get(v["params"])
+    # make the stats distinguishable from a fresh init
+    stats = jax.tree.map(lambda a: np.asarray(a) + 0.25,
+                         jax.device_get(v["batch_stats"]))
+
+    path = tmp_path / "r.pt"
+    TC.save_resnet_checkpoint(params, stats, str(path))
+    p2, s2 = TC.load_torch_variables(f"torch://{path}")
+    np.testing.assert_allclose(
+        np.asarray(s2["stem"]["BatchNorm_0"]["mean"]),
+        np.asarray(stats["stem"]["BatchNorm_0"]["mean"]), rtol=1e-6,
+    )
+
+    # full pretrained merge: fresh variables pick up weights AND stats;
+    # the head stays local (shape may differ downstream).
+    fresh = model.init(jax.random.key(2), jnp.zeros((2, 32, 32, 3)), train=False)
+    merged_p, merged_s = ckpt_lib.load_pretrained(
+        f"torch://{path}",
+        jax.device_get(fresh["params"]),
+        jax.device_get(fresh["batch_stats"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_p["stem"]["Conv_0"]["kernel"]),
+        np.asarray(params["stem"]["Conv_0"]["kernel"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(merged_s["stage1_block0"]["conv1"]["BatchNorm_0"]["var"]),
+        np.asarray(stats["stage1_block0"]["conv1"]["BatchNorm_0"]["var"]),
+        rtol=1e-6,
+    )
+    # head untouched (fresh)
+    np.testing.assert_array_equal(
+        np.asarray(merged_p["head"]["kernel"]),
+        np.asarray(jax.device_get(fresh["params"]["head"]["kernel"])),
+    )
+
+
+def test_resnet_s2d_stem_conversion():
+    """stem_s2d models use the flat stem/kernel path; conversion handles it
+    in both directions with the identical (7,7,3,w) kernel."""
+    import jax
+
+    from hvt.models import torch_compat as TC
+
+    model = build_model(
+        C.loads({"model": {"name": "resnet_micro_bottleneck",
+                           "args": {"stem_s2d": True}}}), 4
+    )
+    v = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=False)
+    params = jax.device_get(v["params"])
+    stats = jax.device_get(v["batch_stats"])
+    assert "kernel" in params["stem"]  # flat s2d param path
+
+    sd = TC.export_resnet_state_dict(params, stats)
+    assert sd["conv1.weight"].shape == (8, 3, 7, 7)
+    p2, _ = TC.convert_resnet_state_dict(sd, stem_s2d=True)
+    np.testing.assert_array_equal(
+        np.asarray(params["stem"]["kernel"]), p2["stem"]["kernel"]
+    )

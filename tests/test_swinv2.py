@@ -359,9 +359,9 @@ def test_export_torch_cli_from_training_checkpoint(tmp_path):
     from hvt.train import checkpoint as checkpoint_lib
 
     orig = checkpoint_lib.load_raw
-    checkpoint_lib.load_raw = lambda uri: {"params": {"stem": {}, "head": {}}}
+    checkpoint_lib.load_raw = lambda uri: {"params": {"mystery": {}}}
     try:
-        with pytest.raises(ValueError, match="SwinV2 family"):
+        with pytest.raises(ValueError, match="matches\\s+neither|neither"):
             export_torch.export("whatever", str(out))
     finally:
         checkpoint_lib.load_raw = orig
