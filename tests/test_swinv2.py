@@ -365,3 +365,60 @@ def test_export_torch_cli_from_training_checkpoint(tmp_path):
             export_torch.export("whatever", str(out))
     finally:
         checkpoint_lib.load_raw = orig
+
+
+def test_finetune_from_exported_torch_checkpoint(tmp_path):
+    """Full interop cycle: hvt pretrain → torch-format export → a fresh
+    Trainer fine-tunes from it via PretrainedBackbone swin:// (the
+    reference's pretrain→downstream handoff, reference algorithmic.py:35-85),
+    with the backbone weights actually transferred."""
+    from hvt import config as C
+    from hvt import parallel
+    from hvt.tools import export_torch
+    from hvt.train.loop import Trainer
+
+    base = {
+        "max_duration": "1ba",
+        "seed": 0,
+        "model": {"name": "swinv2_micro", "args": {"use_pallas": False}},
+        "machine": {"save_root": str(tmp_path)},
+        "train_dataset": {
+            "source": "synthetic", "synthetic_num_classes": 4,
+            "synthetic_num_samples": 8, "crop_size": 32,
+            "global_batch_size": 8, "drop_last": True, "shuffle": True,
+        },
+        "eval_dataset": {
+            "source": "synthetic", "synthetic_num_classes": 4,
+            "synthetic_num_samples": 8, "crop_size": 32,
+            "global_batch_size": 8,
+        },
+        "optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.0},
+        "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+        "algorithms": [],
+        "save": {"interval": None, "num_checkpoints_to_keep": 1, "wandb": False},
+        "loader": {"num_workers": 1, "prefetch_batches": 1},
+    }
+    src = Trainer(C.loads(dict(base, run_name="interop-src")),
+                  mesh=parallel.cpu_mesh(1), log_interval=10)
+    src.fit()
+    src_qkv = np.asarray(
+        jax.device_get(src.state.params)["stage0_block0"]["attn"]["qkv_kernel"]
+    )
+    src.close()
+
+    out = tmp_path / "interop.pt"
+    export_torch.export(f"{tmp_path}/interop-src/checkpoints", str(out))
+
+    ft_cfg = C.loads(
+        dict(base, run_name="interop-ft"),
+        {"algorithms": [{"cls": "PretrainedBackbone",
+                         "args": {"checkpoint": f"swin://{out}"}}]},
+    )
+    ft = Trainer(ft_cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    got_qkv = np.asarray(
+        jax.device_get(ft.state.params)["stage0_block0"]["attn"]["qkv_kernel"]
+    )
+    np.testing.assert_allclose(got_qkv, src_qkv, rtol=1e-6, atol=1e-7)
+    metrics = ft.fit()  # and it trains
+    assert np.isfinite(metrics["cross-entropy"])
+    ft.close()
