@@ -208,6 +208,8 @@ def main():
         # Fused block halves (measured win, see BENCH.md); HVT_BENCH_FUSE=0
         # reverts to the packed-attention + XLA path.
         swin_args = {"fuse": os.environ.get("HVT_BENCH_FUSE", "1") == "1"}
+        if os.environ.get("HVT_BENCH_FUSE_ATTN") == "1":
+            swin_args["fuse_attn_train"] = True
         swin = measure(
             {
                 "model": {"name": "swinv2_tiny", "args": swin_args},

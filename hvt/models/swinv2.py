@@ -132,6 +132,11 @@ class SwinBlock(nn.Module):
     # (hvt.ops.swin_block_pallas); parameter tree is identical to the
     # standard path, so the flag can be flipped on existing checkpoints.
     fuse: bool = False
+    # Fuse the attention half in TRAINING too (see _fused_call gating).
+    # Default ON: measured +3.9% end-to-end (778 -> 808 img/s, BENCH.md
+    # round 3) — the fused half absorbs the qkv/proj layout copies XLA
+    # inserts around the packed-attention custom calls.
+    fuse_attn_train: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -213,7 +218,14 @@ class SwinBlock(nn.Module):
             d.platform in ("tpu", "axon") for d in jax.devices()
         )
         train = not deterministic
-        fuse_attn = (not train) and fh.fits_vmem(c, self.num_heads, n, train=False)
+        # Attention half in training: the kernel-local comparison was a wash
+        # (BENCH.md round 2: 11.7 vs 11.4 ms value+grad), but end-to-end the
+        # packed-kernel path pays ~19 ms/step of XLA layout copies around the
+        # custom calls (qkv/proj relayouts, profiler round 3) that the fused
+        # half absorbs — A/B'd on-chip via fuse_attn_train.
+        fuse_attn = (not train or self.fuse_attn_train) and fh.fits_vmem(
+            c, self.num_heads, n, train=train
+        )
         fuse_mlp = fh.fits_vmem(c, self.num_heads, n, mlp_hidden=hidden, train=train)
 
         attn_mod = WindowAttention(
@@ -329,6 +341,9 @@ class SwinTransformerV2(nn.Module):
     use_pallas: bool = True
     # Mega-fused block halves (see SwinBlock.fuse); same parameter tree.
     fuse: bool = False
+    # Fuse the attention half during training too (SwinBlock._fused_call);
+    # measured +3.9% train throughput (BENCH.md round 3).
+    fuse_attn_train: bool = True
     remat: bool = False
 
     @property
@@ -395,6 +410,7 @@ class SwinTransformerV2(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     fuse=self.fuse,
+                    fuse_attn_train=self.fuse_attn_train,
                     name=f"stage{stage}_block{i}",
                 )(x, not train)
                 block_idx += 1

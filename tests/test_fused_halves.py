@@ -212,4 +212,7 @@ def test_swinblock_fuse_flag_parity():
         jax.tree_util.tree_leaves(g_fused),
     ):
         name = "/".join(str(p) for p in path)
-        _assert_close(b, a, 0.05, f"swinblock grad {name}")
+        # 0.06: with fuse_attn_train default-on the attention half's fused
+        # backward reorders bf16 reductions slightly differently (worst
+        # observed rel err 0.055 on a near-zero bias grad).
+        _assert_close(b, a, 0.06, f"swinblock grad {name}")
