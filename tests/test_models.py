@@ -385,3 +385,28 @@ def test_resnet_s2d_stem_conversion():
     np.testing.assert_array_equal(
         np.asarray(params["stem"]["kernel"]), p2["stem"]["kernel"]
     )
+
+
+def test_resnet_multitask_head_torch_roundtrip():
+    """Multitask (tuple num_classes) heads export as fc.heads.{t} — the
+    reference's surgery naming (reference hierarchy.py:50-62) — and convert
+    back exactly."""
+    import jax
+
+    from hvt.models import torch_compat as TC
+
+    cfg = C.loads({"model": {"name": "resnet_micro"},
+                   "hierarchy": {"variant": "multitask"}})
+    model = build_model(cfg, (2, 3, 5))
+    v = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=False)
+    params = jax.device_get(v["params"])
+    stats = jax.device_get(v["batch_stats"])
+
+    sd = TC.export_resnet_state_dict(params, stats)
+    assert "fc.heads.0.weight" in sd and "fc.heads.2.bias" in sd
+    assert "fc.weight" not in sd
+    p2, _ = TC.convert_resnet_state_dict(sd)
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["tier1"]["kernel"]),
+        p2["head"]["tier1"]["kernel"],
+    )
