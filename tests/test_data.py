@@ -334,3 +334,35 @@ def test_random_resized_crop_fallback_clamps_ratio():
     left, top, cw, ch = T.sample_crop_box(300, 40, rng, scale=(0.95, 1.0))
     assert (cw, ch) == (int(round(40 * 4 / 3)), 40)
     assert left == (300 - cw) // 2 and top == 0
+
+
+def test_loader_native_failure_slot_falls_back_to_pil(image_root, monkeypatch):
+    """When the native batch decoder reports a failed slot, the loader
+    re-decodes exactly that slot through PIL (hvt/data/loader.py
+    _native_batch_images) instead of yielding a black image."""
+    from hvt.data import loader as loader_lib
+    from hvt.data import native as native_lib
+    from hvt.data.folder import scan_image_folder
+
+    ds = scan_image_folder(image_root, "train")
+    tf = T.TrainTransform(crop_size=24, resize_size=26)
+    if not native_lib.available():
+        pytest.skip("native decoder not built")
+
+    real = native_lib.load_batch
+
+    def failing_first_slot(paths, seeds, **kw):
+        images, failures = real(paths, seeds, **kw)
+        images[0] = 0  # simulate a slot the native core could not decode
+        return images, failures + 1
+
+    monkeypatch.setattr(loader_lib.native_lib, "load_batch", failing_first_slot)
+    loader = loader_lib.Loader(ds, tf, 4, shuffle=False, drop_last=True,
+                               num_workers=1, prefetch_batches=1)
+    assert loader.use_native
+    batch = next(iter(loader.epoch(0)))
+    # the failed slot was PIL-decoded: not all-zero, matches direct decode
+    assert batch.images[0].any()
+    rng = np.random.default_rng((0, 0, int(loader.epoch_indices(0)[0])))
+    want = loader_lib._decode_folder_sample(ds, int(loader.epoch_indices(0)[0]), tf, rng)
+    np.testing.assert_array_equal(batch.images[0], want)
