@@ -1,0 +1,225 @@
+"""Minimal production inference server: checkpoint → HTTP top-k endpoint.
+
+No reference counterpart (the reference has no inference entry at all); this
+completes hvt's deployment story: the same config surface and weight
+resolution as batch inference (hvt/downstream/predict.py), wrapped in a
+stdlib ThreadingHTTPServer — zero extra dependencies.
+
+Endpoints:
+* ``GET /healthz`` → ``{"status": "ok", "model": ..., "classes": N}``
+* ``POST /predict`` (body: a JPEG/PNG image; optional ``?topk=K``) →
+  ``{"classes": [...], "class_ids": [...], "probs": [...]}``; multitask
+  models add ``tier_ids`` when the server runs with hierarchical decoding.
+
+Design notes (TPU semantics): the forward is one jit-compiled executable at
+a fixed batch shape (default 1; ``batch`` pads under-full batches and masks
+nothing — the extra rows are free), so no request ever retraces; device
+dispatch is serialized with a lock (requests decode/resize concurrently in
+the server threads, only the device step is exclusive).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from hvt import config as config_lib
+from hvt import parallel
+from hvt.data import DevicePrep
+from hvt.data import transforms as T
+from hvt.models import build_model
+
+
+class InferenceEngine:
+    """Owns the compiled forward; thread-safe predict_image()."""
+
+    def __init__(self, config: config_lib.Config, *, batch: int = 1,
+                 use_ema: bool = True, hierarchical: bool = False,
+                 topk: int = 5):
+        import jax
+        import jax.numpy as jnp
+
+        from hvt.data import build_loader
+        from hvt.downstream import predict as predict_lib
+
+        self.config = config
+        self.batch = max(1, batch)
+        self.topk = topk
+
+        loader, info = build_loader(config, is_train=False)
+        self.classes = list(getattr(loader.dataset, "classes", ()))
+        self.num_classes = info.num_classes
+        data_cfg = config.eval_dataset
+        self.transform = T.EvalTransform(
+            crop_size=data_cfg.crop_size, resize_size=data_cfg.resize_size
+        )
+
+        model = build_model(config, info.num_classes)
+        mesh = parallel.divisor_mesh(self.batch)
+        parallel.set_kernel_mesh(mesh)
+        prep = DevicePrep.from_config(data_cfg, config.precision)
+
+        crop = data_cfg.crop_size
+        variables = jax.jit(
+            lambda: model.init(
+                jax.random.key(config.seed),
+                prep.normalize(jnp.zeros((2, crop, crop, 3), jnp.uint8)),
+                train=False,
+            ),
+            out_shardings=parallel.replicated(mesh),
+        )()
+        params, batch_stats = predict_lib._resolve_weights(
+            config, variables, use_ema
+        )
+        self._params = jax.device_put(params, parallel.replicated(mesh))
+        self._batch_stats = jax.device_put(
+            batch_stats, parallel.replicated(mesh)
+        )
+
+        lookups = None
+        if hierarchical:
+            if not isinstance(info.num_classes, tuple):
+                raise ValueError(
+                    "hierarchical serving needs a multitask model"
+                )
+            from hvt import hierarchy as hierarchy_lib
+
+            lookups = hierarchy_lib.parent_lookup_from_classes(self.classes)
+        self.hierarchical = hierarchical
+
+        k = min(topk, info.fine_grained_num_classes)
+
+        @jax.jit
+        def step(params, batch_stats, images):
+            x = prep.normalize(images)
+            vs = {"params": params}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            out = model.apply(vs, x, train=False)
+            tiers = n_allowed = None
+            if isinstance(out, (list, tuple)):
+                if lookups is not None:
+                    tier_preds, masked, n_allowed = predict_lib._top_down_decode(
+                        out, lookups
+                    )
+                    tiers = jnp.stack(tier_preds, axis=-1)
+                    out = masked
+                else:
+                    out = out[-1]
+            probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+            top_p, top_i = jax.lax.top_k(probs, k)
+            return top_i, top_p, tiers, n_allowed
+
+        self._step = step
+        self._k = k
+        self._lock = threading.Lock()
+        self._crop = crop
+
+        # Warm the executable so the first request doesn't pay the compile.
+        dummy = np.zeros((self.batch, crop, crop, 3), np.uint8)
+        with self._lock:
+            jax.block_until_ready(
+                self._step(self._params, self._batch_stats, dummy)[0]
+            )
+
+    def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
+        """One image (encoded bytes) → top-k record."""
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as img:
+            arr = self.transform(img.convert("RGB"), np.random.default_rng(0))
+        images = np.zeros((self.batch, self._crop, self._crop, 3), np.uint8)
+        images[0] = arr
+        with self._lock:
+            top_i, top_p, tiers, n_allowed = self._step(
+                self._params, self._batch_stats, images
+            )
+        top_i = np.asarray(top_i)[0]
+        top_p = np.asarray(top_p)[0]
+        k = self._k if topk is None else min(topk, self._k)
+        if n_allowed is not None:
+            k = min(k, int(np.asarray(n_allowed)[0]))
+        rec = {
+            "classes": [
+                self.classes[i] if self.classes else int(i) for i in top_i[:k]
+            ],
+            "class_ids": [int(i) for i in top_i[:k]],
+            "probs": [round(float(p), 6) for p in top_p[:k]],
+        }
+        if tiers is not None:
+            rec["tier_ids"] = [int(t) for t in np.asarray(tiers)[0]]
+        return rec
+
+
+def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """→ a ready (unstarted) ThreadingHTTPServer; port 0 picks a free port."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.split("?")[0] == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "model": engine.config.model.name,
+                    "classes": (
+                        list(engine.num_classes)
+                        if isinstance(engine.num_classes, tuple)
+                        else engine.num_classes
+                    ),
+                    "hierarchical": engine.hierarchical,
+                })
+            else:
+                self._send(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path!r}"})
+                return
+            topk = None
+            for part in query.split("&"):
+                if part.startswith("topk="):
+                    try:
+                        topk = int(part[5:])
+                    except ValueError:
+                        self._send(400, {"error": f"bad topk {part[5:]!r}"})
+                        return
+            length = int(self.headers.get("Content-Length") or 0)
+            if length <= 0:
+                self._send(400, {"error": "empty body (expected image bytes)"})
+                return
+            data = self.rfile.read(length)
+            try:
+                rec = engine.predict_image(data, topk=topk)
+            except Exception as e:  # bad image etc. → client error, not 500
+                self._send(400, {"error": f"cannot decode image: {e}"})
+                return
+            self._send(200, rec)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(config: config_lib.Config, *, host: str = "127.0.0.1",
+          port: int = 8000, **engine_kwargs) -> None:
+    engine = InferenceEngine(config, **engine_kwargs)
+    server = make_server(engine, host, port)
+    print(f"[{config.run_name}] serving {config.model.name} on "
+          f"http://{host}:{server.server_address[1]} "
+          f"(POST /predict, GET /healthz)")
+    server.serve_forever()

@@ -1,0 +1,44 @@
+"""Inference-server entry point (no reference counterpart — completes the
+deployment story next to predict.py's batch mode).
+
+Usage:
+
+    python serve.py --machine configs/machines/local.yaml \
+        --exp <pretrain layers...> [--port 8000] [--topk 5] \
+        [--raw-weights] [--hierarchical]
+
+Then:
+
+    curl -s localhost:8000/healthz
+    curl -s --data-binary @image.jpg localhost:8000/predict?topk=3
+
+Weights resolve exactly as in predict.py (``load_path`` hvt checkpoint with
+EMA preferred, or the pretrained-backbone URIs).
+"""
+
+import argparse
+
+from hvt import config as config_lib
+from hvt.downstream import serve as serve_lib
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    config_lib.add_exp_args(parser)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--topk", type=int, default=5)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="compiled batch shape (requests pad into it)")
+    parser.add_argument("--raw-weights", action="store_true")
+    parser.add_argument("--hierarchical", action="store_true")
+    args = parser.parse_args()
+    config = config_lib.load(machine=args.machine, exps=args.exp)
+    serve_lib.serve(
+        config,
+        host=args.host,
+        port=args.port,
+        topk=args.topk,
+        batch=args.batch,
+        use_ema=not args.raw_weights,
+        hierarchical=args.hierarchical,
+    )

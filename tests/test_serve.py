@@ -1,0 +1,147 @@
+"""HTTP inference server (hvt/downstream/serve.py)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hvt import config as C
+from hvt.downstream import serve as serve_lib
+
+NAMES = [
+    "00001_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_badius",
+    "00002_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_cooperii",
+    "00003_animalia_chordata_aves_accipitriformes_pandionidae_pandion_haliaetus",
+]
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve-ds")
+    rng = np.random.default_rng(0)
+    for split, k in [("train", 2), ("val", 2)]:
+        for name in NAMES:
+            d = root / split / name
+            d.mkdir(parents=True)
+            for i in range(k):
+                Image.fromarray(
+                    rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+                ).save(d / f"{i}.jpg")
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-test",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"datasets": {"fix": str(root)},
+                        "save_root": str(tmp_path_factory.mktemp("serve-runs"))},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 4},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    engine = serve_lib.InferenceEngine(cfg, topk=3)
+    server = serve_lib.make_server(engine, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, root
+    server.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(served):
+    base, _ = served
+    status, body = _get(f"{base}/healthz")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert body["model"] == "resnet_micro"
+    assert body["classes"] == 3
+
+
+def test_predict_roundtrip(served):
+    base, root = served
+    jpg = next((root / "val" / NAMES[0]).glob("*.jpg")).read_bytes()
+    status, rec = _post(f"{base}/predict", jpg)
+    assert status == 200
+    assert len(rec["class_ids"]) == 3
+    assert rec["classes"][0] in NAMES
+    assert rec["probs"] == sorted(rec["probs"], reverse=True)
+    assert 0.0 < sum(rec["probs"]) <= 1.0 + 1e-6
+
+    # topk query param limits the response
+    status, rec2 = _post(f"{base}/predict?topk=1", jpg)
+    assert status == 200
+    assert len(rec2["class_ids"]) == 1
+    assert rec2["class_ids"][0] == rec["class_ids"][0]
+
+    # arbitrary image sizes are resized server-side
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (77, 50, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    status, rec3 = _post(f"{base}/predict", buf.getvalue())
+    assert status == 200 and len(rec3["class_ids"]) == 3
+
+
+def test_bad_requests(served):
+    base, _ = served
+    status, body = _post(f"{base}/predict", b"this is not an image")
+    assert status == 400 and "cannot decode" in body["error"]
+    status, body = _post(f"{base}/predict", b"")
+    assert status == 400
+    status, body = _post(f"{base}/nope", b"x")
+    assert status == 404
+
+
+def test_hierarchical_engine(tmp_path):
+    """Multitask model + hierarchical decode: responses carry tier_ids and
+    the top-k stays within the predicted parent's branch."""
+    from hvt import hierarchy as hierarchy_lib
+    from hvt.data import build_loader
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-hier",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 6,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    engine = serve_lib.InferenceEngine(cfg, topk=4, hierarchical=True)
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (36, 36, 3), dtype=np.uint8)
+    ).save(buf, format="JPEG")
+    rec = engine.predict_image(buf.getvalue())
+    assert len(rec["tier_ids"]) == 7
+    loader, _ = build_loader(cfg, is_train=False)
+    lookups = hierarchy_lib.parent_lookup_from_classes(loader.dataset.classes)
+    parent = rec["tier_ids"][-2]
+    for cid in rec["class_ids"]:
+        assert lookups[-1][cid] == parent
