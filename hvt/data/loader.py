@@ -31,16 +31,13 @@ from hvt.data import transforms as T
 
 
 def _native_eligible(dataset, transform) -> bool:
-    """The C++ core covers plain train/eval transforms over JPEG folders;
-    RandAugment/ColOut (PIL-op based) keep the Python path."""
+    """The C++ core covers decode + RandomResizedCrop + resize + flip over
+    JPEG folders. RandAugment/ColOut are PIL-op based but apply *after* the
+    crop, so they run as a post pass over the small cropped arrays
+    (TrainTransform.post_augment) — the native path stays eligible."""
     if not isinstance(dataset, folder_lib.FolderDataset):
         return False
-    if isinstance(transform, T.EvalTransform):
-        pass
-    elif isinstance(transform, T.TrainTransform):
-        if transform.randaugment_depth > 0 or transform.colout_p is not None:
-            return False
-    else:
+    if not isinstance(transform, (T.EvalTransform, T.TrainTransform)):
         return False
     sample = dataset.paths[:8]
     if not all(p.lower().endswith((".jpg", ".jpeg")) for p in sample):
@@ -161,14 +158,26 @@ class Loader:
             out_size=tf.crop_size,
             num_threads=self.num_workers,
         )
+        failed_rows = set()
         if failures:
-            # Rare corrupt files: decode the failed slots via PIL.
+            # Rare corrupt files: decode the failed slots via PIL (the full
+            # transform, including any post ops).
             for row, i in enumerate(idxs):
                 if not images[row].any():
+                    failed_rows.add(row)
                     rng = np.random.default_rng((self.seed, epoch, int(i)))
                     images[row] = _decode_folder_sample(
                         self.dataset, int(i), self.transform, rng
                     )
+        if is_train and tf.has_post_ops:
+            # RandAugment / ColOut over the small cropped arrays (see
+            # _native_eligible); per-sample streams disjoint from the PIL
+            # path's (seed, epoch, index) decode streams.
+            for row, i in enumerate(idxs):
+                if row in failed_rows:
+                    continue
+                rng = np.random.default_rng((self.seed, epoch, int(i), 0xA6))
+                images[row] = tf.post_augment(images[row], rng)
         return images
 
     def _make_batch(self, pool: ThreadPoolExecutor, epoch: int, idxs: np.ndarray) -> Batch:

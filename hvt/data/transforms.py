@@ -257,9 +257,25 @@ class TrainTransform:
             img = resize_shorter(img, self.resize_size)
         img = random_resized_crop(img, self.crop_size, rng)
         img = random_hflip(img, rng)
+        return self.post_augment(np.asarray(img, dtype=np.uint8), rng)
+
+    @property
+    def has_post_ops(self) -> bool:
+        return self.randaugment_depth > 0 or self.colout_p is not None
+
+    def post_augment(self, arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """RandAugment + ColOut on an already-cropped uint8 HWC array.
+
+        Split out so the native C++ decode path (decode + RandomResizedCrop +
+        flip, hvt/data/native.py) can hand off here: both augmentations apply
+        *after* the crop, on the small crop_size² image — the expensive JPEG
+        decode of the full-size source stays in the GIL-free native core."""
         if self.randaugment_depth > 0:
-            img = rand_augment(img, rng, self.randaugment_depth, self.randaugment_severity)
-        arr = np.asarray(img, dtype=np.uint8)
+            img = Image.fromarray(arr)
+            img = rand_augment(
+                img, rng, self.randaugment_depth, self.randaugment_severity
+            )
+            arr = np.asarray(img, dtype=np.uint8)
         if self.colout_p is not None:
             arr = colout(arr, rng, *self.colout_p)
             arr = np.asarray(

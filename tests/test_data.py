@@ -366,3 +366,33 @@ def test_loader_native_failure_slot_falls_back_to_pil(image_root, monkeypatch):
     rng = np.random.default_rng((0, 0, int(loader.epoch_indices(0)[0])))
     want = loader_lib._decode_folder_sample(ds, int(loader.epoch_indices(0)[0]), tf, rng)
     np.testing.assert_array_equal(batch.images[0], want)
+
+
+def test_native_path_applies_post_ops(image_root):
+    """RandAugment/ColOut no longer disqualify the native decode path: the
+    C++ core decodes+crops, then post_augment runs on the small arrays.
+    Deterministic per (seed, epoch); differs from the augment-free batch."""
+    from hvt.data import loader as loader_lib
+    from hvt.data import native as native_lib
+    from hvt.data.folder import scan_image_folder
+
+    if not native_lib.available():
+        pytest.skip("native decoder not built")
+    ds = scan_image_folder(image_root, "train")
+    tf_aug = T.TrainTransform(crop_size=24, resize_size=26,
+                              randaugment_depth=1, randaugment_severity=9,
+                              colout_p=(0.05, 0.05))
+    tf_plain = T.TrainTransform(crop_size=24, resize_size=26)
+
+    aug = loader_lib.Loader(ds, tf_aug, 4, shuffle=False, drop_last=True,
+                            num_workers=1, prefetch_batches=1)
+    assert aug.use_native  # the hot-recipe transform keeps the native core
+    plain = loader_lib.Loader(ds, tf_plain, 4, shuffle=False, drop_last=True,
+                              num_workers=1, prefetch_batches=1)
+
+    a1 = next(iter(aug.epoch(0))).images
+    a2 = next(iter(aug.epoch(0))).images
+    np.testing.assert_array_equal(a1, a2)  # deterministic
+    p = next(iter(plain.epoch(0))).images
+    assert not np.array_equal(a1, p)  # augmentation actually applied
+    assert a1.shape == p.shape  # ColOut resizes back to crop_size
