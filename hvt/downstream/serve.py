@@ -12,10 +12,11 @@ Endpoints:
   models add ``tier_ids`` when the server runs with hierarchical decoding.
 
 Design notes (TPU semantics): the forward is one jit-compiled executable at
-a fixed batch shape (default 1; ``batch`` pads under-full batches and masks
-nothing — the extra rows are free), so no request ever retraces; device
-dispatch is serialized with a lock (requests decode/resize concurrently in
-the server threads, only the device step is exclusive).
+a fixed batch shape, so no request ever retraces. Concurrent requests
+**micro-batch**: server threads decode/resize in parallel, enqueue their
+crop, and a single batcher thread coalesces up to ``batch`` waiting
+requests (2 ms grace window) into one device dispatch — under-full batches
+pad with zero rows, which are free.
 """
 
 from __future__ import annotations
@@ -117,15 +118,62 @@ class InferenceEngine:
 
         self._step = step
         self._k = k
-        self._lock = threading.Lock()
         self._crop = crop
 
         # Warm the executable so the first request doesn't pay the compile.
         dummy = np.zeros((self.batch, crop, crop, 3), np.uint8)
-        with self._lock:
-            jax.block_until_ready(
-                self._step(self._params, self._batch_stats, dummy)[0]
+        jax.block_until_ready(
+            self._step(self._params, self._batch_stats, dummy)[0]
+        )
+
+        # Request micro-batching: concurrent requests coalesce into one
+        # fixed-shape device step (up to `batch` rows per dispatch). Server
+        # threads decode/resize concurrently and block on their slot's
+        # event; a single batcher thread owns the device.
+        import queue as queue_lib
+
+        self._queue: queue_lib.Queue = queue_lib.Queue()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self._batcher.start()
+
+    # -- batching -----------------------------------------------------------
+
+    def _batch_loop(self):
+        import queue as queue_lib
+
+        while True:
+            first = self._queue.get()
+            pendings = [first]
+            # Coalesce whatever is already waiting (small grace window so a
+            # concurrent burst shares one dispatch) up to the batch shape.
+            deadline = 0.002
+            while len(pendings) < self.batch:
+                try:
+                    pendings.append(self._queue.get(timeout=deadline))
+                except queue_lib.Empty:
+                    break
+            images = np.zeros(
+                (self.batch, self._crop, self._crop, 3), np.uint8
             )
+            for row, p in enumerate(pendings):
+                images[row] = p["arr"]
+            try:
+                top_i, top_p, tiers, n_allowed = self._step(
+                    self._params, self._batch_stats, images
+                )
+                out = (
+                    np.asarray(top_i), np.asarray(top_p),
+                    None if tiers is None else np.asarray(tiers),
+                    None if n_allowed is None else np.asarray(n_allowed),
+                )
+                for row, p in enumerate(pendings):
+                    p["result"] = (row, out)
+            except Exception as e:  # surfaced to every waiting request
+                for p in pendings:
+                    p["error"] = e
+            finally:
+                for p in pendings:
+                    p["event"].set()
 
     def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
         """One image (encoded bytes) → top-k record."""
@@ -133,17 +181,16 @@ class InferenceEngine:
 
         with Image.open(io.BytesIO(data)) as img:
             arr = self.transform(img.convert("RGB"), np.random.default_rng(0))
-        images = np.zeros((self.batch, self._crop, self._crop, 3), np.uint8)
-        images[0] = arr
-        with self._lock:
-            top_i, top_p, tiers, n_allowed = self._step(
-                self._params, self._batch_stats, images
-            )
-        top_i = np.asarray(top_i)[0]
-        top_p = np.asarray(top_p)[0]
+        pending = {"arr": arr, "event": threading.Event()}
+        self._queue.put(pending)
+        pending["event"].wait()
+        if "error" in pending:
+            raise RuntimeError(f"inference failed: {pending['error']}")
+        row, (top_i, top_p, tiers, n_allowed) = pending["result"]
+        top_i, top_p = top_i[row], top_p[row]
         k = self._k if topk is None else min(topk, self._k)
         if n_allowed is not None:
-            k = min(k, int(np.asarray(n_allowed)[0]))
+            k = min(k, int(n_allowed[row]))
         rec = {
             "classes": [
                 self.classes[i] if self.classes else int(i) for i in top_i[:k]
@@ -152,7 +199,7 @@ class InferenceEngine:
             "probs": [round(float(p), 6) for p in top_p[:k]],
         }
         if tiers is not None:
-            rec["tier_ids"] = [int(t) for t in np.asarray(tiers)[0]]
+            rec["tier_ids"] = [int(t) for t in tiers[row]]
         return rec
 
 

@@ -145,3 +145,39 @@ def test_hierarchical_engine(tmp_path):
     parent = rec["tier_ids"][-2]
     for cid in rec["class_ids"]:
         assert lookups[-1][cid] == parent
+
+
+def test_concurrent_requests_microbatch_correctly(tmp_path):
+    """Concurrent requests coalesce into shared device dispatches and every
+    caller gets the result for *its* image (no row mix-ups)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-mb",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 5,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    engine = serve_lib.InferenceEngine(cfg, topk=3, batch=4)
+
+    rng = np.random.default_rng(0)
+    blobs = []
+    for _ in range(8):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")  # lossless: identical pixels both runs
+        blobs.append(buf.getvalue())
+
+    sequential = [engine.predict_image(b) for b in blobs]
+    with ThreadPoolExecutor(8) as pool:
+        concurrent = list(pool.map(engine.predict_image, blobs))
+    assert concurrent == sequential
