@@ -180,6 +180,11 @@ class Config:
     # int microbatch count, or "auto" (resolved to 1 on TPU).
     grad_accum: Union[str, int] = "auto"
     load_path: Optional[str] = None
+    # Resume from this run's own checkpoints automatically when they exist
+    # (load_path wins when set). The reference's recovery is manual
+    # (SURVEY.md §5: fixed SLURM allocations, re-submit with load_path);
+    # auto_resume makes a preempted job re-submission idempotent.
+    auto_resume: bool = False
     tags: list[str] = field(default_factory=list)
 
     hierarchy: HierarchyConfig = field(default_factory=HierarchyConfig)

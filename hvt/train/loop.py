@@ -185,6 +185,13 @@ class Trainer:
         )
         if config.load_path:
             self.state = self.checkpointer_restore(config.load_path)
+        elif config.auto_resume and self.checkpointer.latest_step() is not None:
+            # Idempotent re-submission: pick up this run's own latest
+            # checkpoint (exact mid-epoch resume semantics, same as
+            # load_path pointing at our checkpoints dir).
+            step = self.checkpointer.latest_step()
+            self.state = self.checkpointer.restore(self.state, step)
+            print(f"[{config.run_name}] auto-resumed from step {step}")
         self.logger = RunLogger(
             save_folder,
             config.run_name,

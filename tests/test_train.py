@@ -546,3 +546,36 @@ def test_trainer_learns_separable_task(tmp_path):
     tr.close()
     assert metrics["acc@1"] >= 0.9, metrics
     assert metrics["cross-entropy"] < 1.0, metrics
+
+
+def test_auto_resume_picks_up_own_checkpoints(micro_config):
+    """auto_resume: re-submitting the identical config resumes from the run's
+    own latest checkpoint instead of restarting (idempotent recovery; the
+    reference's recovery is manual load_path re-submission, SURVEY.md §5)."""
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(C.to_dict(micro_config),
+                  {"run_name": "autoresume", "auto_resume": True,
+                   "max_duration": "2ba"})
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    assert int(tr.state.step) == 0  # nothing to resume yet
+    tr.fit()
+    tr.close()
+
+    # identical re-submission continues at step 2 and trains to 4
+    cfg2 = C.loads(C.to_dict(cfg), {"max_duration": "4ba"})
+    tr2 = Trainer(cfg2, mesh=parallel.cpu_mesh(1), log_interval=10)
+    assert int(tr2.state.step) == 2
+    tr2.fit()
+    assert int(tr2.state.step) == 4
+    tr2.close()
+
+    # load_path wins over auto_resume (explicit beats implicit)
+    other = str(
+        __import__("pathlib").Path(cfg.machine.save_root) / "autoresume" / "checkpoints"
+    )
+    cfg3 = C.loads(C.to_dict(cfg), {"run_name": "autoresume2",
+                                    "load_path": other})
+    tr3 = Trainer(cfg3, mesh=parallel.cpu_mesh(1), log_interval=10)
+    assert int(tr3.state.step) == 4  # the other run's latest (step 4)
+    tr3.close()
