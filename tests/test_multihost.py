@@ -28,12 +28,17 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.slow
-def test_two_process_training(tmp_path):
+def _run_cluster(tmp_path, devices_per_proc: int):
+    """Launch the 2-process worker cluster; → (results, stdout tails)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon TPU plugin out
-    env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    if devices_per_proc == 1:
+        env.pop("XLA_FLAGS", None)  # 1 CPU device per process
+    else:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        )
     env["JAX_PLATFORMS"] = "cpu"
     repo_root = pathlib.Path(__file__).parents[1]
     env["PYTHONPATH"] = str(repo_root)
@@ -63,6 +68,12 @@ def test_two_process_training(tmp_path):
         f = tmp_path / f"rank{i}.json"
         assert f.exists(), outs[i][-2000:]
         results.append(json.loads(f.read_text()))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    results = _run_cluster(tmp_path, devices_per_proc=1)
 
     for r in results:
         assert r["world"] == 2
@@ -103,4 +114,21 @@ def test_two_process_training(tmp_path):
         trainer.close()
     assert local_metrics["cross-entropy"] == pytest.approx(
         results[0]["cross-entropy"], rel=5e-3
+    )
+
+
+@pytest.mark.slow
+def test_two_process_multi_device_training(tmp_path):
+    """The production pod topology: multiple devices per host. 2 processes
+    with 2 virtual CPU devices each → a 4-device global mesh; the per-host
+    batch shard must place correctly across each host's local devices
+    (jax.make_array_from_process_local_data with local device count > 1)."""
+    results = _run_cluster(tmp_path, devices_per_proc=2)
+    for r in results:
+        assert r["world"] == 2
+        assert r["devices"] == 4  # 2 hosts x 2 local devices
+        assert r["step"] == 2
+        assert np.isfinite(r["cross-entropy"])
+    assert results[0]["cross-entropy"] == pytest.approx(
+        results[1]["cross-entropy"], rel=1e-6
     )
