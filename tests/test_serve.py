@@ -2,6 +2,7 @@
 
 import io
 import json
+import os
 import threading
 import urllib.request
 
@@ -181,3 +182,68 @@ def test_concurrent_requests_microbatch_correctly(tmp_path):
     with ThreadPoolExecutor(8) as pool:
         concurrent = list(pool.map(engine.predict_image, blobs))
     assert concurrent == sequential
+
+
+@pytest.mark.slow
+def test_serve_cli_entry(tmp_path):
+    """serve.py boots from the CLI, answers /healthz and /predict, and shuts
+    down cleanly on SIGTERM."""
+    import pathlib
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    root = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for name in NAMES:
+            d = root / split / name
+            d.mkdir(parents=True)
+            Image.fromarray(
+                rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+            ).save(d / "0.jpg")
+    (tmp_path / "machine.yaml").write_text(
+        f"machine:\n  datasets:\n    fix: {root}\n  save_root: {tmp_path}/runs\n"
+    )
+    (tmp_path / "exp.yaml").write_text(
+        "run_name: serve-cli\n"
+        "model: {name: resnet_micro}\n"
+        "eval_dataset: {path: fix, crop_size: 32, resize_size: 34,\n"
+        "  global_batch_size: 4}\n"
+        "loader: {num_workers: 1, prefetch_batches: 1}\n"
+    )
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = pathlib.Path(__file__).parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py",
+         "--machine", str(tmp_path / "machine.yaml"),
+         "--exp", str(tmp_path / "exp.yaml"),
+         "--port", str(port), "--topk", "2"],
+        cwd=str(repo), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        status = None
+        while time.time() < deadline:
+            try:
+                status, body = _get(f"http://127.0.0.1:{port}/healthz")
+                break
+            except OSError:
+                if proc.poll() is not None:
+                    pytest.fail(proc.stdout.read()[-3000:])
+                time.sleep(0.5)
+        assert status == 200, "server never came up"
+        jpg = next((root / "val" / NAMES[0]).glob("*.jpg")).read_bytes()
+        status, rec = _post(f"http://127.0.0.1:{port}/predict", jpg)
+        assert status == 200 and len(rec["class_ids"]) == 2
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=30)
