@@ -61,3 +61,41 @@ def test_residuals_audit_tool():
 
     text = RZ.summarize(plain, 4)
     assert "MB/image" in text and "largest tensors" in text
+
+
+def test_run_summary_parses_runlogger_output(tmp_path):
+    """run_summary digests a real RunLogger stream (config dump + jsonl)."""
+    from hvt.tools import run_summary as RS
+    from hvt.utils.logging import RunLogger
+
+    logger = RunLogger(tmp_path, "sumrun")
+    logger.log_config("model:\n  name: resnet_micro\n")  # non-JSON lines
+    logger.log(1, {"loss": 4.0, "acc@1": 0.1}, prefix="train")
+    logger.log(2, {"loss": 2.5, "acc@1": 0.4}, prefix="train")
+    logger.log(2, {"acc@1": 0.3}, prefix="eval")
+    logger.close()
+
+    records = RS.parse_records(tmp_path / "logs" / "log0.txt")
+    summary = RS.summarize(records)
+    assert summary["steps"] == 2 and summary["records"] == 3
+    m = summary["metrics"]
+    assert m["train/loss"] == {"first": 4.0, "last": 2.5, "best": 2.5, "n": 2}
+    assert m["train/acc@1"]["best"] == 0.4  # higher-is-better for accuracy
+    assert m["eval/acc@1"]["n"] == 1
+    text = RS.format_summary(summary, "x")
+    assert "train/loss" in text and "best" in text
+
+    # CLI over the run dir
+    import pathlib
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "hvt.tools.run_summary", str(tmp_path), "--json"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root",
+             "JAX_PLATFORMS": "cpu", "PYTHONPATH": "."},
+        cwd=str(pathlib.Path(__file__).parents[1]),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.strip())["steps"] == 2
