@@ -50,7 +50,6 @@ class InferenceEngine:
 
         self.config = config
         self.batch = max(1, batch)
-        self.topk = topk
 
         loader, info = build_loader(config, is_train=False)
         self.classes = list(getattr(loader.dataset, "classes", ()))
@@ -143,6 +142,8 @@ class InferenceEngine:
 
         while True:
             first = self._queue.get()
+            if first is None:  # close() sentinel
+                return
             pendings = [first]
             # Coalesce whatever is already waiting (small grace window so a
             # concurrent burst shares one dispatch) up to the batch shape.
@@ -174,6 +175,12 @@ class InferenceEngine:
             finally:
                 for p in pendings:
                     p["event"].set()
+
+    def close(self) -> None:
+        """Retire the batcher thread (idempotent)."""
+        if self._batcher.is_alive():
+            self._queue.put(None)
+            self._batcher.join(timeout=10)
 
     def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
         """One image (encoded bytes) → top-k record."""
