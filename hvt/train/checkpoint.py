@@ -184,6 +184,29 @@ def merge_backbone(
     return merged
 
 
+def adapt_stem_layout(src: dict, target: dict) -> dict:
+    """Remap the ResNet stem param path between the plain and space-to-depth
+    flavors (``stem/Conv_0/kernel`` ↔ ``stem/kernel``).
+
+    The s2d stem holds the identical (7, 7, 3, w) kernel under a flat path
+    (hvt.models.resnet.SpaceToDepthStem); without this remap a pretrained
+    load across stem flavors would silently leave the stem at init
+    (merge_backbone merges by path). BatchNorm paths match in both flavors.
+    """
+    s, t = src.get("stem"), target.get("stem")
+    if not isinstance(s, dict) or not isinstance(t, dict):
+        return src
+    if "Conv_0" in s and "kernel" in t:  # plain checkpoint → s2d model
+        s = dict(s)
+        s["kernel"] = s.pop("Conv_0")["kernel"]
+        return dict(src, stem=s)
+    if "kernel" in s and "Conv_0" in t:  # s2d checkpoint → plain model
+        s = dict(s)
+        s["Conv_0"] = {"kernel": s.pop("kernel")}
+        return dict(src, stem=s)
+    return src
+
+
 def load_pretrained(
     uri: str, params: dict, batch_stats: dict | None, strict: bool = False
 ) -> tuple[dict, dict | None]:
@@ -214,6 +237,7 @@ def load_pretrained(
         if raw.get("ema_params") is not None:
             src = raw["ema_params"]
             src_stats = raw.get("ema_batch_stats") or src_stats
+    src = adapt_stem_layout(dict(src), params)
     src = strip_head(dict(src))
     target = dict(params)
     backbone_current = strip_head(target)

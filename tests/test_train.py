@@ -579,3 +579,41 @@ def test_auto_resume_picks_up_own_checkpoints(micro_config):
     tr3 = Trainer(cfg3, mesh=parallel.cpu_mesh(1), log_interval=10)
     assert int(tr3.state.step) == 4  # the other run's latest (step 4)
     tr3.close()
+
+
+def test_pretrained_load_adapts_stem_layout(monkeypatch):
+    """A plain-stem checkpoint loads into a space-to-depth model and vice
+    versa — the s2d stem keeps the standard (7,7,3,w) kernel under a flat
+    param path (hvt/models/resnet.py SpaceToDepthStem), so the pretrained
+    path remaps it instead of silently leaving the stem at init."""
+    from hvt.models import build_model
+    from hvt.train import checkpoint as ckpt_lib
+
+    plain = build_model(
+        C.loads({"model": {"name": "resnet_micro_bottleneck"}}), 4
+    )
+    s2d = build_model(
+        C.loads({"model": {"name": "resnet_micro_bottleneck",
+                           "args": {"stem_s2d": True}}}), 4
+    )
+    x = jnp.zeros((2, 32, 32, 3))
+    vp = jax.device_get(plain.init(jax.random.key(0), x, train=False))
+    vs = jax.device_get(s2d.init(jax.random.key(1), x, train=False))
+
+    # plain checkpoint → s2d model
+    monkeypatch.setattr(ckpt_lib, "load_raw",
+                        lambda uri: {"params": vp["params"]})
+    merged, _ = ckpt_lib.load_pretrained("x", vs["params"], None)
+    np.testing.assert_array_equal(
+        np.asarray(merged["stem"]["kernel"]),
+        np.asarray(vp["params"]["stem"]["Conv_0"]["kernel"]),
+    )
+
+    # s2d checkpoint → plain model
+    monkeypatch.setattr(ckpt_lib, "load_raw",
+                        lambda uri: {"params": vs["params"]})
+    merged2, _ = ckpt_lib.load_pretrained("x", vp["params"], None)
+    np.testing.assert_array_equal(
+        np.asarray(merged2["stem"]["Conv_0"]["kernel"]),
+        np.asarray(vs["params"]["stem"]["kernel"]),
+    )
