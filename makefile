@@ -10,6 +10,13 @@ dryrun:
 roofline:
 	python -m hvt.tools.roofline
 
+residuals:
+	python -m hvt.tools.residuals --model resnet50
+
+serve:
+	python serve.py --machine configs/machines/local.yaml \
+		--exp configs/pretrain/debug_synthetic.yaml --port 8000
+
 loader-bench:
 	python -m hvt.tools.loader_bench --threads 1,2,4
 
