@@ -177,7 +177,9 @@ class Config:
     is_train: bool = True
     seed: int = 42
     max_duration: str = "90ep"
-    # int microbatch count, or "auto" (resolved to 1 on TPU).
+    # int microbatch count, or "auto": the Trainer reads XLA's compile-time
+    # memory analysis and doubles the count until the step fits HBM
+    # (hvt/train/microbatch.py; the reference's Composer grad_accum "auto").
     grad_accum: Union[str, int] = "auto"
     load_path: Optional[str] = None
     # Resume from this run's own checkpoints automatically when they exist
