@@ -145,11 +145,10 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
     return rates
 
 
-def _summarize(rates: list[float], baseline: float, batch_per_chip: int) -> dict:
+def _summarize(rates: list[float], baseline, batch_per_chip: int) -> dict:
     med = float(np.median(rates))
-    return {
+    out = {
         "value": round(med, 2),
-        "vs_baseline": round(med / baseline, 4),
         "batch_per_chip": batch_per_chip,
         "spread": {
             "min": round(min(rates), 2),
@@ -159,6 +158,58 @@ def _summarize(rates: list[float], baseline: float, batch_per_chip: int) -> dict
             "steps_per_window": MEASURE_STEPS,
         },
     }
+    if baseline is not None:
+        out["vs_baseline"] = round(med / baseline, 4)
+    return out
+
+
+def measure_eval(model_name: str, model_args: dict, batch_per_chip: int) -> list[float]:
+    """Eval-forward (inference/serving) throughput for one workload."""
+    from hvt import config as config_lib
+    from hvt import parallel
+    from hvt.data import DevicePrep
+    from hvt.models import build_model
+    from hvt.train import step as step_lib
+
+    n_chips = jax.device_count()
+    batch = batch_per_chip * n_chips
+    cfg = config_lib.loads({"model": {"name": model_name, "args": model_args}})
+    mesh = parallel.make_mesh(cfg.mesh)
+    parallel.set_kernel_mesh(mesh)
+    prep = DevicePrep.from_config(cfg.eval_dataset, cfg.precision)
+    model = build_model(cfg, NUM_CLASSES)
+    variables = jax.jit(
+        lambda: model.init(
+            jax.random.key(0),
+            prep.normalize(jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.uint8)),
+            train=False,
+        ),
+        out_shardings=parallel.replicated(mesh),
+    )()
+    eval_step = step_lib.build_eval_step(model, prep)
+    sharded = parallel.batch_sharding(mesh)
+    images = jax.device_put(
+        np.random.default_rng(0).integers(
+            0, 256, (batch, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8
+        ),
+        sharded,
+    )
+    labels = jax.device_put(np.zeros((batch,), np.int32), sharded)
+    mask = jax.device_put(np.ones((batch,), np.float32), sharded)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    for _ in range(WARMUP_STEPS):
+        stats = eval_step(params, batch_stats, images, labels, mask)
+    float(stats["ce_sum"])
+    rates = []
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            stats = eval_step(params, batch_stats, images, labels, mask)
+        float(stats["ce_sum"])
+        rates.append(MEASURE_STEPS * batch / (time.perf_counter() - t0) / n_chips)
+    del params, batch_stats, images, labels, mask
+    return rates
 
 
 def main():
@@ -236,6 +287,15 @@ def main():
         record["workloads"]["swinv2_tiny"] = _summarize(
             swin, A100_SWINV2_TINY_IMAGES_PER_SEC, swin_batch
         )
+
+    # Opt-in inference workloads (serving-relevant eval forwards; default off
+    # so the driver's round-end run stays train-focused).
+    if os.environ.get("HVT_BENCH_EVAL") == "1":
+        r50_eval = measure_eval("resnet50", dict(r50_args), 256)
+        record["workloads"]["resnet50_eval"] = _summarize(r50_eval, None, 256)
+        if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
+            swin_eval = measure_eval("swinv2_tiny", dict(swin_args), 64)
+            record["workloads"]["swinv2_tiny_eval"] = _summarize(swin_eval, None, 64)
     print(json.dumps(record))
 
 

@@ -84,3 +84,26 @@ def test_remat_policy_validated():
         m = R.resnet_micro(10, dtype=jnp.float32, remat_stages=[1],
                            remat_policy="bogus")
         m.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)), train=True)
+
+
+def test_swin_remat_same_function_and_gradients(x):
+    """model.args.remat on SwinV2 (per-block jax.checkpoint — the analog of
+    the reference's activation checkpointing, reference swinv2.py:584-585)
+    must not change outputs or gradients."""
+    from hvt.models import swinv2 as S
+
+    base = S.swinv2_micro(10, dtype=jnp.float32, use_pallas=False)
+    remat = S.swinv2_micro(10, dtype=jnp.float32, use_pallas=False, remat=True)
+    v = base.init(jax.random.key(0), x, train=False)
+    vr = remat.init(jax.random.key(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(vr)
+
+    def loss(model, p):
+        out = model.apply({"params": p}, x, train=True,
+                          rngs={"dropout": jax.random.key(0)})
+        return jnp.sum(out**2) / x.shape[0]
+
+    lb, gb = jax.value_and_grad(lambda p: loss(base, p))(v["params"])
+    lr_, gr = jax.value_and_grad(lambda p: loss(remat, p))(v["params"])
+    assert float(lb) == pytest.approx(float(lr_), rel=1e-6)
+    assert _max_rel(gb, gr) < 1e-5
