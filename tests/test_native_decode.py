@@ -89,7 +89,23 @@ def test_loader_uses_native_and_matches_mask(tmp_path):
     assert batches[0].images.shape == (4, 32, 32, 3)
     assert batches[-1].mask.sum() == 2
 
-    # RandAugment forces the PIL path
+    # RandAugment no longer forfeits the native core: it applies after the
+    # crop, so the loader keeps native decode+crop and runs post_augment over
+    # the small arrays (tests/test_data.py covers the hybrid output).
     loader2 = L.Loader(ds, T.TrainTransform(crop_size=32, randaugment_depth=1), 4,
                        seed=1, num_workers=2)
-    assert not loader2.use_native
+    assert loader2.use_native
+
+    # Non-JPEG sources are the remaining genuine PIL fallback.
+    png_dir = tmp_path / "png" / name
+    png_dir.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(png_dir / f"{i}.png")
+    ds_png = F.scan_image_folder(tmp_path / "png", ".")
+    loader3 = L.Loader(ds_png, T.TrainTransform(crop_size=32), 4,
+                       seed=1, num_workers=2)
+    assert not loader3.use_native
+    b = next(iter(loader3.epoch(0)))
+    assert b.images.shape == (4, 32, 32, 3)
