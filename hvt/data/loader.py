@@ -140,7 +140,9 @@ class Loader:
         rng = np.random.default_rng((self.seed, epoch, int(index)))
         return _decode_folder_sample(self.dataset, index, self.transform, rng)
 
-    def _native_batch_images(self, epoch: int, idxs: np.ndarray) -> np.ndarray:
+    def _native_batch_images(
+        self, pool: ThreadPoolExecutor, epoch: int, idxs: np.ndarray
+    ) -> np.ndarray:
         tf = self.transform
         is_train = isinstance(tf, T.TrainTransform)
         paths = [self.dataset.paths[int(i)] for i in idxs]
@@ -172,19 +174,27 @@ class Loader:
         if is_train and tf.has_post_ops:
             # RandAugment / ColOut over the small cropped arrays (see
             # _native_eligible); per-sample streams disjoint from the PIL
-            # path's (seed, epoch, index) decode streams.
-            for row, i in enumerate(idxs):
-                if row in failed_rows:
-                    continue
+            # path's (seed, epoch, index) decode streams. Rows are
+            # independent — fan out over the worker pool rather than
+            # serializing the PIL pass on the producer thread.
+            def _post(row_i):
+                row, i = row_i
                 rng = np.random.default_rng((self.seed, epoch, int(i), 0xA6))
-                images[row] = tf.post_augment(images[row], rng)
+                return row, tf.post_augment(images[row], rng)
+
+            todo = [
+                (row, i) for row, i in enumerate(idxs)
+                if row not in failed_rows
+            ]
+            for row, arr in pool.map(_post, todo):
+                images[row] = arr
         return images
 
     def _make_batch(self, pool: ThreadPoolExecutor, epoch: int, idxs: np.ndarray) -> Batch:
         bs = self.local_batch_size
         n_valid = len(idxs)
         if self.use_native:
-            arrays = self._native_batch_images(epoch, idxs)
+            arrays = self._native_batch_images(pool, epoch, idxs)
             h, w, c = arrays[0].shape
         else:
             arrays = list(pool.map(lambda i: self._load_one(epoch, int(i)), idxs))

@@ -74,6 +74,77 @@ def _top_down_decode(tier_logits, lookups):
     return preds, masked, n_allowed
 
 
+def taxonomy_lookups(classes, num_classes):
+    """Validated parent lookups for constrained hierarchical decoding.
+
+    A multitask model can be trained on non-hierarchy-named folders; in
+    that case ``parent_lookup_from_classes`` would silently build garbage
+    (or crash deep in assign_tier_indices), so validate the class-name
+    format first (reference hierarchy.py:242-286 taxonomy dirnames)."""
+    if not isinstance(num_classes, tuple):
+        raise ValueError(
+            "hierarchical decoding needs a multitask model "
+            "(hierarchy.variant: multitask)"
+        )
+    from hvt import hierarchy as hierarchy_lib
+
+    name = None
+    try:
+        for name in classes:
+            hierarchy_lib.HierarchicalLabel.parse(name)
+    except (ValueError, AssertionError) as e:
+        raise ValueError(
+            "hierarchical decoding needs taxonomy-formatted class "
+            "directory names ('<index>_<kingdom>_..._<species>', "
+            f"reference hierarchy.py:242-286); got {name!r}"
+        ) from e
+    return hierarchy_lib.parent_lookup_from_classes(classes)
+
+
+def build_topk_step(model, prep, lookups, k):
+    """→ jitted ``(params, batch_stats, images) → (top_i, top_p, tiers,
+    n_allowed)``. Shared by batch inference (predict) and the HTTP server
+    (hvt/downstream/serve.py) so the decode semantics live in one place."""
+
+    @jax.jit
+    def step(params, batch_stats, images):
+        x = prep.normalize(images)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, x, train=False)
+        tiers = n_allowed = None
+        if isinstance(out, (list, tuple)):  # multitask head
+            if lookups is not None:
+                tier_preds, masked, n_allowed = _top_down_decode(out, lookups)
+                tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
+                out = masked  # constrained fine-tier logits
+            else:
+                out = out[-1]
+        probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, k)
+        return top_i, top_p, tiers, n_allowed
+
+    return step
+
+
+def topk_record(classes, row, top_i, top_p, tiers, n_allowed, k) -> dict:
+    """One image row of a step's output → the JSON-ready top-k record.
+
+    Hierarchical decode: when the predicted parent has fewer than k
+    children, top_k pads with out-of-branch classes at ~0 probability —
+    trim to the branch's actual child count."""
+    kk = k if n_allowed is None else min(k, int(n_allowed[row]))
+    rec = {
+        "classes": [classes[i] if classes else int(i) for i in top_i[row][:kk]],
+        "class_ids": [int(i) for i in top_i[row][:kk]],
+        "probs": [round(float(p), 6) for p in top_p[row][:kk]],
+    }
+    if tiers is not None:
+        rec["tier_ids"] = [int(t) for t in tiers[row]]
+    return rec
+
+
 def predict(
     config: config_lib.Config,
     *,
@@ -110,49 +181,10 @@ def predict(
 
     k = min(topk, info.fine_grained_num_classes)
     classes = getattr(loader.dataset, "classes", ())
-    if hierarchical:
-        if not isinstance(info.num_classes, tuple):
-            raise ValueError(
-                "hierarchical decoding needs a multitask model "
-                "(hierarchy.variant: multitask)"
-            )
-        from hvt import hierarchy as hierarchy_lib
-
-        # A multitask model can be trained on non-hierarchy-named folders;
-        # in that case the parent lookup below would silently build garbage
-        # (or crash deep in assign_tier_indices), so validate the class-name
-        # format first (reference hierarchy.py:242-286 taxonomy dirnames).
-        try:
-            for name in classes:
-                hierarchy_lib.HierarchicalLabel.parse(name)
-        except (ValueError, AssertionError) as e:
-            raise ValueError(
-                "hierarchical decoding needs taxonomy-formatted class "
-                "directory names ('<index>_<kingdom>_..._<species>', "
-                f"reference hierarchy.py:242-286); got {name!r}"
-            ) from e
-        lookups = hierarchy_lib.parent_lookup_from_classes(classes)
-    else:
-        lookups = None
-
-    @jax.jit
-    def step(params, batch_stats, images):
-        x = prep.normalize(images)
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        out = model.apply(variables, x, train=False)
-        tiers = n_allowed = None
-        if isinstance(out, (list, tuple)):  # multitask head
-            if lookups is not None:
-                tier_preds, masked, n_allowed = _top_down_decode(out, lookups)
-                tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
-                out = masked  # constrained fine-tier logits
-            else:
-                out = out[-1]
-        probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
-        top_p, top_i = jax.lax.top_k(probs, k)
-        return top_i, top_p, tiers, n_allowed
+    lookups = (
+        taxonomy_lookups(classes, info.num_classes) if hierarchical else None
+    )
+    step = build_topk_step(model, prep, lookups, k)
 
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)
@@ -167,17 +199,7 @@ def predict(
         for row in range(batch.images.shape[0]):
             if batch.mask[row] <= 0:
                 continue
-            # Hierarchical decode: when the predicted parent has fewer than k
-            # children, top_k pads with out-of-branch classes at ~0
-            # probability — trim to the branch's actual child count.
-            kk = k if n_allowed is None else min(k, int(n_allowed[row]))
-            rec = {
-                "classes": [classes[i] if classes else int(i) for i in top_i[row][:kk]],
-                "class_ids": [int(i) for i in top_i[row][:kk]],
-                "probs": [round(float(p), 6) for p in top_p[row][:kk]],
-            }
-            if tiers is not None:
-                rec["tier_ids"] = [int(t) for t in tiers[row]]
+            rec = topk_record(classes, row, top_i, top_p, tiers, n_allowed, k)
             label = batch.labels[row]
             rec["label"] = (
                 [int(t) for t in label] if np.ndim(label) else int(label)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import io
 import json
+import queue as queue_lib
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -81,65 +82,36 @@ class InferenceEngine:
             batch_stats, parallel.replicated(mesh)
         )
 
-        lookups = None
-        if hierarchical:
-            if not isinstance(info.num_classes, tuple):
-                raise ValueError(
-                    "hierarchical serving needs a multitask model"
-                )
-            from hvt import hierarchy as hierarchy_lib
-
-            lookups = hierarchy_lib.parent_lookup_from_classes(self.classes)
+        lookups = (
+            predict_lib.taxonomy_lookups(self.classes, info.num_classes)
+            if hierarchical
+            else None
+        )
         self.hierarchical = hierarchical
 
         k = min(topk, info.fine_grained_num_classes)
-
-        @jax.jit
-        def step(params, batch_stats, images):
-            x = prep.normalize(images)
-            vs = {"params": params}
-            if batch_stats:
-                vs["batch_stats"] = batch_stats
-            out = model.apply(vs, x, train=False)
-            tiers = n_allowed = None
-            if isinstance(out, (list, tuple)):
-                if lookups is not None:
-                    tier_preds, masked, n_allowed = predict_lib._top_down_decode(
-                        out, lookups
-                    )
-                    tiers = jnp.stack(tier_preds, axis=-1)
-                    out = masked
-                else:
-                    out = out[-1]
-            probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
-            top_p, top_i = jax.lax.top_k(probs, k)
-            return top_i, top_p, tiers, n_allowed
-
-        self._step = step
+        self._step = predict_lib.build_topk_step(model, prep, lookups, k)
         self._k = k
         self._crop = crop
 
         # Warm the executable so the first request doesn't pay the compile.
+        # Host fetch, not block_until_ready — the latter returns before
+        # device completion on the axon runtime (see CLAUDE.md).
         dummy = np.zeros((self.batch, crop, crop, 3), np.uint8)
-        jax.block_until_ready(
-            self._step(self._params, self._batch_stats, dummy)[0]
-        )
+        np.asarray(self._step(self._params, self._batch_stats, dummy)[0])
 
         # Request micro-batching: concurrent requests coalesce into one
         # fixed-shape device step (up to `batch` rows per dispatch). Server
         # threads decode/resize concurrently and block on their slot's
         # event; a single batcher thread owns the device.
-        import queue as queue_lib
-
         self._queue: queue_lib.Queue = queue_lib.Queue()
+        self._closed = False
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self._batcher.start()
 
     # -- batching -----------------------------------------------------------
 
     def _batch_loop(self):
-        import queue as queue_lib
-
         while True:
             first = self._queue.get()
             if first is None:  # close() sentinel
@@ -147,12 +119,16 @@ class InferenceEngine:
             pendings = [first]
             # Coalesce whatever is already waiting (small grace window so a
             # concurrent burst shares one dispatch) up to the batch shape.
-            deadline = 0.002
+            closing = False
             while len(pendings) < self.batch:
                 try:
-                    pendings.append(self._queue.get(timeout=deadline))
+                    item = self._queue.get(timeout=0.002)
                 except queue_lib.Empty:
                     break
+                if item is None:  # sentinel raced a burst: finish, then exit
+                    closing = True
+                    break
+                pendings.append(item)
             images = np.zeros(
                 (self.batch, self._crop, self._crop, 3), np.uint8
             )
@@ -175,39 +151,52 @@ class InferenceEngine:
             finally:
                 for p in pendings:
                     p["event"].set()
+            if closing:
+                return
 
     def close(self) -> None:
-        """Retire the batcher thread (idempotent)."""
+        """Retire the batcher thread (idempotent); in-flight requests
+        complete, requests that race the shutdown fail cleanly."""
+        self._closed = True
         if self._batcher.is_alive():
             self._queue.put(None)
             self._batcher.join(timeout=10)
+        # Fail anything enqueued after the batcher consumed the sentinel.
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue_lib.Empty:
+                return
+            if p is not None:
+                p["error"] = RuntimeError("InferenceEngine is closed")
+                p["event"].set()
 
     def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
         """One image (encoded bytes) → top-k record."""
         from PIL import Image
 
+        from hvt.downstream import predict as predict_lib
+
+        if topk is not None and topk <= 0:
+            raise ValueError(f"topk must be positive, got {topk}")
+        if self._closed:
+            raise RuntimeError("InferenceEngine is closed")
         with Image.open(io.BytesIO(data)) as img:
             arr = self.transform(img.convert("RGB"), np.random.default_rng(0))
         pending = {"arr": arr, "event": threading.Event()}
         self._queue.put(pending)
-        pending["event"].wait()
+        # Bounded wait: a request that races close() past the drain above
+        # would otherwise block forever on a dead batcher.
+        while not pending["event"].wait(timeout=0.5):
+            if self._closed and not self._batcher.is_alive():
+                raise RuntimeError("InferenceEngine is closed")
         if "error" in pending:
             raise RuntimeError(f"inference failed: {pending['error']}")
         row, (top_i, top_p, tiers, n_allowed) = pending["result"]
-        top_i, top_p = top_i[row], top_p[row]
         k = self._k if topk is None else min(topk, self._k)
-        if n_allowed is not None:
-            k = min(k, int(n_allowed[row]))
-        rec = {
-            "classes": [
-                self.classes[i] if self.classes else int(i) for i in top_i[:k]
-            ],
-            "class_ids": [int(i) for i in top_i[:k]],
-            "probs": [round(float(p), 6) for p in top_p[:k]],
-        }
-        if tiers is not None:
-            rec["tier_ids"] = [int(t) for t in tiers[row]]
-        return rec
+        return predict_lib.topk_record(
+            self.classes, row, top_i, top_p, tiers, n_allowed, k
+        )
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
@@ -254,6 +243,11 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                     except ValueError:
                         self._send(400, {"error": f"bad topk {part[5:]!r}"})
                         return
+                    if topk <= 0:
+                        self._send(
+                            400, {"error": f"topk must be positive, got {topk}"}
+                        )
+                        return
             length = int(self.headers.get("Content-Length") or 0)
             if length <= 0:
                 self._send(400, {"error": "empty body (expected image bytes)"})
@@ -276,4 +270,7 @@ def serve(config: config_lib.Config, *, host: str = "127.0.0.1",
     print(f"[{config.run_name}] serving {config.model.name} on "
           f"http://{host}:{server.server_address[1]} "
           f"(POST /predict, GET /healthz)")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:  # Ctrl-C / shutdown(): retire the batcher cleanly
+        engine.close()

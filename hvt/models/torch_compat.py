@@ -205,15 +205,17 @@ def jax_to_np(tree):
     return np.asarray(tree)
 
 
-def save_swin_checkpoint(params: Mapping, path: str) -> None:
+def save_swin_checkpoint(params: Mapping, path: str) -> int:
     """Write an hvt Swin params tree as a reference-format ``.pt`` file
     (``{"model": state_dict}``, reference swinv2.py:883-885) loadable by the
-    reference's Checkpoint parser and by hvt's own ``swin://`` URIs."""
+    reference's Checkpoint parser and by hvt's own ``swin://`` URIs.
+    Returns the number of state-dict keys written."""
     import torch
 
     sd = {k: torch.tensor(np.asarray(v, np.float32))
           for k, v in export_swin_state_dict(params).items()}
     torch.save({"model": sd}, path)
+    return len(sd)
 
 
 def load_swin_checkpoint(uri: str, depths: tuple[int, ...] | None = None) -> dict:
@@ -361,9 +363,10 @@ def export_resnet_state_dict(params: Mapping, batch_stats: Mapping) -> dict[str,
     return sd
 
 
-def save_resnet_checkpoint(params: Mapping, batch_stats: Mapping, path: str) -> None:
+def save_resnet_checkpoint(params: Mapping, batch_stats: Mapping, path: str) -> int:
     """Write hvt ResNet variables as a torch-format ``.pt``
-    (``{"model": state_dict}``, matching the Swin convention here)."""
+    (``{"model": state_dict}``, matching the Swin convention here).
+    Returns the number of state-dict keys written."""
     import torch
 
     sd = {}
@@ -371,6 +374,7 @@ def save_resnet_checkpoint(params: Mapping, batch_stats: Mapping, path: str) -> 
         dtype = torch.int64 if v.dtype == np.int64 else torch.float32
         sd[k] = torch.tensor(np.asarray(v), dtype=dtype)
     torch.save({"model": sd}, path)
+    return len(sd)
 
 
 # ---------------------------------------------------------------------------

@@ -36,12 +36,10 @@ def export(uri: str, out: str, use_ema: bool = True) -> dict:
     if params is None:
         raise ValueError(f"checkpoint {uri!r} carries no params")
     if "patch_embed" in params:  # SwinV2 family (LayerNorm — no batch stats)
-        torch_compat.save_swin_checkpoint(params, out)
-        keys = len(torch_compat.export_swin_state_dict(params))
+        keys = torch_compat.save_swin_checkpoint(params, out)
         family = "swinv2"
     elif "stem" in params:  # ResNet family — running stats travel along
-        torch_compat.save_resnet_checkpoint(params, stats, out)
-        keys = len(torch_compat.export_resnet_state_dict(params, stats))
+        keys = torch_compat.save_resnet_checkpoint(params, stats, out)
         family = "resnet"
     else:
         raise ValueError(

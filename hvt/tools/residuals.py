@@ -66,7 +66,7 @@ def parse_residual_lines(text: str) -> list[Residual]:
 
 def audit_model(model_name: str, *, batch: int, crop: int, num_classes: int,
                 smoothing: float = 0.08, model_args: dict | None = None):
-    """→ (list[Residual], batch) for the model's train-step loss."""
+    """→ list[Residual] saved by AD for the model's train-step loss."""
     import jax
     import jax.numpy as jnp
 

@@ -110,6 +110,61 @@ def test_bad_requests(served):
     assert status == 400
     status, body = _post(f"{base}/nope", b"x")
     assert status == 404
+    # Non-positive topk must 400, not slice negatively / return empty 200s.
+    jpg = next((served[1] / "val" / NAMES[0]).glob("*.jpg")).read_bytes()
+    for bad in ("0", "-1", "-5"):
+        status, body = _post(f"{base}/predict?topk={bad}", jpg)
+        assert status == 400 and "positive" in body["error"], bad
+
+
+def test_engine_close_semantics(tmp_path):
+    """close() retires the batcher without stranding callers: in-flight
+    requests finish or fail cleanly, later requests raise instead of
+    hanging, and close() is idempotent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-close",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    engine = serve_lib.InferenceEngine(cfg, topk=2, batch=4)
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (36, 36, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    blob = buf.getvalue()
+
+    def call(_):
+        try:
+            return engine.predict_image(blob)
+        except RuntimeError as e:
+            return e
+
+    # A burst racing close(): every caller returns (result or clean error)
+    # within the pool timeout — nobody hangs on a dead batcher.
+    with ThreadPoolExecutor(8) as pool:
+        futures = [pool.submit(call, i) for i in range(8)]
+        engine.close()
+        results = [f.result(timeout=30) for f in futures]
+    for r in results:
+        assert isinstance(r, (dict, RuntimeError))
+
+    with pytest.raises((RuntimeError, ValueError)):
+        engine.predict_image(blob)
+    engine.close()  # idempotent
+
+    with pytest.raises(ValueError, match="positive"):
+        engine.predict_image(blob, topk=0)
 
 
 def test_hierarchical_engine(tmp_path):
