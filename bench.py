@@ -261,6 +261,10 @@ def main():
         swin_args = {"fuse": os.environ.get("HVT_BENCH_FUSE", "1") == "1"}
         if os.environ.get("HVT_BENCH_FUSE_ATTN") == "1":
             swin_args["fuse_attn_train"] = True
+        # Stage-4 fallback A/B: XLA attention vs packed kernels where the
+        # fused half doesn't fit VMEM.
+        if os.environ.get("HVT_BENCH_FALLBACK_XLA") == "1":
+            swin_args["fallback_xla"] = True
         swin = measure(
             {
                 "model": {"name": "swinv2_tiny", "args": swin_args},

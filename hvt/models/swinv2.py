@@ -137,6 +137,13 @@ class SwinBlock(nn.Module):
     # round 3) — the fused half absorbs the qkv/proj layout copies XLA
     # inserts around the packed-attention custom calls.
     fuse_attn_train: bool = True
+    # When a fused component does NOT fit VMEM (SwinV2-T stage 4, C=768),
+    # route its attention through the plain XLA lowering instead of the
+    # packed Pallas kernels — the custom calls pay layout copies at their
+    # boundary (BENCH.md round 3) that XLA's own fusion can avoid.
+    # Default ON: measured +2.4% train (813.7 -> 833.3 img/s) and +3.8%
+    # eval forward (2478 -> 2572) on the dev chip at SwinV2-T b128/b64.
+    fallback_xla: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -236,7 +243,10 @@ class SwinBlock(nn.Module):
             # the Pallas path: under a multi-chip mesh the kernels wrap in a
             # data-axis shard_map, and a leading dim of 1 is not divisible
             # by the data axis (crashes at trace time on real pods).
-            use_pallas=self.use_pallas and not fuse_attn, name="attn",
+            use_pallas=(
+                self.use_pallas and not fuse_attn and not self.fallback_xla
+            ),
+            name="attn",
         )
         norm1 = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init,
                              bias_init=zeros_init, dtype=self.dtype, name="norm1")
@@ -344,6 +354,10 @@ class SwinTransformerV2(nn.Module):
     # Fuse the attention half during training too (SwinBlock._fused_call);
     # measured +3.9% train throughput (BENCH.md round 3).
     fuse_attn_train: bool = True
+    # Non-fitting fused components (stage 4) fall back to XLA attention
+    # instead of the packed Pallas kernels (SwinBlock.fallback_xla).
+    # Default ON (measured win, see SwinBlock.fallback_xla / BENCH.md).
+    fallback_xla: bool = True
     remat: bool = False
 
     @property
@@ -411,6 +425,7 @@ class SwinTransformerV2(nn.Module):
                     use_pallas=self.use_pallas,
                     fuse=self.fuse,
                     fuse_attn_train=self.fuse_attn_train,
+                    fallback_xla=self.fallback_xla,
                     name=f"stage{stage}_block{i}",
                 )(x, not train)
                 block_idx += 1

@@ -169,6 +169,62 @@ def test_attention_half_production_shift_layout():
     _assert_close(gk[1], gr[1], 0.03, "attn stage1 dwqkv")
 
 
+def test_swinblock_stage4_fallback_parity():
+    """Stage-4 shapes (C=768, one 7×7 window) exceed the fused kernels'
+    VMEM budget, so a fuse=True block must route BOTH halves through the
+    fallback (XLA attention under fallback_xla, plain Mlp) and still match
+    the fuse=False path exactly — same parameter tree, same outputs/grads.
+    Guards the routing wiring; on TPU the same branch is the measured
+    +2.4% fallback_xla win (BENCH.md round 3)."""
+    c, heads, n = 768, 24, 49
+    assert not fh.fits_vmem(c, heads, n, train=True)
+    assert not fh.fits_vmem(c, heads, n, mlp_hidden=4 * c, train=True)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 7, 7, c)) * 0.1, jnp.float32
+    )
+
+    def block(fuse):
+        return swinv2.SwinBlock(
+            dim=c, num_heads=heads, window=7, shift=0, dtype=jnp.float32,
+            fuse=fuse, fallback_xla=True,
+        )
+
+    v = block(False).init(jax.random.key(0), x)
+    noise = np.random.default_rng(7)
+    v = jax.tree_util.tree_map(
+        lambda leaf: leaf
+        + jnp.asarray(noise.normal(size=leaf.shape) * 0.05, leaf.dtype),
+        v,
+    )
+    assert (
+        jax.tree_util.tree_structure(v)
+        == jax.tree_util.tree_structure(block(True).init(jax.random.key(0), x))
+    )
+
+    o_std = block(False).apply(v, x, deterministic=False)
+    o_fused = block(True).apply(v, x, deterministic=False)
+    _assert_close(o_fused, o_std, 1e-5, "stage4 fallback fwd")
+
+    ct = jnp.asarray(
+        np.random.default_rng(1).normal(size=o_std.shape), jnp.float32
+    )
+
+    def loss(params, fuse):
+        return jnp.vdot(
+            block(fuse).apply({"params": params}, x, deterministic=False), ct
+        )
+
+    g_std = jax.grad(loss)(v["params"], False)
+    g_fused = jax.grad(loss)(v["params"], True)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_std),
+        jax.tree_util.tree_leaves(g_fused),
+    ):
+        name = "/".join(str(p) for p in path)
+        _assert_close(b, a, 1e-5, f"stage4 fallback grad {name}")
+
+
 def test_swinblock_fuse_flag_parity():
     """Full swinv2_micro: fuse=True must match fuse=False (same params)
     within bf16-matmul tolerance, forward (train+eval) and gradients.
