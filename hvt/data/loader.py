@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import queue
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
@@ -236,6 +237,12 @@ class Loader:
         sentinel = object()
         stop = threading.Event()
         error: list[BaseException] = []
+        # Bound now: if an abandoned generator is finalized at interpreter
+        # shutdown, module globals (queue, threading internals) may already
+        # be torn down when the finally below runs — skip the drain/join
+        # then (the producer is a daemon thread; the process is exiting).
+        queue_empty = queue.Empty
+        finalizing = sys.is_finalizing
 
         def _put(item) -> bool:
             """Bounded put that gives up when the consumer went away."""
@@ -277,12 +284,13 @@ class Loader:
             # Early exit (end of training mid-epoch, or a consumer error):
             # unblock and retire the producer instead of leaking it.
             stop.set()
-            while True:
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    break
-            thread.join(timeout=30)
+            if not finalizing():
+                while True:
+                    try:
+                        out_q.get_nowait()
+                    except queue_empty:
+                        break
+                thread.join(timeout=30)
 
 
 # ---------------------------------------------------------------------------
