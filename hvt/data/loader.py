@@ -188,7 +188,7 @@ class Loader:
                 if row not in failed_rows
             ]
             # A single-worker pool just adds queue/switch overhead per row
-            # (measured −13% on the 1-core dev host) — stay serial there.
+            # (measured −26% on the 1-core dev host) — stay serial there.
             results = pool.map(_post, todo) if self.num_workers > 1 else map(_post, todo)
             for row, arr in results:
                 images[row] = arr
