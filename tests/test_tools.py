@@ -99,3 +99,27 @@ def test_run_summary_parses_runlogger_output(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert json.loads(out.stdout.strip())["steps"] == 2
+
+
+def test_kernel_routing_matches_model_defaults():
+    """The routing report pins SwinV2-T's production table: stages 1-3 fused
+    halves, stage 4 XLA under fallback_xla (default), packed without it —
+    the measured round-3 routing (BENCH.md)."""
+    from hvt.tools import kernel_routing as KR
+
+    rows = KR.stage_table("swinv2_tiny", 224)
+    assert [r["attn"] for r in rows] == ["fused-half"] * 3 + ["xla"]
+    assert [r["mlp"] for r in rows] == ["fused-half"] * 3 + ["xla"]
+    assert rows[3]["c"] == 768 and not rows[3]["attn_fits_vmem"]
+
+    legacy = KR.stage_table("swinv2_tiny", 224, fallback_xla=False)
+    assert legacy[3]["attn"] == "packed-pallas"
+
+    off = KR.stage_table("swinv2_tiny", 224, fuse=False)
+    assert all(r["attn"] == "packed-pallas" and r["mlp"] == "xla" for r in off)
+
+    # The flags must mirror the live module's routing inputs: the table's
+    # fits_vmem verdicts are computed with the same function the model calls.
+    from hvt.models import swinv2
+    m = swinv2.swinv2_tiny(10)
+    assert m.fuse_attn_train and m.fallback_xla  # defaults the table assumes
