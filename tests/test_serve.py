@@ -302,3 +302,42 @@ def test_serve_cli_entry(tmp_path):
     finally:
         proc.send_signal(signal.SIGTERM)
         proc.wait(timeout=30)
+
+
+def test_hierarchical_engine_rejects_bad_class_names(tmp_path, monkeypatch):
+    """The engine shares predict's taxonomy validation: non-taxonomy class
+    names fail fast with a clear error instead of building garbage lookups
+    (the drift the round-3 review caught)."""
+    import dataclasses
+
+    import hvt.data as data_lib
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-badnames",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+
+    real_build_loader = data_lib.build_loader
+
+    def renamed_loader(config, is_train):
+        loader, info = real_build_loader(config, is_train=is_train)
+        loader.dataset = dataclasses.replace(
+            loader.dataset, classes=[f"plain-{i}" for i in range(4)]
+        )
+        return loader, info
+
+    monkeypatch.setattr(data_lib, "build_loader", renamed_loader)
+    with pytest.raises(ValueError, match="taxonomy-formatted"):
+        serve_lib.InferenceEngine(cfg, hierarchical=True)
