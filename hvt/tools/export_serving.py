@@ -1,0 +1,204 @@
+"""Serialize the serving forward to a portable StableHLO artifact.
+
+No reference counterpart (the reference has no deployment/export story;
+its only model artifact is a torch checkpoint that needs the full Python
+stack to replay). This tool completes hvt's TPU-native deployment path
+next to serve.py's live HTTP server and hvt/tools/export_torch.py's
+interop checkpoints: ``jax.export`` serializes the *computation itself* —
+uint8 decode-side input → on-device normalization → eval forward, with
+the resolved weights baked in as constants — so a serving fleet can replay
+it with nothing but jax (or any StableHLO runtime); no flax, no hvt, no
+model code, no checkpoint plumbing.
+
+Design notes (TPU semantics):
+
+* **Plain XLA lowering only** (``use_pallas``/``fuse`` forced off): Mosaic
+  custom calls would pin the artifact to one libtpu build, and symbolic
+  batch dims do not flow through Pallas grids. The serving bench showed
+  XLA is the right lowering for inference-sized attention shapes anyway
+  (BENCH.md, stage-4 fallback).
+* **Symbolic batch by default** (``--batch 0``): the batch dimension is a
+  ``jax.export`` symbolic dim, so one artifact serves any request batch
+  with no retrace and no padding contract. ``--batch N`` pins a static
+  shape instead (needed if a runtime lacks dynamic-shape support).
+* **Multi-platform**: ``--platforms tpu,cpu`` lowers once per platform
+  into one artifact; the embedded module dispatches on the backend it
+  lands on, so the same file serves TPU pods and CPU canaries.
+
+Usage:
+
+    python -m hvt.tools.export_serving --machine m.yaml --exp e.yaml ... \
+        --output dir/ [--batch 0] [--platforms tpu,cpu] [--raw-weights]
+
+Writes ``<output>/serving.jaxexport`` (serialized ``jax.export.Exported``)
+and ``<output>/manifest.json`` (class names, input spec, preprocessing
+contract). Reload with :func:`load`, or with plain
+``jax.export.deserialize`` anywhere jax is installed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+from typing import Optional, Sequence
+
+MANIFEST_NAME = "manifest.json"
+ARTIFACT_NAME = "serving.jaxexport"
+
+
+def build_exported(config, *, use_ema: bool = True, batch: int = 0,
+                   platforms: Sequence[str] = ("tpu", "cpu")):
+    """→ (jax.export.Exported, manifest dict) for the eval forward.
+
+    ``batch == 0`` exports a symbolic batch dimension; ``batch > 0`` pins
+    it. The forward maps uint8 NHWC center-crops (the contract of
+    ``EvalTransform``) to fine-grained logits — or a tuple of per-tier
+    logits for multitask models.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from hvt import config as config_lib
+    from hvt.data import DevicePrep, build_loader
+    from hvt.downstream import predict as predict_lib
+    from hvt.models import build_model
+
+    # Portable lowering: no Mosaic custom calls in the artifact (every
+    # builder tolerates these knobs; they are no-ops for ResNet).
+    config = config_lib.loads(
+        config_lib.to_dict(config),
+        {"model": {"args": {"use_pallas": False, "fuse": False}}},
+    )
+
+    loader, info = build_loader(config, is_train=False)
+    classes = list(getattr(loader.dataset, "classes", ()))
+    data_cfg = config.eval_dataset
+    crop = data_cfg.crop_size
+
+    prep = DevicePrep.from_config(data_cfg, config.precision)
+    model = build_model(config, info.num_classes)
+    variables = model.init(
+        jax.random.key(config.seed),
+        prep.normalize(jnp.zeros((2, crop, crop, 3), jnp.uint8)),
+        train=False,
+    )
+    params, batch_stats = predict_lib._resolve_weights(config, variables, use_ema)
+    # Host numpy pytrees → baked into the exported module as constants.
+    params = jax.device_get(params)
+    batch_stats = jax.device_get(batch_stats)
+
+    multitask = isinstance(info.num_classes, tuple)
+
+    def forward(images):
+        x = prep.normalize(images)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+        # Lists are not a stable serialization surface; fix tuples.
+        return tuple(out) if multitask else out
+
+    if batch and batch > 0:
+        spec_batch = batch
+    else:
+        (spec_batch,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((spec_batch, crop, crop, 3), jnp.uint8)
+    exported = jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+
+    manifest = {
+        "model": config.model.name,
+        "multitask": multitask,
+        "num_classes": list(info.num_classes) if multitask else info.num_classes,
+        "classes": classes,
+        "input": {
+            "shape": [batch if batch else "b", crop, crop, 3],
+            "dtype": "uint8",
+            "layout": "NHWC",
+            "range": "0-255 RGB",
+        },
+        # Host-side contract before the graph takes over: EvalTransform
+        # (resize shorter side, center-crop). Normalization is INSIDE the
+        # exported graph, matching the reference's device_transforms split
+        # (reference data.py:154-164).
+        "preprocessing": {
+            "resize_size": data_cfg.resize_size,
+            "crop_size": crop,
+            "note": "resize shorter side then center-crop on the host; "
+                    "mean/std normalization is inside the graph",
+        },
+        "output": "per-tier logits tuple (coarse->fine)" if multitask
+                  else "logits",
+        "compute_dtype": str(config.precision.compute_dtype),
+        "ema_weights": bool(use_ema),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+    }
+    return exported, manifest
+
+
+def export_artifact(config, output: str, *, use_ema: bool = True,
+                    batch: int = 0,
+                    platforms: Sequence[str] = ("tpu", "cpu")) -> pathlib.Path:
+    """Build and write the artifact directory; returns its path."""
+    out = pathlib.Path(output)
+    out.mkdir(parents=True, exist_ok=True)
+    exported, manifest = build_exported(
+        config, use_ema=use_ema, batch=batch, platforms=platforms
+    )
+    (out / ARTIFACT_NAME).write_bytes(exported.serialize())
+    (out / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
+    return out
+
+
+def load(path: str):
+    """→ (jax.export.Exported, manifest dict) from an artifact directory.
+
+    Call the model with ``exported.call(images_uint8)`` (eagerly or under
+    jit); only jax is required, not hvt.
+    """
+    from jax import export as jax_export
+
+    p = pathlib.Path(path)
+    exported = jax_export.deserialize(
+        bytearray((p / ARTIFACT_NAME).read_bytes())
+    )
+    manifest = json.loads((p / MANIFEST_NAME).read_text())
+    return exported, manifest
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    from hvt import config as config_lib
+
+    parser = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
+    config_lib.add_exp_args(parser)
+    parser.add_argument("--output", required=True,
+                        help="artifact directory to write")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="0 = symbolic batch dim; N pins a static batch")
+    parser.add_argument("--platforms", default="tpu,cpu",
+                        help="comma-separated lowering platforms")
+    parser.add_argument("--raw-weights", action="store_true",
+                        help="use raw params even when the checkpoint has EMA")
+    args = parser.parse_args(argv)
+    config = config_lib.load(machine=args.machine, exps=args.exp)
+    out = export_artifact(
+        config,
+        args.output,
+        use_ema=not args.raw_weights,
+        batch=args.batch,
+        platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+    )
+    manifest = json.loads((out / MANIFEST_NAME).read_text())
+    print(json.dumps({
+        "artifact": str(out / ARTIFACT_NAME),
+        "model": manifest["model"],
+        "classes": len(manifest["classes"]),
+        "platforms": manifest["platforms"],
+        "bytes": (out / ARTIFACT_NAME).stat().st_size,
+    }))
+
+
+if __name__ == "__main__":
+    main()
