@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import math
 import os
+import signal
+import threading
 from typing import Optional
 
 import jax
@@ -344,6 +346,16 @@ class Trainer:
             return 1.0
         return self.algos.progressive.scale_at(step / max(self.total_steps, 1))
 
+    def request_preempt(self) -> None:
+        """Ask the loop to checkpoint and exit at the next step boundary.
+
+        Called by the SIGTERM handler ``fit`` installs (preemptible TPU VMs
+        and SLURM both deliver SIGTERM ahead of the kill); safe to call from
+        any thread. Beyond parity: the reference's failure recovery is
+        manual resubmission only (SURVEY §5 — "none").
+        """
+        self._preempted = True
+
     def fit(self) -> dict[str, float]:
         """eval → train → final metrics (reference main.py:129-131)."""
         eval_metrics = self.evaluate()
@@ -374,6 +386,18 @@ class Trainer:
                 save_every_ba = max(
                     1, dur.to_steps(self.steps_per_epoch, self.total_steps)
                 )
+
+        # Preemption-safe training: on SIGTERM, finish the in-flight step,
+        # save a checkpoint, and return cleanly — an idempotent resubmission
+        # with ``auto_resume: true`` then continues mid-epoch, bitwise-exactly
+        # (the same guarantee as the resume test). The handler only sets a
+        # flag; all work happens at the next step boundary in this thread.
+        self._preempted = False
+        prev_sigterm = None
+        if threading.current_thread() is threading.main_thread():
+            prev_sigterm = signal.signal(
+                signal.SIGTERM, lambda _sig, _frame: self.request_preempt()
+            )
 
         step = int(self.state.step)
         start_epoch = step // self.steps_per_epoch
@@ -428,6 +452,8 @@ class Trainer:
                 if step == prof_stop:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
+                if self._preempted:
+                    break
                 if eval_every_ba is not None and step % eval_every_ba == 0:
                     eval_metrics = self.evaluate()
                     self.logger.log(step, eval_metrics, prefix="eval")
@@ -445,6 +471,8 @@ class Trainer:
                     m.update(memory_stats(self.local_devices))
                     self.logger.log(step, m, prefix="train")
 
+            if self._preempted:
+                break
             drain()
             epoch_metrics = train_acc.compute()
             train_acc.reset()
@@ -462,9 +490,17 @@ class Trainer:
             if step >= self.total_steps:
                 break
 
+        if self._preempted:
+            drain()
+            print(
+                f"[{self.config.run_name}] preempted (SIGTERM): "
+                f"checkpointing at step {step} and exiting cleanly"
+            )
         # Always save the final state (utils.save_last_only analog,
-        # reference utils.py:38-43).
+        # reference utils.py:38-43); on preemption this is the resume point.
         self._save_checkpoint(step)
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
         return eval_metrics
 
     def close(self):

@@ -617,3 +617,72 @@ def test_pretrained_load_adapts_stem_layout(monkeypatch):
         np.asarray(merged2["stem"]["Conv_0"]["kernel"]),
         np.asarray(vs["params"]["stem"]["kernel"]),
     )
+
+
+def test_sigterm_preempts_saves_and_auto_resumes(tmp_path):
+    """Preemption-safe training: SIGTERM mid-run finishes the in-flight
+    step, checkpoints, and returns; an idempotent resubmission with
+    auto_resume picks up at that step and completes (the spot-TPU-VM /
+    SLURM preemption contract — beyond parity, reference has none)."""
+    import signal
+
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "preempt",
+            "max_duration": "6ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"save_root": str(tmp_path)},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 48, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "DecoupledSGDW", "lr": 0.05, "momentum": 0.9,
+                      "weight_decay": 1e-4},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "save": {"interval": None, "num_checkpoints_to_keep": 2,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    mesh = parallel.cpu_mesh(2)
+    tr = Trainer(cfg, mesh=mesh, log_interval=10)
+    assert tr.total_steps == 6
+
+    # Deliver a real SIGTERM from inside the 2nd train step (synchronous in
+    # the main thread, so the handler runs before the loop's flag check).
+    orig_step, calls = tr.train_step, 0
+
+    def stepping(*args, **kwargs):
+        nonlocal calls
+        calls += 1
+        if calls == 2:
+            signal.raise_signal(signal.SIGTERM)
+        return orig_step(*args, **kwargs)
+
+    tr.train_step = stepping
+    tr.fit()
+    assert int(tr.state.step) == 2  # stopped after the in-flight step
+    assert tr.checkpointer.latest_step() == 2
+    tr.close()
+    # The handler was uninstalled on return.
+    assert signal.getsignal(signal.SIGTERM) not in (None, tr.request_preempt)
+
+    # Idempotent resubmission: same config + auto_resume completes the run.
+    resumed = C.loads(C.to_dict(cfg), {"auto_resume": True})
+    tr2 = Trainer(resumed, mesh=mesh, log_interval=10)
+    assert int(tr2.state.step) == 2
+    metrics = tr2.fit()
+    assert int(tr2.state.step) == 6
+    assert tr2.checkpointer.latest_step() == 6
+    assert np.isfinite(metrics["cross-entropy"])
+    tr2.close()
