@@ -101,6 +101,22 @@ def taxonomy_lookups(classes, num_classes):
     return hierarchy_lib.parent_lookup_from_classes(classes)
 
 
+def _decode_topk(out, lookups, k):
+    """Model output (logits or per-tier logits) → (top_i, top_p, tiers,
+    n_allowed). The decode shared by the live-model and artifact steps."""
+    tiers = n_allowed = None
+    if isinstance(out, (list, tuple)):  # multitask head
+        if lookups is not None:
+            tier_preds, masked, n_allowed = _top_down_decode(out, lookups)
+            tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
+            out = masked  # constrained fine-tier logits
+        else:
+            out = out[-1]
+    probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, k)
+    return top_i, top_p, tiers, n_allowed
+
+
 def build_topk_step(model, prep, lookups, k):
     """→ jitted ``(params, batch_stats, images) → (top_i, top_p, tiers,
     n_allowed)``. Shared by batch inference (predict) and the HTTP server
@@ -113,17 +129,23 @@ def build_topk_step(model, prep, lookups, k):
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out = model.apply(variables, x, train=False)
-        tiers = n_allowed = None
-        if isinstance(out, (list, tuple)):  # multitask head
-            if lookups is not None:
-                tier_preds, masked, n_allowed = _top_down_decode(out, lookups)
-                tiers = jnp.stack(tier_preds, axis=-1)  # (B, N_TIERS)
-                out = masked  # constrained fine-tier logits
-            else:
-                out = out[-1]
-        probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
-        top_p, top_i = jax.lax.top_k(probs, k)
-        return top_i, top_p, tiers, n_allowed
+        return _decode_topk(out, lookups, k)
+
+    return step
+
+
+def build_topk_step_from_exported(exported, lookups, k):
+    """``build_topk_step`` over a deserialized serving artifact
+    (hvt/tools/export_serving.py): the artifact owns normalize + forward,
+    so only the top-k / hierarchical decode lives here. Keeps the
+    ``(params, batch_stats, images)`` signature so the HTTP server's
+    batcher is agnostic to the weight source — both are ignored, the
+    weights are baked into the artifact."""
+
+    @jax.jit
+    def step(params, batch_stats, images):
+        del params, batch_stats
+        return _decode_topk(exported.call(images), lookups, k)
 
     return step
 

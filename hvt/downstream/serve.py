@@ -50,6 +50,7 @@ class InferenceEngine:
         from hvt.downstream import predict as predict_lib
 
         self.config = config
+        self.model_name = config.model.name
         self.batch = max(1, batch)
 
         loader, info = build_loader(config, is_train=False)
@@ -93,11 +94,68 @@ class InferenceEngine:
         self._step = predict_lib.build_topk_step(model, prep, lookups, k)
         self._k = k
         self._crop = crop
+        self._warm_and_start()
 
+    @classmethod
+    def from_artifact(cls, path, *, batch: int = 1, topk: int = 5,
+                      hierarchical: bool = False) -> "InferenceEngine":
+        """Serve a StableHLO artifact (hvt/tools/export_serving.py).
+
+        The artifact owns normalize + forward with the weights baked in as
+        constants; this engine adds only image decode, top-k /
+        hierarchical decoding, and request micro-batching — no model code,
+        flax modules, or checkpoint plumbing run at serving time.
+        """
+        from hvt.downstream import predict as predict_lib
+        from hvt.tools import export_serving
+
+        exported, manifest = export_serving.load(path)
+        self = cls.__new__(cls)
+        self.config = None
+        self.model_name = manifest["model"]
+        self.batch = max(1, batch)
+        pinned = manifest["input"]["shape"][0]
+        if isinstance(pinned, int) and pinned != self.batch:
+            raise ValueError(
+                f"artifact batch is pinned to {pinned}; serve with "
+                f"batch={pinned} (or re-export with --batch 0 for a "
+                f"symbolic batch dimension)"
+            )
+        multitask = manifest["multitask"]
+        self.num_classes = (
+            tuple(manifest["num_classes"]) if multitask
+            else manifest["num_classes"]
+        )
+        self.classes = list(manifest["classes"])
+        pre = manifest["preprocessing"]
+        self.transform = T.EvalTransform(
+            crop_size=pre["crop_size"], resize_size=pre["resize_size"]
+        )
+        lookups = (
+            predict_lib.taxonomy_lookups(self.classes, self.num_classes)
+            if hierarchical
+            else None
+        )
+        self.hierarchical = hierarchical
+        fine = self.num_classes[-1] if multitask else self.num_classes
+        k = min(topk, fine)
+        # No live weights: the batcher passes these through to a step that
+        # ignores them (see build_topk_step_from_exported).
+        self._params = None
+        self._batch_stats = {}
+        self._step = predict_lib.build_topk_step_from_exported(
+            exported, lookups, k
+        )
+        self._k = k
+        self._crop = pre["crop_size"]
+        self._warm_and_start()
+        return self
+
+    def _warm_and_start(self) -> None:
         # Warm the executable so the first request doesn't pay the compile.
         # Host fetch, not block_until_ready — the latter returns before
         # device completion on the axon runtime (see CLAUDE.md).
-        dummy = np.zeros((self.batch, crop, crop, 3), np.uint8)
+        dummy = np.zeros((self.batch, self._crop, self._crop, 3), np.uint8)
         np.asarray(self._step(self._params, self._batch_stats, dummy)[0])
 
         # Request micro-batching: concurrent requests coalesce into one
@@ -219,7 +277,7 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             if self.path.split("?")[0] == "/healthz":
                 self._send(200, {
                     "status": "ok",
-                    "model": engine.config.model.name,
+                    "model": engine.model_name,
                     "classes": (
                         list(engine.num_classes)
                         if isinstance(engine.num_classes, tuple)
@@ -266,8 +324,21 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
 def serve(config: config_lib.Config, *, host: str = "127.0.0.1",
           port: int = 8000, **engine_kwargs) -> None:
     engine = InferenceEngine(config, **engine_kwargs)
+    _serve_forever(engine, host, port, config.run_name)
+
+
+def serve_artifact(path: str, *, host: str = "127.0.0.1", port: int = 8000,
+                   **engine_kwargs) -> None:
+    """Serve a StableHLO export (hvt/tools/export_serving.py) directly:
+    no config tree, dataset, or checkpoint needed at serving time."""
+    engine = InferenceEngine.from_artifact(path, **engine_kwargs)
+    _serve_forever(engine, host, port, f"artifact:{path}")
+
+
+def _serve_forever(engine: InferenceEngine, host: str, port: int,
+                   label: str) -> None:
     server = make_server(engine, host, port)
-    print(f"[{config.run_name}] serving {config.model.name} on "
+    print(f"[{label}] serving {engine.model_name} on "
           f"http://{host}:{server.server_address[1]} "
           f"(POST /predict, GET /healthz)")
     try:

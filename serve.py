@@ -17,13 +17,21 @@ EMA preferred, or the pretrained-backbone URIs).
 """
 
 import argparse
+import sys
 
 from hvt import config as config_lib
 from hvt.downstream import serve as serve_lib
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    config_lib.add_exp_args(parser)
+    artifact_mode = "--artifact" in sys.argv
+    if artifact_mode:
+        # Artifact serving needs no config tree or dataset — only the
+        # exported directory (hvt/tools/export_serving.py).
+        parser.add_argument("--artifact", required=True,
+                            help="StableHLO serving-artifact directory")
+    else:
+        config_lib.add_exp_args(parser)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--topk", type=int, default=5)
@@ -32,13 +40,23 @@ if __name__ == "__main__":
     parser.add_argument("--raw-weights", action="store_true")
     parser.add_argument("--hierarchical", action="store_true")
     args = parser.parse_args()
-    config = config_lib.load(machine=args.machine, exps=args.exp)
-    serve_lib.serve(
-        config,
-        host=args.host,
-        port=args.port,
-        topk=args.topk,
-        batch=args.batch,
-        use_ema=not args.raw_weights,
-        hierarchical=args.hierarchical,
-    )
+    if artifact_mode:
+        serve_lib.serve_artifact(
+            args.artifact,
+            host=args.host,
+            port=args.port,
+            topk=args.topk,
+            batch=args.batch,
+            hierarchical=args.hierarchical,
+        )
+    else:
+        config = config_lib.load(machine=args.machine, exps=args.exp)
+        serve_lib.serve(
+            config,
+            host=args.host,
+            port=args.port,
+            topk=args.topk,
+            batch=args.batch,
+            use_ema=not args.raw_weights,
+            hierarchical=args.hierarchical,
+        )

@@ -139,3 +139,82 @@ def test_cli_writes_artifact(tmp_path, monkeypatch):
     assert summary["classes"] >= 0 and summary["bytes"] > 0
     assert (tmp_path / "art" / export_serving.ARTIFACT_NAME).exists()
     assert (tmp_path / "art" / export_serving.MANIFEST_NAME).exists()
+
+
+def test_serve_from_artifact(tmp_path):
+    """The HTTP server rides the exported artifact directly — no model
+    code or checkpoint at serving time — with the same response contract
+    as config-mode serving."""
+    import io as io_lib
+    import threading
+    import urllib.request
+
+    import pytest
+    from PIL import Image
+
+    from hvt.downstream import serve as serve_lib
+
+    names = [
+        "00001_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_badius",
+        "00002_animalia_chordata_aves_accipitriformes_accipitridae_accipiter_cooperii",
+    ]
+    root = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for name in names:
+            d = root / split / name
+            d.mkdir(parents=True)
+            Image.fromarray(
+                rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+            ).save(d / "0.jpg")
+
+    cfg = C.loads(
+        {
+            "run_name": "export-serve",
+            "seed": 0,
+            "model": {"name": "resnet_micro", "args": {"dtype": "float32"}},
+            "machine": {"datasets": {"fix": str(root)},
+                        "save_root": str(tmp_path / "runs")},
+            "precision": {"compute_dtype": "float32"},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 4},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    art = export_serving.export_artifact(
+        cfg, tmp_path / "artifact", batch=0, platforms=("cpu",)
+    )
+
+    engine = serve_lib.InferenceEngine.from_artifact(art, batch=2, topk=2)
+    server = serve_lib.make_server(engine, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["model"] == "resnet_micro"
+        assert health["classes"] == 2
+
+        buf = io_lib.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG")
+        req = urllib.request.Request(
+            f"{base}/predict?topk=2", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            rec = json.loads(r.read())
+        assert rec["classes"][0] in names
+        assert len(rec["class_ids"]) == 2
+        assert abs(sum(rec["probs"]) - 1.0) < 1e-3  # 2 classes, full mass
+    finally:
+        server.shutdown()
+        engine.close()
+
+    # A batch-pinned artifact refuses a mismatched server batch, clearly.
+    pinned = export_serving.export_artifact(
+        cfg, tmp_path / "artifact-pinned", batch=4, platforms=("cpu",)
+    )
+    with pytest.raises(ValueError, match="pinned to 4"):
+        serve_lib.InferenceEngine.from_artifact(pinned, batch=2)
