@@ -128,6 +128,41 @@ def cutmix(
     return mixed_images, mix_target(onehot)
 
 
+def colout(
+    key: jax.Array, images: jax.Array, p_row: float = 0.05, p_col: float = 0.05
+) -> jax.Array:
+    """Device-side ColOut (reference recipe configs/recipes/hot.yaml:40-43):
+    per-sample row/column dropping inside the compiled train step.
+
+    Drops exactly ``round(p·H)`` rows and ``round(p·W)`` columns per sample
+    (independent indices per image) and bilinear-resizes back to (H, W) so
+    the step keeps static shapes. The host path
+    (hvt/data/transforms.colout) drops each row independently with
+    probability p — a binomial count; the device law fixes the count at its
+    expectation. Same resize-back convention as the host path. Moving this
+    off the host frees ~1.7 ms/img/core of PIL/numpy work in the hot
+    recipe; the on-device gather + resize measures 3.2% of the R50 b256
+    train step (2583 → 2502 img/s, BENCH.md) — a net win only when the run
+    is host-input-bound, hence opt-in (`args.device: true`).
+    """
+    b, h, w, c = images.shape
+    keep_h = h - int(round(p_row * h))
+    keep_w = w - int(round(p_col * w))
+    if keep_h >= h and keep_w >= w:
+        return images
+    kr, kc = jax.random.split(key)
+
+    def keep_idx(k, n, keep):
+        return jnp.sort(jax.random.permutation(k, n)[:keep])
+
+    rows = jax.vmap(lambda k: keep_idx(k, h, keep_h))(jax.random.split(kr, b))
+    cols = jax.vmap(lambda k: keep_idx(k, w, keep_w))(jax.random.split(kc, b))
+    x = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
+    x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
+    x = jax.image.resize(x.astype(jnp.float32), (b, h, w, c), method="bilinear")
+    return jnp.clip(jnp.round(x), 0, 255).astype(images.dtype)
+
+
 def progressive_resize(
     images: jax.Array, scale: float, method: str = "linear"
 ) -> jax.Array:

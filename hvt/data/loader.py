@@ -343,7 +343,9 @@ def build_transform(config: config_lib.Config, is_train: bool):
             if algo.cls == "RandAugment":
                 ra_depth = int(algo.args.get("depth", 1))
                 ra_sev = int(algo.args.get("severity", 9))
-            elif algo.cls == "ColOut":
+            elif algo.cls == "ColOut" and not algo.args.get("device", False):
+                # device=true ColOut runs inside the compiled step instead
+                # (hvt.data.device.colout via StepSettings.colout).
                 colout_p = (
                     float(algo.args.get("p_row", 0.05)),
                     float(algo.args.get("p_col", 0.05)),

@@ -71,8 +71,11 @@ class AlgorithmSettings:
     # (checkpoint URI, strict) — applied at init, after model construction,
     # mirroring the reference's algorithm-pass ordering (algorithmic.py:49-57).
     pretrained_backbone: Optional[tuple[str, bool]] = None
-    # RandAugment / ColOut are consumed by the input pipeline
+    # RandAugment (and host-mode ColOut) are consumed by the input pipeline
     # (hvt.data.loader.build_transform reads them from the raw config).
+    # ColOut with args.device=true runs inside the compiled step instead
+    # (hvt.data.device.colout) — (p_row, p_col) when device-side.
+    colout_device: Optional[tuple[float, float]] = None
 
 
 def parse_algorithms(config) -> AlgorithmSettings:
@@ -112,7 +115,14 @@ def parse_algorithms(config) -> AlgorithmSettings:
                 str(args["checkpoint"]),
                 bool(args.get("strict", False)),
             )
-        elif cls in ("RandAugment", "ColOut"):
+        elif cls == "ColOut":
+            if bool(args.get("device", False)):
+                s.colout_device = (
+                    float(args.get("p_row", 0.05)),
+                    float(args.get("p_col", 0.05)),
+                )
+            # else host-side: consumed by hvt.data.loader.build_transform
+        elif cls == "RandAugment":
             pass  # host-side: consumed by hvt.data.loader.build_transform
         else:
             raise ValueError(f"unknown algorithm {cls!r}")

@@ -45,6 +45,9 @@ class StepSettings:
     # recipes request, configs/recipes/hot.yaml:36-39).
     sam_rho: Optional[float] = None
     sam_interval: int = 1
+    # Device-side ColOut (p_row, p_col): applied to the uint8 microbatch
+    # before normalization (hvt.data.device.colout).
+    colout: Optional[tuple[float, float]] = None
 
 
 def _forward(model, params, batch_stats, x, train: bool, rng=None):
@@ -72,6 +75,9 @@ def build_train_step(
     state donated; `scale` is static (progressive resizing bucket)."""
 
     def microbatch_loss(params, batch_stats, images, labels, mask, rng, scale):
+        if settings.colout:
+            rng, key = jax.random.split(rng)
+            images = device_prep.colout(key, images, *settings.colout)
         x = prep.normalize(images)
         if scale < 1.0:
             x = device_prep.progressive_resize(x, scale)

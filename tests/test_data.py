@@ -396,3 +396,64 @@ def test_native_path_applies_post_ops(image_root):
     p = next(iter(plain.epoch(0))).images
     assert not np.array_equal(a1, p)  # augmentation actually applied
     assert a1.shape == p.shape  # ColOut resizes back to crop_size
+
+
+def test_device_colout_laws():
+    """Device ColOut (hvt/data/device.py): constant images stay constant
+    through drop+resize, p=0 is identity, keys are deterministic, samples
+    draw independent indices."""
+    import jax
+    import jax.numpy as jnp
+
+    from hvt.data import device as device_prep
+
+    key = jax.random.key(0)
+    images = jnp.full((3, 32, 32, 3), 77, jnp.uint8)
+    out = device_prep.colout(key, images, 0.15, 0.15)
+    assert out.shape == images.shape and out.dtype == jnp.uint8
+    # bilinear resize of a constant field is the same constant
+    np.testing.assert_array_equal(np.asarray(out), 77)
+
+    # p=0 → identity (no resize pass at all)
+    same = device_prep.colout(key, images, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(images))
+
+    # deterministic per key; different keys differ on structured input
+    rng = np.random.default_rng(0)
+    struct = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    a = np.asarray(device_prep.colout(jax.random.key(1), struct, 0.2, 0.2))
+    b = np.asarray(device_prep.colout(jax.random.key(1), struct, 0.2, 0.2))
+    c = np.asarray(device_prep.colout(jax.random.key(2), struct, 0.2, 0.2))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+    # per-sample independence: the two rows of the batch get different drops
+    two_same = jnp.stack([struct[0], struct[0]])
+    d = np.asarray(device_prep.colout(jax.random.key(3), two_same, 0.2, 0.2))
+    assert (d[0] != d[1]).any()
+
+
+def test_device_colout_routing():
+    """algorithms routing: ColOut device=true lands in StepSettings (and is
+    skipped by the host transform); host mode is unchanged."""
+    from hvt.data.loader import build_transform
+    from hvt.train.algorithms import parse_algorithms
+
+    base = {
+        "run_name": "x",
+        "model": {"name": "resnet_micro"},
+        "machine": {"save_root": "/tmp"},
+        "train_dataset": {"source": "synthetic", "synthetic_num_classes": 2,
+                          "synthetic_num_samples": 4, "crop_size": 32,
+                          "global_batch_size": 4},
+    }
+    dev_cfg = C.loads(base, {"algorithms": [
+        {"cls": "ColOut", "args": {"p_row": 0.15, "p_col": 0.1, "device": True}}]})
+    algos = parse_algorithms(dev_cfg)
+    assert algos.colout_device == (0.15, 0.1)
+    assert build_transform(dev_cfg, is_train=True).colout_p is None
+
+    host_cfg = C.loads(base, {"algorithms": [
+        {"cls": "ColOut", "args": {"p_row": 0.15, "p_col": 0.1}}]})
+    algos = parse_algorithms(host_cfg)
+    assert algos.colout_device is None
+    assert build_transform(host_cfg, is_train=True).colout_p == (0.15, 0.1)

@@ -180,3 +180,37 @@ def test_progressive_resizing_end_to_end():
     assert np.isfinite(metrics["cross-entropy"])
     assert int(tr.state.step) == 10
     tr.close()
+
+
+def test_device_colout_in_train_step():
+    """The compiled step applies device ColOut: the loss differs from the
+    colout-off step on the same data/params, and stays finite."""
+    cfg = C.loads({"optim": {"name": "sgd", "lr": 0.01, "momentum": 0.0,
+                             "weight_decay": 0.0}})
+    model = S.swinv2_micro(4, dtype=jnp.float32, drop_path_rate=0.0)
+    prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    rng = jax.random.key(0)
+    mesh = parallel.cpu_mesh(1)
+    make_state = jax.jit(
+        lambda: state_lib.create(
+            model, tx, rng, prep.normalize(jnp.zeros((2, 16, 16, 3), jnp.uint8)),
+            ema=False,
+        ),
+        out_shardings=parallel.replicated(mesh),
+    )
+    images = np.random.default_rng(0).integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    labels = np.asarray([0, 1, 2, 3], np.int32)
+    mask = np.ones((4,), np.float32)
+
+    losses = {}
+    for colout in (None, (0.15, 0.15)):
+        settings = step_lib.StepSettings(num_classes=4, colout=colout)
+        step = step_lib.build_train_step(
+            model, objectives.soft_cross_entropy, tx, prep, settings
+        )
+        # fresh state each time — the compiled step donates it
+        _, stats = step(make_state(), images, labels, mask, rng, scale=1.0)
+        losses[colout] = float(stats["loss_sum"])
+    assert np.isfinite(losses[(0.15, 0.15)])
+    assert losses[None] != losses[(0.15, 0.15)]
