@@ -218,3 +218,85 @@ def test_serve_from_artifact(tmp_path):
     )
     with pytest.raises(ValueError, match="pinned to 4"):
         serve_lib.InferenceEngine.from_artifact(pinned, batch=2)
+
+
+def test_export_uses_ema_weights_from_checkpoint(tmp_path):
+    """Export from a trained checkpoint resolves EMA weights (like predict/
+    serve): the EMA artifact and raw-weights artifact produce different
+    logits, and each matches its in-process weight source."""
+    import jax
+
+    from hvt import parallel
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "export-ema",
+            "max_duration": "3ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {"name": "resnet_micro", "args": {"dtype": "float32"}},
+            "machine": {"save_root": str(tmp_path)},
+            "precision": {"compute_dtype": "float32"},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 24, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "sgd", "lr": 0.05, "momentum": 0.9,
+                      "weight_decay": 0.0},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "algorithms": [
+                {"cls": "EMA", "args": {"half_life": "2ba",
+                                        "update_interval": "1ba"}},
+            ],
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(1), log_interval=10)
+    tr.fit()
+    tr.close()
+
+    load_cfg = C.loads(
+        C.to_dict(cfg), {"load_path": str(tmp_path / "export-ema" / "checkpoints")}
+    )
+    ema_exp, ema_manifest = export_serving.build_exported(
+        load_cfg, use_ema=True, batch=2, platforms=("cpu",)
+    )
+    raw_exp, raw_manifest = export_serving.build_exported(
+        load_cfg, use_ema=False, batch=2, platforms=("cpu",)
+    )
+    assert ema_manifest["ema_weights"] and not raw_manifest["ema_weights"]
+
+    images = np.random.default_rng(1).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8
+    )
+    ema_logits = np.asarray(ema_exp.call(images))
+    raw_logits = np.asarray(raw_exp.call(images))
+    assert (ema_logits != raw_logits).any()  # EMA and raw weights diverge
+
+    # The EMA artifact matches applying the checkpoint's EMA weights live.
+    from hvt.data import DevicePrep
+    from hvt.models import build_model
+    from hvt.train import checkpoint as checkpoint_lib
+
+    raw = checkpoint_lib.load_raw(str(tmp_path / "export-ema" / "checkpoints"))
+    assert raw.get("ema_params") is not None
+    model = build_model(load_cfg, 4)
+    prep = DevicePrep.from_config(load_cfg.eval_dataset, load_cfg.precision)
+    want = np.asarray(
+        model.apply(
+            {"params": raw["ema_params"],
+             "batch_stats": raw.get("ema_batch_stats") or raw["batch_stats"]},
+            prep.normalize(jax.numpy.asarray(images)),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(ema_logits, want, rtol=1e-5, atol=1e-5)
