@@ -146,8 +146,9 @@ def colout(
     is host-input-bound, hence opt-in (`args.device: true`).
     """
     b, h, w, c = images.shape
-    keep_h = h - int(round(p_row * h))
-    keep_w = w - int(round(p_col * w))
+    # Keep at least one row/col, like the host path (transforms.py colout).
+    keep_h = max(1, h - int(round(p_row * h)))
+    keep_w = max(1, w - int(round(p_col * w)))
     if keep_h >= h and keep_w >= w:
         return images
     kr, kc = jax.random.split(key)

@@ -99,8 +99,9 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
         # Lists are not a stable serialization surface; fix tuples.
         return tuple(out) if multitask else out
 
-    if batch and batch > 0:
-        spec_batch = batch
+    pinned = batch if (batch and batch > 0) else None
+    if pinned is not None:
+        spec_batch = pinned
     else:
         (spec_batch,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((spec_batch, crop, crop, 3), jnp.uint8)
@@ -112,7 +113,7 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
         "num_classes": list(info.num_classes) if multitask else info.num_classes,
         "classes": classes,
         "input": {
-            "shape": [batch if batch else "b", crop, crop, 3],
+            "shape": [pinned if pinned is not None else "b", crop, crop, 3],
             "dtype": "uint8",
             "layout": "NHWC",
             "range": "0-255 RGB",

@@ -364,6 +364,31 @@ class Trainer:
         if not self.config.is_train:
             return eval_metrics
 
+        # Preemption-safe training: on SIGTERM, finish the in-flight step,
+        # save a checkpoint, and return cleanly — an idempotent resubmission
+        # with ``auto_resume: true`` then continues mid-epoch, bitwise-exactly
+        # (the same guarantee as the resume test). The handler only sets a
+        # flag; all work happens at the next step boundary in this thread.
+        # Restoration is in a finally so a raising run (OOM, bad batch) does
+        # not leave a flag-setting lambda swallowing the scheduler's SIGTERM;
+        # a C-level prior handler reads back as None → restore SIG_DFL.
+        self._preempted = False
+        installed = threading.current_thread() is threading.main_thread()
+        prev_sigterm = None
+        if installed:
+            prev_sigterm = signal.signal(
+                signal.SIGTERM, lambda _sig, _frame: self.request_preempt()
+            )
+        try:
+            return self._fit_loop(eval_metrics)
+        finally:
+            if installed:
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_sigterm if prev_sigterm is not None else signal.SIG_DFL,
+                )
+
+    def _fit_loop(self, eval_metrics) -> dict[str, float]:
         # eval_interval honors the full Composer time grammar: "Nep" at epoch
         # boundaries, "Nba" every N optimizer steps, "Fdur" as a fraction of
         # max_duration (reference main.py:109 passes it straight to Composer).
@@ -387,18 +412,6 @@ class Trainer:
                 save_every_ba = max(
                     1, dur.to_steps(self.steps_per_epoch, self.total_steps)
                 )
-
-        # Preemption-safe training: on SIGTERM, finish the in-flight step,
-        # save a checkpoint, and return cleanly — an idempotent resubmission
-        # with ``auto_resume: true`` then continues mid-epoch, bitwise-exactly
-        # (the same guarantee as the resume test). The handler only sets a
-        # flag; all work happens at the next step boundary in this thread.
-        self._preempted = False
-        prev_sigterm = None
-        if threading.current_thread() is threading.main_thread():
-            prev_sigterm = signal.signal(
-                signal.SIGTERM, lambda _sig, _frame: self.request_preempt()
-            )
 
         step = int(self.state.step)
         start_epoch = step // self.steps_per_epoch
@@ -500,8 +513,6 @@ class Trainer:
         # Always save the final state (utils.save_last_only analog,
         # reference utils.py:38-43); on preemption this is the resume point.
         self._save_checkpoint(step)
-        if prev_sigterm is not None:
-            signal.signal(signal.SIGTERM, prev_sigterm)
         return eval_metrics
 
     def close(self):

@@ -24,7 +24,9 @@ from hvt.downstream import serve as serve_lib
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    artifact_mode = "--artifact" in sys.argv
+    artifact_mode = any(
+        a == "--artifact" or a.startswith("--artifact=") for a in sys.argv
+    )
     if artifact_mode:
         # Artifact serving needs no config tree or dataset — only the
         # exported directory (hvt/tools/export_serving.py).
@@ -41,6 +43,12 @@ if __name__ == "__main__":
     parser.add_argument("--hierarchical", action="store_true")
     args = parser.parse_args()
     if artifact_mode:
+        if args.raw_weights:
+            parser.error(
+                "--raw-weights has no effect with --artifact: the weight "
+                "choice was fixed at export time (re-export with "
+                "--raw-weights instead)"
+            )
         serve_lib.serve_artifact(
             args.artifact,
             host=args.host,

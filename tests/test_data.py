@@ -418,6 +418,10 @@ def test_device_colout_laws():
     same = device_prep.colout(key, images, 0.0, 0.0)
     np.testing.assert_array_equal(np.asarray(same), np.asarray(images))
 
+    # p=1 keeps at least one row/col (host-path guard, transforms.colout)
+    survived = device_prep.colout(key, images, 1.0, 1.0)
+    assert survived.shape == images.shape
+
     # deterministic per key; different keys differ on structured input
     rng = np.random.default_rng(0)
     struct = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8))

@@ -71,6 +71,12 @@ def test_resnet_dynamic_batch_roundtrip(tmp_path):
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    # non-positive batch means symbolic, in the spec AND the manifest
+    _, neg_manifest = export_serving.build_exported(
+        cfg, batch=-1, platforms=("cpu",)
+    )
+    assert neg_manifest["input"]["shape"][0] == "b"
+
     assert manifest["model"] == "resnet_micro"
     assert manifest["multitask"] is False
     assert manifest["num_classes"] == 4
