@@ -123,3 +123,16 @@ def test_kernel_routing_matches_model_defaults():
     from hvt.models import swinv2
     m = swinv2.swinv2_tiny(10)
     assert m.fuse_attn_train and m.fallback_xla  # defaults the table assumes
+
+
+def test_roofline_probes_smoke_cpu():
+    """The roofline device probes run on any backend (CPU here): they
+    return positive, finite rates with the documented fields."""
+    from hvt.tools import roofline
+
+    mm = roofline.matmul_tflops(128, chain=2, repeats=1)
+    assert mm["tflops"] > 0 and mm["probe"].endswith("128")
+    bw = roofline.hbm_bandwidth_gbs(mb=1, chain=2, repeats=1)
+    assert bw["gbs"] > 0
+    cp = roofline.hbm_copy_gbs(mb=1, chain=2, repeats=1)
+    assert cp["gbs"] > 0
