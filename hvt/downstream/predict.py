@@ -174,39 +174,64 @@ def predict(
     use_ema: bool = True,
     hierarchical: bool = False,
     limit_batches: Optional[int] = None,
+    artifact: Optional[str] = None,
 ):
     """Run inference over the eval split; yields one dict per image.
 
     ``hierarchical`` (multitask models only): decode top-down with the
     parent constraint — tier t's prediction is the best class among the
     children of tier t-1's prediction; top-k/probs then come from the
-    constrained species tier."""
+    constrained species tier.
+
+    ``artifact``: run the forward from a StableHLO serving export
+    (hvt/tools/export_serving.py) instead of building the model — no
+    checkpoint or weights resolution; the config supplies only the dataset."""
     loader, info = build_loader(config, is_train=False)
-    model = build_model(config, info.num_classes)
     data_cfg = config.eval_dataset
     mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
     parallel.set_kernel_mesh(mesh)
     prep = DevicePrep.from_config(data_cfg, config.precision)
-
     crop = data_cfg.crop_size
-    variables = jax.jit(
-        lambda: model.init(
-            jax.random.key(config.seed),
-            prep.normalize(jnp.zeros((2, crop, crop, 3), jnp.uint8)),
-            train=False,
-        ),
-        out_shardings=parallel.replicated(mesh),
-    )()
-    params, batch_stats = _resolve_weights(config, variables, use_ema)
-    params = jax.device_put(params, parallel.replicated(mesh))
-    batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
 
     k = min(topk, info.fine_grained_num_classes)
     classes = getattr(loader.dataset, "classes", ())
     lookups = (
         taxonomy_lookups(classes, info.num_classes) if hierarchical else None
     )
-    step = build_topk_step(model, prep, lookups, k)
+
+    if artifact is not None:
+        from hvt.tools import export_serving
+
+        exported, manifest = export_serving.load(artifact)
+        pre = manifest["preprocessing"]
+        if pre["crop_size"] != crop:
+            raise ValueError(
+                f"artifact was exported at crop_size={pre['crop_size']}, "
+                f"dataset delivers {crop}"
+            )
+        pinned = manifest["input"]["shape"][0]
+        if isinstance(pinned, int) and pinned != data_cfg.global_batch_size:
+            raise ValueError(
+                f"artifact batch is pinned to {pinned}; set "
+                f"eval_dataset.global_batch_size to {pinned} (or re-export "
+                f"with --batch 0)"
+            )
+        params, batch_stats = None, {}
+        step = build_topk_step_from_exported(exported, lookups, k)
+    else:
+        model = build_model(config, info.num_classes)
+        variables = jax.jit(
+            lambda: model.init(
+                jax.random.key(config.seed),
+                prep.normalize(jnp.zeros((2, crop, crop, 3), jnp.uint8)),
+                train=False,
+            ),
+            out_shardings=parallel.replicated(mesh),
+        )()
+        params, batch_stats = _resolve_weights(config, variables, use_ema)
+        params = jax.device_put(params, parallel.replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
+        step = build_topk_step(model, prep, lookups, k)
 
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)

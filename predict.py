@@ -30,7 +30,15 @@ if __name__ == "__main__":
                         help="multitask models: top-down parent-constrained "
                              "decode; rows gain per-tier predictions")
     parser.add_argument("--limit-batches", type=int, default=None)
+    parser.add_argument("--artifact", default=None,
+                        help="StableHLO serving-artifact directory "
+                             "(hvt.tools.export_serving); replaces the "
+                             "model + checkpoint, config supplies the "
+                             "dataset")
     args = parser.parse_args()
+    if args.artifact and args.raw_weights:
+        parser.error("--raw-weights has no effect with --artifact: the "
+                     "weight choice was fixed at export time")
     config = config_lib.load(machine=args.machine, exps=args.exp)
     predict_lib.run(
         config,
@@ -39,4 +47,5 @@ if __name__ == "__main__":
         use_ema=not args.raw_weights,
         hierarchical=args.hierarchical,
         limit_batches=args.limit_batches,
+        artifact=args.artifact,
     )

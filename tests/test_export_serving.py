@@ -306,3 +306,30 @@ def test_export_uses_ema_weights_from_checkpoint(tmp_path):
         )
     )
     np.testing.assert_allclose(ema_logits, want, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_from_artifact_matches_live(tmp_path):
+    """predict(artifact=...) replays the exported forward over the eval
+    split and reproduces the live model's records exactly (same init
+    weights); pinned-batch and crop mismatches error clearly."""
+    import pytest
+
+    from hvt.downstream import predict as predict_lib
+
+    cfg = _cfg(tmp_path)
+    art = export_serving.export_artifact(
+        cfg, tmp_path / "artifact", batch=0, platforms=("cpu",)
+    )
+    live = list(predict_lib.predict(cfg, topk=2))
+    via_artifact = list(predict_lib.predict(cfg, topk=2, artifact=str(art)))
+    assert len(live) == len(via_artifact) == 8
+    for a, b in zip(live, via_artifact):
+        assert a["class_ids"] == b["class_ids"]
+        assert a["probs"] == pytest.approx(b["probs"], abs=1e-6)
+        assert a["label"] == b["label"]
+
+    pinned = export_serving.export_artifact(
+        cfg, tmp_path / "artifact-pinned", batch=4, platforms=("cpu",)
+    )
+    with pytest.raises(ValueError, match="pinned to 4"):
+        next(iter(predict_lib.predict(cfg, topk=2, artifact=str(pinned))))
