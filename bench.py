@@ -212,6 +212,51 @@ def measure_eval(model_name: str, model_args: dict, batch_per_chip: int) -> list
     return rates
 
 
+def measure_artifact(model_name: str, batch_per_chip: int) -> list[float]:
+    """Serving-artifact throughput (jax.export StableHLO, plain-XLA
+    lowering, weights baked in — hvt/tools/export_serving.py). Measures
+    the deployed-serving path rather than the live eval step."""
+    from hvt import config as config_lib
+    from hvt.tools import export_serving
+
+    cfg = config_lib.loads({
+        "run_name": "bench-artifact",
+        "model": {"name": model_name},
+        "machine": {"save_root": "/tmp/hvt-runs"},
+        "eval_dataset": {"source": "synthetic",
+                         "synthetic_num_classes": NUM_CLASSES,
+                         "synthetic_num_samples": 16,
+                         "crop_size": IMAGE_SIZE,
+                         "global_batch_size": 16},
+        "loader": {"num_workers": 1, "prefetch_batches": 1},
+    })
+    platform = jax.devices()[0].platform
+    exported, _ = export_serving.build_exported(
+        cfg, batch=0, platforms=(platform,)
+    )
+    call = jax.jit(lambda x: exported.call(x))
+    n_chips = jax.device_count()
+    batch = batch_per_chip * n_chips
+    images = jax.device_put(np.random.default_rng(0).integers(
+        0, 256, (batch, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8))
+
+    def fine(out):
+        return out[-1] if isinstance(out, tuple) else out
+
+    for _ in range(WARMUP_STEPS):
+        out = call(images)
+    float(fine(out).astype(jnp.float32).sum())  # true barrier (axon)
+    rates = []
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            out = call(images)
+        float(fine(out).astype(jnp.float32).sum())
+        rates.append(MEASURE_STEPS * batch / (time.perf_counter() - t0) / n_chips)
+    del images, out
+    return rates
+
+
 def main():
     from hvt.utils import compile_cache
 
@@ -300,6 +345,17 @@ def main():
         if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
             swin_eval = measure_eval("swinv2_tiny", dict(swin_args), 64)
             record["workloads"]["swinv2_tiny_eval"] = _summarize(swin_eval, None, 64)
+
+    # Opt-in serving-artifact workloads (the deployed path: jax.export
+    # StableHLO with weights baked in; see BENCH.md "serving artifacts").
+    if os.environ.get("HVT_BENCH_ARTIFACT") == "1":
+        record["workloads"]["resnet50_artifact"] = _summarize(
+            measure_artifact("resnet50", 256), None, 256
+        )
+        if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
+            record["workloads"]["swinv2_tiny_artifact"] = _summarize(
+                measure_artifact("swinv2_tiny", 64), None, 64
+            )
     print(json.dumps(record))
 
 
