@@ -51,6 +51,7 @@ class InferenceEngine:
 
         self.config = config
         self.model_name = config.model.name
+        self.native_artifact = False  # live-model engine
         self.batch = max(1, batch)
 
         loader, info = build_loader(config, is_train=False)
@@ -122,6 +123,7 @@ class InferenceEngine:
                 f"symbolic batch dimension)"
             )
         multitask = manifest["multitask"]
+        self.native_artifact = bool(manifest.get("native", False))
         self.num_classes = (
             tuple(manifest["num_classes"]) if multitask
             else manifest["num_classes"]
@@ -284,6 +286,7 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                         else engine.num_classes
                     ),
                     "hierarchical": engine.hierarchical,
+                    "native_artifact": engine.native_artifact,
                 })
             else:
                 self._send(404, {"error": f"unknown path {self.path!r}"})

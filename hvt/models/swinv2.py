@@ -221,8 +221,12 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         n = window * window
         hidden = int(c * self.mlp_ratio)
-        interpret = jax.default_backend() not in ("tpu",) and not any(
-            d.platform in ("tpu", "axon") for d in jax.devices()
+        from hvt import ops as ops_pkg
+
+        interpret = (
+            not ops_pkg.tpu_lowering_forced()
+            and jax.default_backend() not in ("tpu",)
+            and not any(d.platform in ("tpu", "axon") for d in jax.devices())
         )
         train = not deterministic
         # Attention half in training: the kernel-local comparison was a wash

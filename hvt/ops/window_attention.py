@@ -147,7 +147,7 @@ def window_attention_reference(
 
 
 @functools.cache
-def _pallas_available() -> bool:
+def _on_tpu() -> bool:
     try:
         import jax.experimental.pallas  # noqa: F401
 
@@ -157,6 +157,14 @@ def _pallas_available() -> bool:
         )
     except Exception:
         return False
+
+
+def _pallas_available() -> bool:
+    from hvt import ops as ops_pkg
+
+    # force_tpu_lowering: cross-platform lowering (jax.export --native)
+    # must emit Mosaic kernels even from a CPU host.
+    return ops_pkg.tpu_lowering_forced() or _on_tpu()
 
 
 def window_attention(

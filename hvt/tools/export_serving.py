@@ -12,11 +12,15 @@ model code, no checkpoint plumbing.
 
 Design notes (TPU semantics):
 
-* **Plain XLA lowering only** (``use_pallas``/``fuse`` forced off): Mosaic
-  custom calls would pin the artifact to one libtpu build, and symbolic
-  batch dims do not flow through Pallas grids. The serving bench showed
-  XLA is the right lowering for inference-sized attention shapes anyway
-  (BENCH.md, stage-4 fallback).
+* **Plain XLA lowering by default** (``use_pallas``/``fuse`` forced off):
+  Mosaic custom calls would pin the artifact to one libtpu build, and
+  symbolic batch dims do not flow through Pallas grids. ``--native`` flips
+  the trade: it keeps the fused Pallas kernels in the artifact (the live
+  eval step's routing — measured 41% faster than plain XLA for SwinV2-T,
+  BENCH.md) at the cost of a **static batch** and a **matched-TPU
+  contract** (the embedded Mosaic modules are compiled by the libtpu the
+  artifact lands on; portability across TPU generations/releases is not
+  guaranteed the way plain StableHLO is).
 * **Symbolic batch by default** (``--batch 0``): the batch dimension is a
   ``jax.export`` symbolic dim, so one artifact serves any request batch
   with no retrace and no padding contract. ``--batch N`` pins a static
@@ -28,7 +32,8 @@ Design notes (TPU semantics):
 Usage:
 
     python -m hvt.tools.export_serving --machine m.yaml --exp e.yaml ... \
-        --output dir/ [--batch 0] [--platforms tpu,cpu] [--raw-weights]
+        --output dir/ [--batch 0] [--platforms tpu,cpu] [--raw-weights] \
+        [--native]
 
 Writes ``<output>/serving.jaxexport`` (serialized ``jax.export.Exported``)
 and ``<output>/manifest.json`` (class names, input spec, preprocessing
@@ -48,28 +53,53 @@ ARTIFACT_NAME = "serving.jaxexport"
 
 
 def build_exported(config, *, use_ema: bool = True, batch: int = 0,
-                   platforms: Sequence[str] = ("tpu", "cpu")):
+                   platforms: Sequence[str] = ("tpu", "cpu"),
+                   native: bool = False):
     """→ (jax.export.Exported, manifest dict) for the eval forward.
 
     ``batch == 0`` exports a symbolic batch dimension; ``batch > 0`` pins
     it. The forward maps uint8 NHWC center-crops (the contract of
     ``EvalTransform``) to fine-grained logits — or a tuple of per-tier
     logits for multitask models.
+
+    ``native`` keeps the fused Pallas kernels in the artifact (the live
+    eval step's lowering) instead of forcing plain XLA. Requires a static
+    batch (Pallas grids are shape-specialized) and a tpu-only platform
+    list; the artifact is pinned to matched TPU deployments.
     """
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
     from hvt import config as config_lib
+    from hvt import parallel
     from hvt.data import DevicePrep, build_loader
     from hvt.downstream import predict as predict_lib
     from hvt.models import build_model
 
-    # Portable lowering: no Mosaic custom calls in the artifact (every
-    # builder tolerates these knobs; they are no-ops for ResNet).
+    if native:
+        if not (batch and batch > 0):
+            raise ValueError(
+                "--native needs a static batch (--batch N): Mosaic grids "
+                "are shape-specialized, symbolic dims do not flow through"
+            )
+        if tuple(platforms) != ("tpu",):
+            raise ValueError(
+                f"--native lowers Mosaic custom calls, which only a TPU "
+                f"backend can execute; use --platforms tpu (got {platforms})"
+            )
+        # The live eval step's kernel routing, made explicit (the config
+        # defaults are platform/mesh-conditional; an exported artifact
+        # must not depend on where the *export* ran).
+        knobs = {"use_pallas": True, "fuse": True}
+        # Single-device artifact: kernels run unwrapped, no shard_map.
+        parallel.set_kernel_mesh(None)
+    else:
+        # Portable lowering: no Mosaic custom calls in the artifact.
+        knobs = {"use_pallas": False, "fuse": False}
+    # Every builder tolerates these knobs; they are no-ops for ResNet.
     config = config_lib.loads(
-        config_lib.to_dict(config),
-        {"model": {"args": {"use_pallas": False, "fuse": False}}},
+        config_lib.to_dict(config), {"model": {"args": knobs}}
     )
 
     loader, info = build_loader(config, is_train=False)
@@ -105,7 +135,24 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
     else:
         (spec_batch,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((spec_batch, crop, crop, 3), jnp.uint8)
-    exported = jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+    if native:
+        from hvt import ops as ops_pkg
+
+        # Export is lowering, not execution: force the Mosaic lowering even
+        # from a non-TPU host (the dispatch sites otherwise pick the jnp /
+        # interpret path based on the process backend).
+        with ops_pkg.force_tpu_lowering():
+            exported = jax_export.export(
+                jax.jit(forward),
+                platforms=tuple(platforms),
+                disabled_checks=[
+                    jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
+                ],
+            )(spec)
+    else:
+        exported = jax_export.export(
+            jax.jit(forward), platforms=tuple(platforms)
+        )(spec)
 
     manifest = {
         "model": config.model.name,
@@ -132,6 +179,10 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
                   else "logits",
         "compute_dtype": str(config.precision.compute_dtype),
         "ema_weights": bool(use_ema),
+        # native: Mosaic custom calls embedded — fastest on matched TPUs,
+        # but pinned to deployments whose libtpu accepts the payloads;
+        # false: plain StableHLO, portable to any XLA backend.
+        "native": bool(native),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
@@ -141,12 +192,14 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
 
 def export_artifact(config, output: str, *, use_ema: bool = True,
                     batch: int = 0,
-                    platforms: Sequence[str] = ("tpu", "cpu")) -> pathlib.Path:
+                    platforms: Sequence[str] = ("tpu", "cpu"),
+                    native: bool = False) -> pathlib.Path:
     """Build and write the artifact directory; returns its path."""
     out = pathlib.Path(output)
     out.mkdir(parents=True, exist_ok=True)
     exported, manifest = build_exported(
-        config, use_ema=use_ema, batch=batch, platforms=platforms
+        config, use_ema=use_ema, batch=batch, platforms=platforms,
+        native=native,
     )
     (out / ARTIFACT_NAME).write_bytes(exported.serialize())
     (out / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
@@ -182,14 +235,22 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="comma-separated lowering platforms")
     parser.add_argument("--raw-weights", action="store_true",
                         help="use raw params even when the checkpoint has EMA")
+    parser.add_argument("--native", action="store_true",
+                        help="keep the fused Pallas kernels in the artifact "
+                             "(matched-TPU deployments; needs --batch N and "
+                             "--platforms tpu)")
     args = parser.parse_args(argv)
     config = config_lib.load(machine=args.machine, exps=args.exp)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    if args.native and platforms == ("tpu", "cpu"):
+        platforms = ("tpu",)  # --native narrows the *default* platform list
     out = export_artifact(
         config,
         args.output,
         use_ema=not args.raw_weights,
         batch=args.batch,
-        platforms=tuple(p.strip() for p in args.platforms.split(",") if p.strip()),
+        platforms=platforms,
+        native=args.native,
     )
     manifest = json.loads((out / MANIFEST_NAME).read_text())
     print(json.dumps({
@@ -197,6 +258,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         "model": manifest["model"],
         "classes": len(manifest["classes"]),
         "platforms": manifest["platforms"],
+        "native": manifest["native"],
         "bytes": (out / ARTIFACT_NAME).stat().st_size,
     }))
 

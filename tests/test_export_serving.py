@@ -110,6 +110,47 @@ def test_swin_multitask_fixed_batch(tmp_path):
     assert manifest["output"].startswith("per-tier")
 
 
+def test_native_export_embeds_mosaic_kernels(tmp_path):
+    """--native keeps the fused Pallas kernels in the artifact: the module
+    carries tpu_custom_call ops (lowered from a CPU process — export is
+    lowering, not compilation), the manifest marks the matched-TPU
+    contract, and the symbolic-batch / non-tpu-platform combinations are
+    rejected up front."""
+    import pytest
+    from jax import export as jax_export
+
+    cfg = _cfg(
+        tmp_path,
+        {"model": {"name": "swinv2_micro", "args": {"dtype": "float32"}}},
+    )
+    exported, manifest = export_serving.build_exported(
+        cfg, batch=8, platforms=("tpu",), native=True
+    )
+    mlir = exported.mlir_module()
+    assert "tpu_custom_call" in mlir  # Mosaic kernels really embedded
+    assert manifest["native"] is True
+    assert manifest["platforms"] == ["tpu"]
+    assert manifest["input"]["shape"][0] == 8
+    # The serialized form roundtrips with the safety check disabled on the
+    # producer side (the consumer needs no flag: checks ride the artifact).
+    again = jax_export.deserialize(bytearray(exported.serialize()))
+    assert again.in_avals[0].shape[0] == 8
+
+    with pytest.raises(ValueError, match="static batch"):
+        export_serving.build_exported(cfg, batch=0, platforms=("tpu",),
+                                      native=True)
+    with pytest.raises(ValueError, match="platforms tpu"):
+        export_serving.build_exported(cfg, batch=8, platforms=("tpu", "cpu"),
+                                      native=True)
+
+    # The portable path is unchanged: same config, no Mosaic calls.
+    portable, p_manifest = export_serving.build_exported(
+        cfg, batch=8, platforms=("cpu",)
+    )
+    assert "tpu_custom_call" not in portable.mlir_module()
+    assert p_manifest["native"] is False
+
+
 def test_cli_writes_artifact(tmp_path, monkeypatch):
     """The module CLI writes the artifact pair and prints a JSON summary."""
     import io
