@@ -340,7 +340,9 @@ def build_transform(config: config_lib.Config, is_train: bool):
     if is_train:
         ra_depth, ra_sev, colout_p = 0, 9, None
         for algo in config.algorithms:
-            if algo.cls == "RandAugment":
+            if algo.cls == "RandAugment" and not algo.args.get("device", False):
+                # device=true RandAugment runs inside the compiled step
+                # instead (hvt.data.randaugment via StepSettings.randaugment).
                 ra_depth = int(algo.args.get("depth", 1))
                 ra_sev = int(algo.args.get("severity", 9))
             elif algo.cls == "ColOut" and not algo.args.get("device", False):

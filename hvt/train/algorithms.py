@@ -76,6 +76,10 @@ class AlgorithmSettings:
     # ColOut with args.device=true runs inside the compiled step instead
     # (hvt.data.device.colout) — (p_row, p_col) when device-side.
     colout_device: Optional[tuple[float, float]] = None
+    # RandAugment with args.device=true runs inside the compiled step too
+    # (hvt.data.randaugment.rand_augment) — (depth, severity) when
+    # device-side; the host transform then delivers bare crops.
+    randaugment_device: Optional[tuple[int, int]] = None
 
 
 def parse_algorithms(config) -> AlgorithmSettings:
@@ -123,7 +127,12 @@ def parse_algorithms(config) -> AlgorithmSettings:
                 )
             # else host-side: consumed by hvt.data.loader.build_transform
         elif cls == "RandAugment":
-            pass  # host-side: consumed by hvt.data.loader.build_transform
+            if bool(args.get("device", False)):
+                s.randaugment_device = (
+                    int(args.get("depth", 1)),
+                    int(args.get("severity", 9)),
+                )
+            # else host-side: consumed by hvt.data.loader.build_transform
         else:
             raise ValueError(f"unknown algorithm {cls!r}")
     return s

@@ -146,6 +146,7 @@ class Trainer:
                 ema=self.algos.ema,
                 sam_rho=self.algos.sam_rho,
                 sam_interval=self.algos.sam_interval,
+                randaugment=self.algos.randaugment_device,
                 colout=self.algos.colout_device,
             )
 

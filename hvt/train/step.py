@@ -45,6 +45,10 @@ class StepSettings:
     # recipes request, configs/recipes/hot.yaml:36-39).
     sam_rho: Optional[float] = None
     sam_interval: int = 1
+    # Device-side RandAugment (depth, severity): applied to the uint8
+    # microbatch before ColOut/normalization, mirroring the host order
+    # RandAugment → ColOut (hvt.data.transforms.TrainTransform.post_augment).
+    randaugment: Optional[tuple[int, int]] = None
     # Device-side ColOut (p_row, p_col): applied to the uint8 microbatch
     # before normalization (hvt.data.device.colout).
     colout: Optional[tuple[float, float]] = None
@@ -75,6 +79,11 @@ def build_train_step(
     state donated; `scale` is static (progressive resizing bucket)."""
 
     def microbatch_loss(params, batch_stats, images, labels, mask, rng, scale):
+        if settings.randaugment:
+            from hvt.data import randaugment as ra_lib
+
+            rng, key = jax.random.split(rng)
+            images = ra_lib.rand_augment(key, images, *settings.randaugment)
         if settings.colout:
             rng, key = jax.random.split(rng)
             images = device_prep.colout(key, images, *settings.colout)

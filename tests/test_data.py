@@ -461,3 +461,164 @@ def test_device_colout_routing():
     algos = parse_algorithms(host_cfg)
     assert algos.colout_device is None
     assert build_transform(host_cfg, is_train=True).colout_p == (0.15, 0.1)
+
+
+def test_device_randaugment_pointwise_ops_match_pil():
+    """Every pointwise device-RA op (hvt/data/randaugment.py) reproduces
+    PIL's law bit-exactly — the host path's own ops (transforms.py
+    RANDAUGMENT_OPS) are thin PIL wrappers, so PIL is the oracle."""
+    import jax.numpy as jnp
+    from PIL import ImageEnhance, ImageOps
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(0)
+    b, h, w = 4, 33, 29
+    imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    imgs[1] = rng.integers(90, 130, (h, w, 3), dtype=np.uint8)  # low range
+    imgs[2] = 7  # constant (autocontrast/equalize identity branches)
+    x = jnp.asarray(imgs)
+
+    def check(dev, pil_fn):
+        got = np.asarray(dev)
+        want = np.stack([
+            np.asarray(pil_fn(Image.fromarray(imgs[i])), dtype=np.uint8)
+            for i in range(b)
+        ])
+        np.testing.assert_array_equal(got, want)
+
+    sev = 9
+    check(R.autocontrast(x), ImageOps.autocontrast)
+    check(R.equalize(x), ImageOps.equalize)
+    check(R.posterize(x, sev),
+          lambda im: ImageOps.posterize(im, max(1, 8 - int(sev / 10 * 4))))
+    check(R.solarize(x, sev),
+          lambda im: ImageOps.solarize(im, 256 - int(sev / 10 * 256)))
+    # enhance family at interpolation, extrapolation, and the 0.05 floor
+    for f in (0.19, 1.0, 1.81, 0.05):
+        fac = jnp.full((b,), f, jnp.float32)
+        check(R.color(x, fac), lambda im: ImageEnhance.Color(im).enhance(f))
+        check(R.contrast(x, fac),
+              lambda im: ImageEnhance.Contrast(im).enhance(f))
+        check(R.brightness(x, fac),
+              lambda im: ImageEnhance.Brightness(im).enhance(f))
+        check(R.sharpness(x, fac),
+              lambda im: ImageEnhance.Sharpness(im).enhance(f))
+
+
+def test_device_randaugment_geometric_ops_match_pil():
+    """The five geometric device-RA ops reproduce PIL's affine matrices and
+    resampling law (black outside mapped centers, edge-clamped taps,
+    truncating store); residual is ≤1 grey level from float32 coordinate
+    arithmetic (PIL computes in double)."""
+    import jax.numpy as jnp
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(1)
+    b, h, w = 3, 33, 29
+    imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+    sev = 9
+    lvl = sev / 10
+
+    def warp_dev(op_idx, sign):
+        op = np.full((b,), op_idx, np.int32)
+        s = np.full((b,), sign, np.float32)
+        return np.asarray(
+            R._bilinear_warp(x, R._affine_matrices(
+                jnp.asarray(op), jnp.asarray(s), sev, h, w))
+        )
+
+    def want(pil_fn):
+        return np.stack([
+            np.asarray(pil_fn(Image.fromarray(imgs[i])), dtype=np.uint8)
+            for i in range(b)
+        ])
+
+    aff = Image.AFFINE
+    bil = Image.BILINEAR
+    cases = [
+        (4, 1.0, lambda im: im.rotate(lvl * 30.0, bil)),
+        (4, -1.0, lambda im: im.rotate(-lvl * 30.0, bil)),
+        (5, 1.0, lambda im: im.transform(
+            im.size, aff, (1, lvl * 0.3, 0, 0, 1, 0), bil)),
+        (6, -1.0, lambda im: im.transform(
+            im.size, aff, (1, 0, 0, -lvl * 0.3, 1, 0), bil)),
+        (7, 1.0, lambda im: im.transform(
+            im.size, aff, (1, 0, lvl * 0.45 * w, 0, 1, 0), bil)),
+        (8, -1.0, lambda im: im.transform(
+            im.size, aff, (1, 0, 0, 0, 1, -lvl * 0.45 * h), bil)),
+    ]
+    for op_idx, sign, pil_fn in cases:
+        got, exp = warp_dev(op_idx, sign), want(pil_fn)
+        diff = np.abs(got.astype(int) - exp.astype(int))
+        assert diff.max() <= 1, (op_idx, sign, diff.max())
+        assert (diff > 0).mean() < 0.01  # f32 rounding only
+
+    # identity matrices (non-geometric rows) pass through exactly
+    ident = np.asarray(
+        R._bilinear_warp(x, R._affine_matrices(
+            jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.float32),
+            sev, h, w))
+    )
+    np.testing.assert_array_equal(ident, imgs)
+
+
+def test_device_randaugment_dispatch():
+    """rand_augment: depth 0 is identity, shapes/dtype static, keys are
+    deterministic, per-sample ops are independent, and depth composes."""
+    import jax
+    import jax.numpy as jnp
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 24, 24, 3), dtype=np.uint8))
+
+    assert R.rand_augment(jax.random.key(0), imgs, depth=0) is imgs
+
+    out = R.rand_augment(jax.random.key(0), imgs, depth=1, severity=9)
+    assert out.shape == imgs.shape and out.dtype == jnp.uint8
+    again = R.rand_augment(jax.random.key(0), imgs, depth=1, severity=9)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(again))
+    other = R.rand_augment(jax.random.key(1), imgs, depth=1, severity=9)
+    assert (np.asarray(out) != np.asarray(other)).any()
+
+    # identical rows drift apart: op choice is per-sample
+    two = jnp.stack([imgs[0], imgs[0], imgs[0], imgs[0]])
+    d = np.asarray(R.rand_augment(jax.random.key(3), two, depth=1))
+    assert any((d[0] != d[i]).any() for i in range(1, 4))
+
+    # depth 2 differs from depth 1 under the same key
+    deep = R.rand_augment(jax.random.key(0), imgs, depth=2, severity=9)
+    assert (np.asarray(deep) != np.asarray(out)).any()
+
+
+def test_device_randaugment_routing():
+    """algorithms routing: RandAugment device=true lands in StepSettings
+    (and the host transform delivers bare crops); host mode unchanged."""
+    from hvt.data.loader import build_transform
+    from hvt.train.algorithms import parse_algorithms
+
+    base = {
+        "run_name": "x",
+        "model": {"name": "resnet_micro"},
+        "machine": {"save_root": "/tmp"},
+        "train_dataset": {"source": "synthetic", "synthetic_num_classes": 2,
+                          "synthetic_num_samples": 4, "crop_size": 32,
+                          "global_batch_size": 4},
+    }
+    dev_cfg = C.loads(base, {"algorithms": [
+        {"cls": "RandAugment",
+         "args": {"depth": 2, "severity": 7, "device": True}}]})
+    algos = parse_algorithms(dev_cfg)
+    assert algos.randaugment_device == (2, 7)
+    assert build_transform(dev_cfg, is_train=True).randaugment_depth == 0
+
+    host_cfg = C.loads(base, {"algorithms": [
+        {"cls": "RandAugment", "args": {"depth": 2, "severity": 7}}]})
+    algos = parse_algorithms(host_cfg)
+    assert algos.randaugment_device is None
+    tf = build_transform(host_cfg, is_train=True)
+    assert tf.randaugment_depth == 2 and tf.randaugment_severity == 7

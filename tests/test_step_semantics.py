@@ -214,3 +214,48 @@ def test_device_colout_in_train_step():
         losses[colout] = float(stats["loss_sum"])
     assert np.isfinite(losses[(0.15, 0.15)])
     assert losses[None] != losses[(0.15, 0.15)]
+
+
+def test_device_randaugment_in_step():
+    """StepSettings.randaugment composes into the compiled step: the step
+    runs with device RA (+ device ColOut, the hot-recipe device pair),
+    produces finite loss/params, and the augmentation actually changes
+    the pixels the model sees (different loss vs the bare step)."""
+    cfg = C.loads({"optim": {"name": "sgd", "lr": 0.01, "momentum": 0.0,
+                              "weight_decay": 0.0}})
+    model = S.swinv2_micro(4, dtype=jnp.float32, drop_path_rate=0.0)
+    prep = DevicePrep.from_config(cfg.train_dataset, cfg.precision)
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    rng = jax.random.key(0)
+    mesh = parallel.cpu_mesh(1)
+    def fresh_state():  # the step donates its input state
+        return jax.jit(
+            lambda: state_lib.create(
+                model, tx, rng,
+                prep.normalize(jnp.zeros((2, 16, 16, 3), jnp.uint8)), ema=False,
+            ),
+            out_shardings=parallel.replicated(mesh),
+        )()
+
+    images = np.random.default_rng(0).integers(
+        0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    labels = np.asarray([0, 1, 2, 3], np.int32)
+    mask = np.ones((4,), np.float32)
+
+    losses = {}
+    for name, settings in {
+        "bare": step_lib.StepSettings(num_classes=4),
+        "aug": step_lib.StepSettings(
+            num_classes=4, randaugment=(1, 9), colout=(0.1, 0.1)),
+    }.items():
+        step = step_lib.build_train_step(
+            model, objectives.soft_cross_entropy, tx, prep, settings)
+        new_state, stats = step(
+            fresh_state(), images, labels, mask, rng, scale=1.0)
+        assert np.isfinite(float(stats["loss_sum"]))
+        assert all(
+            np.isfinite(np.asarray(p)).all()
+            for p in jax.tree.leaves(new_state.params)
+        )
+        losses[name] = float(stats["loss_sum"])
+    assert losses["aug"] != losses["bare"]
