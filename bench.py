@@ -96,7 +96,8 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
         no_decay_substrings=no_decay,
     )
     settings = step_lib.StepSettings(
-        num_classes=NUM_CLASSES, smoothing=algos.label_smoothing, ema=algos.ema
+        num_classes=NUM_CLASSES, smoothing=algos.label_smoothing, ema=algos.ema,
+        randaugment=algos.randaugment_device, colout=algos.colout_device,
     )
     train_step = step_lib.build_train_step(
         model, objectives.soft_cross_entropy, tx, prep, settings
@@ -212,10 +213,13 @@ def measure_eval(model_name: str, model_args: dict, batch_per_chip: int) -> list
     return rates
 
 
-def measure_artifact(model_name: str, batch_per_chip: int) -> list[float]:
-    """Serving-artifact throughput (jax.export StableHLO, plain-XLA
-    lowering, weights baked in — hvt/tools/export_serving.py). Measures
-    the deployed-serving path rather than the live eval step."""
+def measure_artifact(model_name: str, batch_per_chip: int,
+                     native: bool = False) -> list[float]:
+    """Serving-artifact throughput (jax.export StableHLO, weights baked in —
+    hvt/tools/export_serving.py). Measures the deployed-serving path rather
+    than the live eval step. ``native`` measures the matched-TPU artifact
+    (fused Pallas kernels embedded, static batch) instead of the portable
+    plain-XLA one."""
     from hvt import config as config_lib
     from hvt.tools import export_serving
 
@@ -232,7 +236,10 @@ def measure_artifact(model_name: str, batch_per_chip: int) -> list[float]:
     })
     platform = jax.devices()[0].platform
     exported, _ = export_serving.build_exported(
-        cfg, batch=0, platforms=(platform,)
+        cfg,
+        batch=(batch_per_chip * jax.device_count()) if native else 0,
+        platforms=(platform,),
+        native=native,
     )
     call = jax.jit(lambda x: exported.call(x))
     n_chips = jax.device_count()
@@ -284,17 +291,28 @@ def main():
             int(s) for s in os.environ["HVT_BENCH_REMAT"].split(",")
         ]
         r50_args["remat_policy"] = os.environ.get("HVT_BENCH_REMAT_POLICY", "nothing")
+    r50_algos = [
+        {"cls": "EMA", "args": {"half_life": "100ba", "update_interval": "20ba"}},
+        {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
+        {"cls": "GradientClipping",
+         "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
+    ]
+    # Device-side augmentation A/B (hot-recipe device pair): measures the
+    # chip cost of in-step RandAugment (+ColOut) vs the bare step —
+    # the host-side saving is measured separately (BENCH.md).
+    if os.environ.get("HVT_BENCH_DEVICE_RA") == "1":
+        r50_algos += [
+            {"cls": "RandAugment",
+             "args": {"depth": 1, "severity": 9, "device": True}},
+            {"cls": "ColOut",
+             "args": {"p_row": 0.05, "p_col": 0.05, "device": True}},
+        ]
     r50 = measure(
         {
             "model": {"name": "resnet50", "args": r50_args},
             "optim": {"name": "DecoupledSGDW", "lr": 2.048, "momentum": 0.875,
                       "weight_decay": 5.0e-4},
-            "algorithms": [
-                {"cls": "EMA", "args": {"half_life": "100ba", "update_interval": "20ba"}},
-                {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
-                {"cls": "GradientClipping",
-                 "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
-            ],
+            "algorithms": r50_algos,
         },
         r50_batch,
     )
@@ -356,6 +374,15 @@ def main():
             record["workloads"]["swinv2_tiny_artifact"] = _summarize(
                 measure_artifact("swinv2_tiny", 64), None, 64
             )
+    # Opt-in native-artifact workload (matched-TPU export with the fused
+    # Pallas kernels embedded; export_serving --native). SwinV2 only — the
+    # R50 artifact has no kernels to keep, it is identical to the portable
+    # one.
+    if (os.environ.get("HVT_BENCH_ARTIFACT_NATIVE") == "1"
+            and os.environ.get("HVT_BENCH_SKIP_SWIN") != "1"):
+        record["workloads"]["swinv2_tiny_artifact_native"] = _summarize(
+            measure_artifact("swinv2_tiny", 64, native=True), None, 64
+        )
     print(json.dumps(record))
 
 

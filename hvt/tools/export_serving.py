@@ -83,7 +83,9 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
                 "--native needs a static batch (--batch N): Mosaic grids "
                 "are shape-specialized, symbolic dims do not flow through"
             )
-        if tuple(platforms) != ("tpu",):
+        if len(tuple(platforms)) != 1 or tuple(platforms)[0] not in (
+            "tpu", "axon",  # axon: a TPU behind an experimental PJRT plugin
+        ):
             raise ValueError(
                 f"--native lowers Mosaic custom calls, which only a TPU "
                 f"backend can execute; use --platforms tpu (got {platforms})"
