@@ -195,3 +195,69 @@ def test_mixup_bce_target_hand_check():
         / 8
     )
     assert step_loss == pytest.approx(expected, rel=1e-5)
+
+
+def test_hot_recipe_device_augmentation_variant(ds_root, tmp_path):
+    """The hot recipe with its two device-mode augmentations
+    ({cls: RandAugment/ColOut, args: {device: true}}): the loader delivers
+    bare crops (no PIL post pass) while the compiled step carries the
+    policy — the full composition still trains with finite metrics."""
+    from hvt.train.loop import Trainer
+
+    base = C.load(machine="configs/machines/local.yaml",
+                  exps=["configs/recipes/hot.yaml"])
+    algos = []
+    for a in C.to_dict(base)["algorithms"]:
+        if a["cls"] == "RandAugment":
+            a = {"cls": "RandAugment",
+                 "args": {**a.get("args", {}), "device": True}}
+        elif a["cls"] == "ColOut":
+            a = {"cls": "ColOut",
+                 "args": {**a.get("args", {}), "device": True}}
+        elif a["cls"] == "SAM":
+            a = {"cls": "SAM", "args": {"rho": 0.5, "interval": 2}}
+        elif a["cls"] == "ProgressiveResizing":
+            a = {"cls": "ProgressiveResizing",
+                 "args": {"initial_scale": 0.5, "delay_fraction": 0.25,
+                          "finetune_fraction": 0.25}}
+        algos.append(a)
+    cfg = C.loads(
+        C.to_dict(base),
+        {
+            "run_name": "hot-ci-device",
+            "seed": 0,
+            "max_duration": "4ba",
+            "model": {"name": "resnet_micro_bottleneck"},
+            "machine": {"datasets": {"fix": str(ds_root)},
+                        "save_root": str(tmp_path)},
+            "train_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                              "global_batch_size": 8, "drop_last": True,
+                              "shuffle": True},
+            "eval_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
+                             "global_batch_size": 8},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "optim": {"name": "DecoupledSGDW", "lr": 0.05, "momentum": 0.9,
+                      "weight_decay": 1e-4},
+            "algorithms": algos,
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        },
+    )
+    tr = Trainer(cfg, mesh=parallel.cpu_mesh(2), log_interval=4)
+    # Device modes landed in the step settings, and the host transform is
+    # bare (no PIL post ops → the native decode path needs no post pass).
+    assert tr.settings.randaugment == (1, 9)
+    assert tr.settings.colout == (0.05, 0.05)
+    assert tr.train_loader.transform.randaugment_depth == 0
+    assert tr.train_loader.transform.colout_p is None
+    assert not tr.train_loader.transform.has_post_ops
+
+    metrics = tr.fit()
+    assert int(tr.state.step) == 4
+    assert np.isfinite(metrics["cross-entropy"])
+    assert all(
+        np.all(np.isfinite(np.asarray(p)))
+        for p in jax.tree.leaves(tr.state.params)
+    )
+    tr.close()
