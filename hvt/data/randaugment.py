@@ -303,6 +303,11 @@ def rand_augment(key: jax.Array, images: jax.Array, depth: int = 1,
     pointwise candidates per step."""
     if depth <= 0:
         return images
+    if images.dtype != jnp.uint8:
+        raise ValueError(
+            f"device RandAugment operates on uint8 pixel batches "
+            f"(pre-normalization), got {images.dtype}"
+        )
     n = len(OP_NAMES)
     for _ in range(int(depth)):
         key, kop, ksign = jax.random.split(key, 3)

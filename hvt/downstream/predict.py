@@ -202,19 +202,29 @@ def predict(
     if artifact is not None:
         from hvt.tools import export_serving
 
-        exported, manifest = export_serving.load(artifact)
+        buckets, manifest = export_serving.load_all(artifact)
         pre = manifest["preprocessing"]
         if pre["crop_size"] != crop:
             raise ValueError(
                 f"artifact was exported at crop_size={pre['crop_size']}, "
                 f"dataset delivers {crop}"
             )
-        pinned = manifest["input"]["shape"][0]
-        if isinstance(pinned, int) and pinned != data_cfg.global_batch_size:
+        gbs = data_cfg.global_batch_size
+        if 0 in buckets:  # symbolic batch serves any loader batch
+            exported = buckets[0]
+        elif gbs in buckets:
+            exported = buckets[gbs]
+        elif len(buckets) == 1:
+            (pinned,) = buckets
             raise ValueError(
                 f"artifact batch is pinned to {pinned}; set "
                 f"eval_dataset.global_batch_size to {pinned} (or re-export "
                 f"with --batch 0)"
+            )
+        else:
+            raise ValueError(
+                f"eval_dataset.global_batch_size={gbs} is not one of the "
+                f"artifact's batch buckets {sorted(buckets)}"
             )
         params, batch_stats = None, {}
         step = build_topk_step_from_exported(exported, lookups, k)

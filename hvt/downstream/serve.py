@@ -92,13 +92,15 @@ class InferenceEngine:
         self.hierarchical = hierarchical
 
         k = min(topk, info.fine_grained_num_classes)
-        self._step = predict_lib.build_topk_step(model, prep, lookups, k)
+        self._steps = [
+            (self.batch, predict_lib.build_topk_step(model, prep, lookups, k))
+        ]
         self._k = k
         self._crop = crop
         self._warm_and_start()
 
     @classmethod
-    def from_artifact(cls, path, *, batch: int = 1, topk: int = 5,
+    def from_artifact(cls, path, *, batch: int = 0, topk: int = 5,
                       hierarchical: bool = False) -> "InferenceEngine":
         """Serve a StableHLO artifact (hvt/tools/export_serving.py).
 
@@ -106,22 +108,45 @@ class InferenceEngine:
         constants; this engine adds only image decode, top-k /
         hierarchical decoding, and request micro-batching — no model code,
         flax modules, or checkpoint plumbing run at serving time.
+
+        ``batch=0`` (auto) adopts the artifact's shape: a pinned export's
+        batch, all of a bucket artifact's buckets, or 1 for a symbolic
+        export. Batch-bucket artifacts (``--batch N1,N2,...``) dispatch
+        each coalesced request group at the smallest bucket that fits —
+        single requests pay a batch-N1 forward, bursts ride the largest
+        bucket; an explicit ``batch`` must then name a bucket and caps
+        coalescing there.
         """
         from hvt.downstream import predict as predict_lib
         from hvt.tools import export_serving
 
-        exported, manifest = export_serving.load(path)
+        buckets, manifest = export_serving.load_all(path)
         self = cls.__new__(cls)
         self.config = None
         self.model_name = manifest["model"]
-        self.batch = max(1, batch)
-        pinned = manifest["input"]["shape"][0]
-        if isinstance(pinned, int) and pinned != self.batch:
-            raise ValueError(
-                f"artifact batch is pinned to {pinned}; serve with "
-                f"batch={pinned} (or re-export with --batch 0 for a "
-                f"symbolic batch dimension)"
-            )
+        if 0 in buckets:  # symbolic batch: one export serves any shape
+            self.batch = max(1, batch)
+            sizes = [self.batch]
+        elif len(buckets) == 1:
+            (pinned,) = buckets
+            if batch and batch != pinned:
+                raise ValueError(
+                    f"artifact batch is pinned to {pinned}; serve with "
+                    f"batch={pinned} (or re-export with --batch 0 for a "
+                    f"symbolic batch dimension)"
+                )
+            self.batch = pinned
+            sizes = [pinned]
+        else:
+            sizes = sorted(buckets)
+            if batch:  # explicit cap must name a bucket
+                if batch not in buckets:
+                    raise ValueError(
+                        f"batch={batch} is not one of the artifact's "
+                        f"buckets {sizes}; pick a bucket or re-export"
+                    )
+                sizes = [s for s in sizes if s <= batch]
+            self.batch = sizes[-1]
         multitask = manifest["multitask"]
         self.native_artifact = bool(manifest.get("native", False))
         self.num_classes = (
@@ -145,20 +170,23 @@ class InferenceEngine:
         # ignores them (see build_topk_step_from_exported).
         self._params = None
         self._batch_stats = {}
-        self._step = predict_lib.build_topk_step_from_exported(
-            exported, lookups, k
-        )
+        exp_of = (lambda s: buckets[0]) if 0 in buckets else (lambda s: buckets[s])
+        self._steps = [
+            (s, predict_lib.build_topk_step_from_exported(exp_of(s), lookups, k))
+            for s in sizes
+        ]
         self._k = k
         self._crop = pre["crop_size"]
         self._warm_and_start()
         return self
 
     def _warm_and_start(self) -> None:
-        # Warm the executable so the first request doesn't pay the compile.
+        # Warm every bucket's executable so no request pays a compile.
         # Host fetch, not block_until_ready — the latter returns before
         # device completion on the axon runtime (see CLAUDE.md).
-        dummy = np.zeros((self.batch, self._crop, self._crop, 3), np.uint8)
-        np.asarray(self._step(self._params, self._batch_stats, dummy)[0])
+        for size, step in self._steps:
+            dummy = np.zeros((size, self._crop, self._crop, 3), np.uint8)
+            np.asarray(step(self._params, self._batch_stats, dummy)[0])
 
         # Request micro-batching: concurrent requests coalesce into one
         # fixed-shape device step (up to `batch` rows per dispatch). Server
@@ -189,13 +217,16 @@ class InferenceEngine:
                     closing = True
                     break
                 pendings.append(item)
-            images = np.zeros(
-                (self.batch, self._crop, self._crop, 3), np.uint8
+            # Smallest bucket that fits this group (single-bucket engines
+            # have exactly one entry, preserving the fixed-shape contract).
+            size, step = next(
+                (s, f) for s, f in self._steps if s >= len(pendings)
             )
+            images = np.zeros((size, self._crop, self._crop, 3), np.uint8)
             for row, p in enumerate(pendings):
                 images[row] = p["arr"]
             try:
-                top_i, top_p, tiers, n_allowed = self._step(
+                top_i, top_p, tiers, n_allowed = step(
                     self._params, self._batch_stats, images
                 )
                 out = (

@@ -25,6 +25,11 @@ Design notes (TPU semantics):
   ``jax.export`` symbolic dim, so one artifact serves any request batch
   with no retrace and no padding contract. ``--batch N`` pins a static
   shape instead (needed if a runtime lacks dynamic-shape support).
+* **Batch buckets** (``--batch 1,8,64``): one artifact directory holding
+  one export per pinned batch. This is the usability story for pinned
+  (especially ``--native``) artifacts: the HTTP server dispatches each
+  coalesced request group at the smallest bucket that fits, so single
+  requests pay a batch-1 forward while bursts ride the big bucket.
 * **Multi-platform**: ``--platforms tpu,cpu`` lowers once per platform
   into one artifact; the embedded module dispatches on the backend it
   lands on, so the same file serves TPU pods and CPU canaries.
@@ -193,19 +198,68 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
 
 
 def export_artifact(config, output: str, *, use_ema: bool = True,
-                    batch: int = 0,
+                    batch: "int | Sequence[int]" = 0,
                     platforms: Sequence[str] = ("tpu", "cpu"),
                     native: bool = False) -> pathlib.Path:
-    """Build and write the artifact directory; returns its path."""
+    """Build and write the artifact directory; returns its path.
+
+    ``batch`` may be a list of pinned sizes (batch buckets): the directory
+    then carries ``serving-b{N}.jaxexport`` per bucket and the manifest
+    lists them under ``batch_buckets``/``files``; consumers pick the
+    smallest bucket that fits a request group (hvt/downstream/serve.py).
+    """
     out = pathlib.Path(output)
     out.mkdir(parents=True, exist_ok=True)
-    exported, manifest = build_exported(
-        config, use_ema=use_ema, batch=batch, platforms=platforms,
-        native=native,
-    )
-    (out / ARTIFACT_NAME).write_bytes(exported.serialize())
+    batches = list(batch) if isinstance(batch, (list, tuple)) else [batch]
+    if len(batches) > 1:
+        if len(set(batches)) != len(batches) or any(b <= 0 for b in batches):
+            raise ValueError(
+                f"batch buckets must be distinct pinned sizes, got {batches}"
+            )
+        batches = sorted(batches)
+    files = {}
+    manifest = None
+    for b in batches:
+        exported, manifest = build_exported(
+            config, use_ema=use_ema, batch=b, platforms=platforms,
+            native=native,
+        )
+        name = ARTIFACT_NAME if len(batches) == 1 else f"serving-b{b}.jaxexport"
+        (out / name).write_bytes(exported.serialize())
+        files[str(b)] = name
+    if len(batches) > 1:
+        manifest["batch_buckets"] = batches
+        manifest["files"] = files
+        # input.shape reflects the largest bucket; per-file shapes are the
+        # bucket sizes.
+        manifest["input"]["shape"][0] = batches[-1]
     (out / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
     return out
+
+
+def load_all(path: str):
+    """→ ({pinned_batch_or_0: jax.export.Exported}, manifest).
+
+    Single-export directories (the default layout) map their one export
+    under its pinned batch, or 0 for a symbolic batch dimension.
+    """
+    from jax import export as jax_export
+
+    p = pathlib.Path(path)
+    manifest = json.loads((p / MANIFEST_NAME).read_text())
+    if "files" in manifest:
+        return {
+            int(b): jax_export.deserialize(
+                bytearray((p / name).read_bytes())
+            )
+            for b, name in manifest["files"].items()
+        }, manifest
+    exported = jax_export.deserialize(
+        bytearray((p / ARTIFACT_NAME).read_bytes())
+    )
+    pinned = manifest["input"]["shape"][0]
+    key = pinned if isinstance(pinned, int) else 0
+    return {key: exported}, manifest
 
 
 def load(path: str):
@@ -217,10 +271,15 @@ def load(path: str):
     from jax import export as jax_export
 
     p = pathlib.Path(path)
+    manifest = json.loads((p / MANIFEST_NAME).read_text())
+    if "files" in manifest:
+        raise ValueError(
+            f"{path} is a batch-bucket artifact (buckets "
+            f"{manifest['batch_buckets']}); use load_all()"
+        )
     exported = jax_export.deserialize(
         bytearray((p / ARTIFACT_NAME).read_bytes())
     )
-    manifest = json.loads((p / MANIFEST_NAME).read_text())
     return exported, manifest
 
 
@@ -231,8 +290,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     config_lib.add_exp_args(parser)
     parser.add_argument("--output", required=True,
                         help="artifact directory to write")
-    parser.add_argument("--batch", type=int, default=0,
-                        help="0 = symbolic batch dim; N pins a static batch")
+    parser.add_argument("--batch", default="0",
+                        help="0 = symbolic batch dim; N pins a static batch; "
+                             "N1,N2,... writes one export per batch bucket")
     parser.add_argument("--platforms", default="tpu,cpu",
                         help="comma-separated lowering platforms")
     parser.add_argument("--raw-weights", action="store_true",
@@ -246,22 +306,26 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     if args.native and platforms == ("tpu", "cpu"):
         platforms = ("tpu",)  # --native narrows the *default* platform list
+    batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
     out = export_artifact(
         config,
         args.output,
         use_ema=not args.raw_weights,
-        batch=args.batch,
+        batch=batches if len(batches) > 1 else batches[0],
         platforms=platforms,
         native=args.native,
     )
     manifest = json.loads((out / MANIFEST_NAME).read_text())
+    names = list(manifest.get("files", {ARTIFACT_NAME: ARTIFACT_NAME}).values())
     print(json.dumps({
-        "artifact": str(out / ARTIFACT_NAME),
+        "artifact": str(out),
+        "files": names,
         "model": manifest["model"],
         "classes": len(manifest["classes"]),
         "platforms": manifest["platforms"],
         "native": manifest["native"],
-        "bytes": (out / ARTIFACT_NAME).stat().st_size,
+        "batch_buckets": manifest.get("batch_buckets"),
+        "bytes": sum((out / n).stat().st_size for n in names),
     }))
 
 

@@ -37,8 +37,10 @@ if __name__ == "__main__":
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--topk", type=int, default=5)
-    parser.add_argument("--batch", type=int, default=1,
-                        help="compiled batch shape (requests pad into it)")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="compiled batch shape (requests pad into it); "
+                             "0 = auto: a pinned artifact's batch, all of a "
+                             "bucket artifact's buckets, else 1")
     parser.add_argument("--raw-weights", action="store_true")
     parser.add_argument("--hierarchical", action="store_true")
     args = parser.parse_args()

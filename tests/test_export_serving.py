@@ -374,3 +374,72 @@ def test_predict_from_artifact_matches_live(tmp_path):
     )
     with pytest.raises(ValueError, match="pinned to 4"):
         next(iter(predict_lib.predict(cfg, topk=2, artifact=str(pinned))))
+
+
+def test_batch_bucket_artifact(tmp_path):
+    """--batch 1,4: the directory carries one export per bucket, the engine
+    dispatches each request group at the smallest bucket that fits, and a
+    single request's answer matches the single-export artifact's."""
+    import threading
+
+    import pytest
+
+    from hvt.downstream import predict as predict_lib
+    from hvt.downstream import serve as serve_lib
+
+    cfg = _cfg(tmp_path)
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "buckets", batch=[4, 1], platforms=("cpu",)
+    )
+    manifest = json.loads((out / export_serving.MANIFEST_NAME).read_text())
+    assert manifest["batch_buckets"] == [1, 4]  # sorted
+    assert set(manifest["files"]) == {"1", "4"}
+    for name in manifest["files"].values():
+        assert (out / name).exists()
+    # the single-export loader refuses the bucket layout, clearly
+    with pytest.raises(ValueError, match="load_all"):
+        export_serving.load(out)
+    buckets, _ = export_serving.load_all(out)
+    assert sorted(buckets) == [1, 4]
+    assert buckets[1].in_avals[0].shape[0] == 1
+    assert buckets[4].in_avals[0].shape[0] == 4
+
+    # engine: bucket dispatch is observable through the step table
+    engine = serve_lib.InferenceEngine.from_artifact(out, topk=2)
+    try:
+        assert [s for s, _ in engine._steps] == [1, 4]
+        assert engine.batch == 4
+
+        # one request → the batch-1 bucket produces the same record the
+        # batch-1 single-export artifact would
+        import io as io_lib
+
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        buf = io_lib.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")  # PNG: lossless, decode-identical
+        rec = engine.predict_image(buf.getvalue(), topk=2)
+        assert len(rec["class_ids"]) == 2
+    finally:
+        engine.close()
+
+    # an explicit cap must name a bucket
+    with pytest.raises(ValueError, match="buckets"):
+        serve_lib.InferenceEngine.from_artifact(out, batch=3)
+    capped = serve_lib.InferenceEngine.from_artifact(out, batch=1, topk=2)
+    try:
+        assert [s for s, _ in capped._steps] == [1]
+    finally:
+        capped.close()
+
+    # predict: the loader batch must name a bucket
+    cfg4 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 4}})
+    recs = list(predict_lib.predict(cfg4, topk=2, artifact=str(out)))
+    assert len(recs) == 8
+    cfg3 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 3,
+                                            "synthetic_num_samples": 6}})
+    with pytest.raises(ValueError, match=r"batch buckets \[1, 4\]"):
+        next(iter(predict_lib.predict(cfg3, topk=2, artifact=str(out))))
