@@ -69,12 +69,24 @@ def autocontrast(x: jax.Array) -> jax.Array:
 def equalize(x: jax.Array) -> jax.Array:
     """Per-channel histogram equalization (PIL ImageOps.equalize law:
     step = (total - last_nonzero_bin) // 255; lut[i] = (step//2 +
-    cumsum_{j<i} h[j]) // step; identity when ≤1 nonzero bin or step==0)."""
+    cumsum_{j<i} h[j]) // step; identity when ≤1 nonzero bin or step==0).
+
+    The histogram comes from sort + searchsorted rather than a 256-level
+    compare-reduce: ``cum[v] = #pixels < v`` IS the exclusive prefix sum
+    the LUT needs, and sorting HW uint8 values costs ~50× less than the
+    broadcast compare (measured 15.4 s → 0.2 s/batch on the 1-core CPU
+    host at b64·224²)."""
     b, h, w, c = x.shape
     xi = x.astype(jnp.int32)
     xp = xi.transpose(0, 3, 1, 2).reshape(b, c, h * w)  # (B, C, HW)
+    xs = jnp.sort(xp, axis=-1)
     levels = jnp.arange(256, dtype=jnp.int32)
-    hist = (xp[:, :, :, None] == levels).sum(axis=2)  # (B, C, 256)
+    # cum[v] = #pixels < v == exclusive prefix sum of the histogram.
+    cum_ex = jax.vmap(jax.vmap(
+        lambda a: jnp.searchsorted(a, levels, side="left")
+    ))(xs).astype(jnp.int32)
+    total = jnp.full((b, c, 1), h * w, jnp.int32)
+    hist = jnp.diff(jnp.concatenate([cum_ex, total], axis=-1), axis=-1)
 
     nz = hist > 0
     n_nonzero = nz.sum(axis=-1)  # (B, C)
@@ -82,7 +94,6 @@ def equalize(x: jax.Array) -> jax.Array:
     last = jnp.take_along_axis(hist, last_idx[..., None], axis=-1)[..., 0]
     step = (h * w - last) // 255  # (B, C)
 
-    cum_ex = jnp.cumsum(hist, axis=-1) - hist  # exclusive prefix sum
     lut = (step[..., None] // 2 + cum_ex) // jnp.maximum(step[..., None], 1)
     lut = jnp.clip(lut, 0, 255)
     identity = jnp.broadcast_to(levels, lut.shape)
