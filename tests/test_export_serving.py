@@ -443,3 +443,27 @@ def test_batch_bucket_artifact(tmp_path):
                                             "synthetic_num_samples": 6}})
     with pytest.raises(ValueError, match=r"batch buckets \[1, 4\]"):
         next(iter(predict_lib.predict(cfg3, topk=2, artifact=str(out))))
+
+
+def test_native_bucket_artifact(tmp_path):
+    """--native composes with batch buckets: every bucket file embeds the
+    Mosaic custom calls and the manifest carries both contracts."""
+    from jax import export as jax_export
+
+    cfg = _cfg(
+        tmp_path,
+        {"model": {"name": "swinv2_micro", "args": {"dtype": "float32"}}},
+    )
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "native-buckets", batch=[2, 8],
+        platforms=("tpu",), native=True,
+    )
+    manifest = json.loads((out / export_serving.MANIFEST_NAME).read_text())
+    assert manifest["native"] is True
+    assert manifest["batch_buckets"] == [2, 8]
+    for b, name in manifest["files"].items():
+        exported = jax_export.deserialize(
+            bytearray((out / name).read_bytes())
+        )
+        assert exported.in_avals[0].shape[0] == int(b)
+        assert "tpu_custom_call" in exported.mlir_module()
