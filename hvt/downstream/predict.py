@@ -203,6 +203,17 @@ def predict(
         from hvt.tools import export_serving
 
         buckets, manifest = export_serving.load_all(artifact)
+        backend = jax.default_backend()
+        lowered_for = set(manifest.get("platforms", ()))
+        tpu_like = {"tpu", "axon"}
+        if lowered_for and backend not in lowered_for and not (
+            backend in tpu_like and lowered_for & tpu_like
+        ):
+            raise ValueError(
+                f"artifact was lowered for platforms {sorted(lowered_for)} "
+                f"but the running backend is {backend!r}; re-export with "
+                f"--platforms {backend}"
+            )
         pre = manifest["preprocessing"]
         if pre["crop_size"] != crop:
             raise ValueError(

@@ -120,7 +120,23 @@ class InferenceEngine:
         from hvt.downstream import predict as predict_lib
         from hvt.tools import export_serving
 
+        import jax
+
         buckets, manifest = export_serving.load_all(path)
+        backend = jax.default_backend()
+        lowered_for = set(manifest.get("platforms", ()))
+        tpu_like = {"tpu", "axon"}
+        if lowered_for and backend not in lowered_for and not (
+            backend in tpu_like and lowered_for & tpu_like
+        ):
+            kind = "native (Mosaic kernels embedded)" if manifest.get(
+                "native") else "StableHLO"
+            raise ValueError(
+                f"this {kind} artifact was lowered for platforms "
+                f"{sorted(lowered_for)} but the running backend is "
+                f"{backend!r}; re-export with --platforms {backend} "
+                f"(portable artifacts can list several)"
+            )
         self = cls.__new__(cls)
         self.config = None
         self.model_name = manifest["model"]

@@ -134,6 +134,12 @@ def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
     _KERNEL_MESH = mesh
 
 
+def declared_kernel_mesh() -> Optional[Mesh]:
+    """The mesh as declared (unlike kernel_mesh(), which hides single-device
+    meshes) — for callers that need to save/restore the global."""
+    return _KERNEL_MESH
+
+
 def kernel_mesh() -> Optional[Mesh]:
     """The active multi-device kernel mesh, or None when kernels can run
     unwrapped (no mesh declared, or a single-device mesh)."""

@@ -72,22 +72,27 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
     batch (Pallas grids are shape-specialized) and a tpu-only platform
     list; the artifact is pinned to matched TPU deployments.
     """
+    prepared = _prepare(config, use_ema=use_ema, native=native,
+                        platforms=platforms)
+    return _export_one(prepared, batch=batch, platforms=platforms,
+                       native=native)
+
+
+def _prepare(config, *, use_ema: bool, native: bool,
+             platforms: Sequence[str]) -> dict:
+    """Everything batch-independent: validate, build the model/loader once,
+    resolve + bake the weights, and return the traceable forward. Shared by
+    single exports and batch-bucket exports (which lower the SAME prepared
+    forward once per bucket instead of re-reading the checkpoint)."""
     import jax
     import jax.numpy as jnp
-    from jax import export as jax_export
 
     from hvt import config as config_lib
-    from hvt import parallel
     from hvt.data import DevicePrep, build_loader
     from hvt.downstream import predict as predict_lib
     from hvt.models import build_model
 
     if native:
-        if not (batch and batch > 0):
-            raise ValueError(
-                "--native needs a static batch (--batch N): Mosaic grids "
-                "are shape-specialized, symbolic dims do not flow through"
-            )
         if len(tuple(platforms)) != 1 or tuple(platforms)[0] not in (
             "tpu", "axon",  # axon: a TPU behind an experimental PJRT plugin
         ):
@@ -99,8 +104,6 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
         # defaults are platform/mesh-conditional; an exported artifact
         # must not depend on where the *export* ran).
         knobs = {"use_pallas": True, "fuse": True}
-        # Single-device artifact: kernels run unwrapped, no shard_map.
-        parallel.set_kernel_mesh(None)
     else:
         # Portable lowering: no Mosaic custom calls in the artifact.
         knobs = {"use_pallas": False, "fuse": False}
@@ -136,36 +139,79 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
         # Lists are not a stable serialization surface; fix tuples.
         return tuple(out) if multitask else out
 
+    return {
+        "forward": forward,
+        "config": config,
+        "info": info,
+        "classes": classes,
+        "data_cfg": data_cfg,
+        "crop": crop,
+        "multitask": multitask,
+        "use_ema": use_ema,
+    }
+
+
+def _export_one(prepared: dict, *, batch: int, platforms: Sequence[str],
+                native: bool):
+    """Lower the prepared forward for one batch spec → (Exported, manifest)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from hvt import parallel
+
+    if native and not (batch and batch > 0):
+        raise ValueError(
+            "--native needs a static batch (--batch N): Mosaic grids "
+            "are shape-specialized, symbolic dims do not flow through"
+        )
+
+    crop = prepared["crop"]
     pinned = batch if (batch and batch > 0) else None
     if pinned is not None:
         spec_batch = pinned
     else:
         (spec_batch,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((spec_batch, crop, crop, 3), jnp.uint8)
+    forward = prepared["forward"]
     if native:
         from hvt import ops as ops_pkg
 
         # Export is lowering, not execution: force the Mosaic lowering even
         # from a non-TPU host (the dispatch sites otherwise pick the jnp /
-        # interpret path based on the process backend).
-        with ops_pkg.force_tpu_lowering():
-            exported = jax_export.export(
-                jax.jit(forward),
-                platforms=tuple(platforms),
-                disabled_checks=[
-                    jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
-                ],
-            )(spec)
+        # interpret path based on the process backend). The artifact is
+        # single-device, so the kernels must lower unwrapped (no shard_map):
+        # clear the process kernel-mesh global for the trace and restore it
+        # after — a live Trainer in this process keeps its mesh.
+        prev_mesh = parallel.declared_kernel_mesh()
+        parallel.set_kernel_mesh(None)
+        try:
+            with ops_pkg.force_tpu_lowering():
+                exported = jax_export.export(
+                    jax.jit(forward),
+                    platforms=tuple(platforms),
+                    disabled_checks=[
+                        jax_export.DisabledSafetyCheck.custom_call(
+                            "tpu_custom_call"
+                        )
+                    ],
+                )(spec)
+        finally:
+            parallel.set_kernel_mesh(prev_mesh)
     else:
         exported = jax_export.export(
             jax.jit(forward), platforms=tuple(platforms)
         )(spec)
 
+    info = prepared["info"]
+    data_cfg = prepared["data_cfg"]
+    multitask = prepared["multitask"]
+    config = prepared["config"]
     manifest = {
         "model": config.model.name,
         "multitask": multitask,
         "num_classes": list(info.num_classes) if multitask else info.num_classes,
-        "classes": classes,
+        "classes": prepared["classes"],
         "input": {
             "shape": [pinned if pinned is not None else "b", crop, crop, 3],
             "dtype": "uint8",
@@ -185,7 +231,7 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
         "output": "per-tier logits tuple (coarse->fine)" if multitask
                   else "logits",
         "compute_dtype": str(config.precision.compute_dtype),
-        "ema_weights": bool(use_ema),
+        "ema_weights": bool(prepared["use_ema"]),
         # native: Mosaic custom calls embedded — fastest on matched TPUs,
         # but pinned to deployments whose libtpu accepts the payloads;
         # false: plain StableHLO, portable to any XLA backend.
@@ -217,12 +263,15 @@ def export_artifact(config, output: str, *, use_ema: bool = True,
                 f"batch buckets must be distinct pinned sizes, got {batches}"
             )
         batches = sorted(batches)
+    # One model/loader/weight resolution shared by every bucket; only the
+    # lowering runs per batch spec.
+    prepared = _prepare(config, use_ema=use_ema, native=native,
+                        platforms=platforms)
     files = {}
     manifest = None
     for b in batches:
-        exported, manifest = build_exported(
-            config, use_ema=use_ema, batch=b, platforms=platforms,
-            native=native,
+        exported, manifest = _export_one(
+            prepared, batch=b, platforms=platforms, native=native
         )
         name = ARTIFACT_NAME if len(batches) == 1 else f"serving-b{b}.jaxexport"
         (out / name).write_bytes(exported.serialize())
@@ -307,6 +356,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     if args.native and platforms == ("tpu", "cpu"):
         platforms = ("tpu",)  # --native narrows the *default* platform list
     batches = [int(b) for b in str(args.batch).split(",") if b.strip()]
+    if not batches:
+        parser.error(f"invalid --batch {args.batch!r}: expected 0, N, or "
+                     f"a comma-separated bucket list like 1,8,64")
     out = export_artifact(
         config,
         args.output,

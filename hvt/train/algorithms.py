@@ -128,10 +128,11 @@ def parse_algorithms(config) -> AlgorithmSettings:
             # else host-side: consumed by hvt.data.loader.build_transform
         elif cls == "RandAugment":
             if bool(args.get("device", False)):
-                s.randaugment_device = (
-                    int(args.get("depth", 1)),
-                    int(args.get("severity", 9)),
-                )
+                depth = int(args.get("depth", 1))
+                # depth 0 must be a true no-op (like the host path's
+                # ra_depth=0) — not a truthy setting that still splits rng.
+                if depth > 0:
+                    s.randaugment_device = (depth, int(args.get("severity", 9)))
             # else host-side: consumed by hvt.data.loader.build_transform
         else:
             raise ValueError(f"unknown algorithm {cls!r}")

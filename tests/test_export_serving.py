@@ -467,3 +467,50 @@ def test_native_bucket_artifact(tmp_path):
         )
         assert exported.in_avals[0].shape[0] == int(b)
         assert "tpu_custom_call" in exported.mlir_module()
+
+
+def test_review_hardening(tmp_path):
+    """Self-review fixes: (a) a tpu-only (native) artifact refuses to serve
+    on a CPU backend with a clear message, (b) an empty --batch is a usage
+    error, (c) device-RA depth 0 parses to a true no-op, (d) native export
+    restores the process kernel-mesh global."""
+    import pytest
+
+    from hvt import parallel
+    from hvt.downstream import serve as serve_lib
+    from hvt.train.algorithms import parse_algorithms
+
+    cfg = _cfg(
+        tmp_path,
+        {"model": {"name": "swinv2_micro", "args": {"dtype": "float32"}}},
+    )
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "native", batch=4, platforms=("tpu",), native=True
+    )
+    with pytest.raises(ValueError, match="backend is 'cpu'"):
+        serve_lib.InferenceEngine.from_artifact(out)
+    from hvt.downstream import predict as predict_lib
+
+    cfg4 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 4}})
+    with pytest.raises(ValueError, match="backend is 'cpu'"):
+        next(iter(predict_lib.predict(cfg4, topk=2, artifact=str(out))))
+
+    with pytest.raises(SystemExit):
+        export_serving.main(
+            ["--machine", "/dev/null", "--output", str(tmp_path / "x"),
+             "--batch", ","]
+        )
+
+    ra0 = C.loads({"algorithms": [
+        {"cls": "RandAugment", "args": {"depth": 0, "device": True}}]})
+    assert parse_algorithms(ra0).randaugment_device is None
+
+    # the export trace must not clobber a live process's kernel mesh
+    mesh = parallel.cpu_mesh(1)
+    parallel.set_kernel_mesh(mesh)
+    try:
+        export_serving.build_exported(cfg, batch=2, platforms=("tpu",),
+                                      native=True)
+        assert parallel.declared_kernel_mesh() is mesh
+    finally:
+        parallel.set_kernel_mesh(None)
