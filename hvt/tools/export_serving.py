@@ -332,8 +332,68 @@ def load(path: str):
     return exported, manifest
 
 
+def verify_artifact(path: str) -> dict:
+    """Pre-deploy check: load every export in the artifact, confirm the
+    manifest/file agreement, and — when the running backend is among the
+    lowered platforms — execute each at its smallest shape with zero
+    pixels, checking finite logits of the declared arity. Returns the
+    summary dict (also printed by ``--verify``)."""
+    import jax
+    import numpy as np
+
+    buckets, manifest = load_all(path)
+    backend = jax.default_backend()
+    tpu_like = {"tpu", "axon"}
+    lowered_for = set(manifest.get("platforms", ()))
+    executable = backend in lowered_for or (
+        backend in tpu_like and bool(lowered_for & tpu_like)
+    )
+    crop = manifest["preprocessing"]["crop_size"]
+    checked = []
+    for pinned, exported in sorted(buckets.items()):
+        shape_batch = exported.in_avals[0].shape[0]
+        if pinned:  # pinned export must declare its own batch
+            assert shape_batch == pinned, (shape_batch, pinned)
+        if executable:
+            b = pinned if pinned else 1
+            out = exported.call(np.zeros((b, crop, crop, 3), np.uint8))
+            tiers = out if isinstance(out, tuple) else (out,)
+            want = (len(manifest["num_classes"])
+                    if manifest["multitask"] else 1)
+            assert len(tiers) == want, (len(tiers), want)
+            assert all(
+                np.isfinite(np.asarray(t, dtype=np.float32)).all()
+                for t in tiers
+            ), "non-finite logits"
+        checked.append(pinned if pinned else "symbolic")
+    return {
+        "artifact": str(path),
+        "model": manifest["model"],
+        "native": manifest.get("native", False),
+        "platforms": sorted(lowered_for),
+        "buckets": checked,
+        "executed": bool(executable),
+        "backend": backend,
+        "status": "ok" if executable else "ok (loaded; backend "
+                  f"{backend!r} not among lowered platforms, not executed)",
+    }
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    import sys
+
     from hvt import config as config_lib
+
+    # --verify mode: no config tree needed, just the artifact directory.
+    argv_list = list(sys.argv[1:] if argv is None else argv)
+    if argv_list[:1] == ["--verify"]:
+        vparser = argparse.ArgumentParser(
+            description="validate a serving artifact before deploy")
+        vparser.add_argument("--verify", required=True,
+                             help="artifact directory to check")
+        vargs = vparser.parse_args(argv_list)
+        print(json.dumps(verify_artifact(vargs.verify)))
+        return
 
     parser = argparse.ArgumentParser(description=__doc__.split("\n\n")[0])
     config_lib.add_exp_args(parser)

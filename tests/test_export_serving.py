@@ -514,3 +514,40 @@ def test_review_hardening(tmp_path):
         assert parallel.declared_kernel_mesh() is mesh
     finally:
         parallel.set_kernel_mesh(None)
+
+
+def test_verify_artifact(tmp_path):
+    """--verify executes every bucket on a compatible backend and only
+    loads (without executing) artifacts lowered for other platforms."""
+    cfg = _cfg(tmp_path)
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "v", batch=[1, 4], platforms=("cpu",)
+    )
+    summary = export_serving.verify_artifact(out)
+    assert summary["status"] == "ok"
+    assert summary["buckets"] == [1, 4] and summary["executed"]
+
+    sym = export_serving.export_artifact(
+        cfg, tmp_path / "v-sym", batch=0, platforms=("cpu",)
+    )
+    assert export_serving.verify_artifact(sym)["buckets"] == ["symbolic"]
+
+    native = export_serving.export_artifact(
+        _cfg(tmp_path, {"model": {"name": "swinv2_micro",
+                                  "args": {"dtype": "float32"}}}),
+        tmp_path / "v-native", batch=2, platforms=("tpu",), native=True,
+    )
+    s = export_serving.verify_artifact(native)
+    assert not s["executed"] and s["status"].startswith("ok (loaded")
+
+    # CLI form prints the JSON summary
+    import io
+    import sys as sys_mod
+    buf = io.StringIO()
+    real = sys_mod.stdout
+    sys_mod.stdout = buf
+    try:
+        export_serving.main(["--verify", str(out)])
+    finally:
+        sys_mod.stdout = real
+    assert json.loads(buf.getvalue())["status"] == "ok"
