@@ -341,3 +341,63 @@ def test_hierarchical_engine_rejects_bad_class_names(tmp_path, monkeypatch):
     monkeypatch.setattr(data_lib, "build_loader", renamed_loader)
     with pytest.raises(ValueError, match="taxonomy-formatted"):
         serve_lib.InferenceEngine(cfg, hierarchical=True)
+
+
+def test_bucket_engine_concurrent_requests(tmp_path):
+    """16 threads hammer a bucket-artifact engine: every request succeeds
+    and decodes to a valid record — shakes races in the smallest-fit
+    bucket dispatch (single batcher thread, per-request events)."""
+    import io
+    import threading
+
+    import numpy as np
+    from PIL import Image
+
+    from hvt import config as C
+    from hvt.downstream import serve as serve_lib
+    from hvt.tools import export_serving
+
+    cfg = C.loads({
+        "run_name": "bucket-stress",
+        "seed": 0,
+        "model": {"name": "resnet_micro", "args": {"dtype": "float32"}},
+        "machine": {"save_root": str(tmp_path)},
+        "precision": {"compute_dtype": "float32"},
+        "eval_dataset": {"source": "synthetic", "synthetic_num_classes": 4,
+                         "synthetic_num_samples": 8, "crop_size": 32,
+                         "global_batch_size": 8},
+        "loader": {"num_workers": 1, "prefetch_batches": 1},
+    })
+    art = export_serving.export_artifact(
+        cfg, tmp_path / "art", batch=[1, 4], platforms=("cpu",)
+    )
+    engine = serve_lib.InferenceEngine.from_artifact(art, topk=2)
+    rng = np.random.default_rng(0)
+    payloads = []
+    for _ in range(4):
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(buf, format="PNG")
+        payloads.append(buf.getvalue())
+
+    results: list = [None] * 16
+    def hit(i):
+        results[i] = engine.predict_image(payloads[i % 4], topk=2)
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None for r in results)
+        for r in results:
+            assert len(r["class_ids"]) == 2
+            assert all(0 <= p <= 1 for p in r["probs"])
+        # identical payloads must decode identically regardless of which
+        # bucket dispatched them
+        for i in range(4, 16):
+            assert results[i]["class_ids"] == results[i % 4]["class_ids"]
+    finally:
+        engine.close()
