@@ -20,6 +20,13 @@ serve:
 loader-bench:
 	python -m hvt.tools.loader_bench --threads 1,2,4
 
+export-artifact:
+	python -m hvt.tools.export_serving --machine configs/machines/local.yaml \
+		--exp configs/pretrain/debug_synthetic.yaml --output /tmp/hvt-artifact
+
+verify-artifact:
+	python -m hvt.tools.export_serving --verify /tmp/hvt-artifact
+
 fmt:
 	@command -v ruff >/dev/null 2>&1 && ruff format hvt tests *.py || echo "ruff not installed; skipping format"
 
