@@ -46,7 +46,7 @@ def test_fixed_parity_configs_use_ghost_bn():
 
 
 def test_recipe_stack_composes_with_pretrain():
-    for recipe in ("mild", "medium", "hot"):
+    for recipe in ("mild", "medium", "hot", "hot_tpu"):
         cfg = C.load(
             machine="configs/machines/local.yaml",
             exps=[
@@ -58,10 +58,14 @@ def test_recipe_stack_composes_with_pretrain():
         settings = parse_algorithms(cfg)
         assert cfg.train_dataset.crop_size == 176
         assert cfg.model.loss_name == "binary_cross_entropy"
-        if recipe == "hot":
+        if recipe.startswith("hot"):
             assert settings.sam_rho == 0.5
             assert settings.stochastic_depth_rate == 0.1
             assert settings.mixup_alpha == 0.2
+        if recipe == "hot_tpu":
+            # identical to hot except the augmentations run in-step
+            assert settings.randaugment_device == (1, 9)
+            assert settings.colout_device == (0.05, 0.05)
 
 
 def test_bce_objective_matches_torch():
