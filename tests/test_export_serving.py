@@ -259,12 +259,18 @@ def test_serve_from_artifact(tmp_path):
         server.shutdown()
         engine.close()
 
-    # A batch-pinned artifact refuses a mismatched server batch, clearly.
+    # A batch-pinned artifact refuses a mismatched server batch, clearly —
+    # and the default batch=0 auto-adopts the pinned shape.
     pinned = export_serving.export_artifact(
         cfg, tmp_path / "artifact-pinned", batch=4, platforms=("cpu",)
     )
     with pytest.raises(ValueError, match="pinned to 4"):
         serve_lib.InferenceEngine.from_artifact(pinned, batch=2)
+    auto = serve_lib.InferenceEngine.from_artifact(pinned, topk=2)
+    try:
+        assert auto.batch == 4
+    finally:
+        auto.close()
 
 
 def test_export_uses_ema_weights_from_checkpoint(tmp_path):
