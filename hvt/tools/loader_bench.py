@@ -46,18 +46,32 @@ def make_fixture(root: str, num_images: int = 64, size=(500, 375)) -> str:
 
 def bench_pipeline(
     root: str, batch_size: int, batches: int, threads: int,
-    use_native: bool, is_train: bool,
+    use_native: bool, is_train: bool, augment: str = "none",
 ) -> dict:
     from hvt import config as config_lib
     from hvt.data import loader as loader_lib
     from hvt.data import native as native_lib
 
+    # The hot-recipe augmentation pair, host-side or device-side (device
+    # mode delivers bare crops — the A/B behind BENCH.md "device-side
+    # RandAugment": the host path's PIL post pass vs the decode ceiling).
+    algorithms = []
+    if augment != "none":
+        device = augment == "device"
+        algorithms = [
+            {"cls": "RandAugment",
+             "args": {"depth": 1, "severity": 9, "device": device}},
+            {"cls": "ColOut",
+             "args": {"p_row": 0.05, "p_col": 0.05, "device": device}},
+        ]
     cfg = config_lib.loads({
         "train_dataset": {"path": "bench", "global_batch_size": batch_size,
-                          "drop_last": True, "shuffle": False},
+                          "drop_last": True, "shuffle": False,
+                          "crop_size": 224},
         "eval_dataset": {"path": "bench", "global_batch_size": batch_size},
         "machine": {"datasets": {"bench": root}},
         "loader": {"num_workers": threads, "prefetch_batches": 0},
+        "algorithms": algorithms,
     })
     ldr, _ = loader_lib.build_loader(
         cfg, is_train=is_train, process_index=0, process_count=1
@@ -83,6 +97,7 @@ def bench_pipeline(
     return {
         "path": "native" if use_native else "pil",
         "mode": "train" if is_train else "eval",
+        "augment": augment,
         "threads": threads,
         "images": n,
         "seconds": round(dt, 3),
@@ -100,6 +115,10 @@ def main():
     parser.add_argument("--eval", action="store_true",
                         help="eval transforms (resize+center-crop) instead of "
                              "RandomResizedCrop+flip")
+    parser.add_argument("--augment", default="none",
+                        choices=("none", "host", "device"),
+                        help="hot-recipe RandAugment+ColOut: host = PIL post "
+                             "pass, device = bare crops (policy runs in-step)")
     args = parser.parse_args()
 
     root = args.root or make_fixture("/tmp/hvt-loader-bench")
@@ -108,7 +127,7 @@ def main():
         for use_native in (False, True):
             res = bench_pipeline(
                 root, args.batch_size, args.batches, threads,
-                use_native, is_train,
+                use_native, is_train, augment=args.augment,
             )
             print(json.dumps(res), flush=True)
 
