@@ -272,3 +272,24 @@ def test_swinblock_fuse_flag_parity():
         # backward reorders bf16 reductions slightly differently (worst
         # observed rel err 0.055 on a near-zero bias grad).
         _assert_close(b, a, 0.06, f"swinblock grad {name}")
+
+
+def test_force_tpu_lowering_context_restores():
+    """force_tpu_lowering: nested and exception-unwound uses restore the
+    prior state (export code relies on this to not leak into a session)."""
+    import pytest
+
+    from hvt import ops as ops_pkg
+
+    assert not ops_pkg.tpu_lowering_forced()
+    with ops_pkg.force_tpu_lowering():
+        assert ops_pkg.tpu_lowering_forced()
+        with ops_pkg.force_tpu_lowering():  # nesting is idempotent
+            assert ops_pkg.tpu_lowering_forced()
+        assert ops_pkg.tpu_lowering_forced()
+    assert not ops_pkg.tpu_lowering_forced()
+
+    with pytest.raises(RuntimeError):
+        with ops_pkg.force_tpu_lowering():
+            raise RuntimeError("boom")
+    assert not ops_pkg.tpu_lowering_forced()
