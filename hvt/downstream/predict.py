@@ -199,6 +199,7 @@ def predict(
         taxonomy_lookups(classes, info.num_classes) if hierarchical else None
     )
 
+    pad_to = None
     if artifact is not None:
         from hvt.tools import export_serving
 
@@ -225,6 +226,12 @@ def predict(
             exported = buckets[0]
         elif gbs in buckets:
             exported = buckets[gbs]
+        elif len(buckets) > 1 and gbs < max(buckets):
+            # Smallest bucket that fits — rows beyond the loader batch are
+            # zero-padded and never yielded (same contract as the loader's
+            # own masked last-batch padding).
+            pad_to = min(b for b in buckets if b >= gbs)
+            exported = buckets[pad_to]
         elif len(buckets) == 1:
             (pinned,) = buckets
             raise ValueError(
@@ -234,8 +241,9 @@ def predict(
             )
         else:
             raise ValueError(
-                f"eval_dataset.global_batch_size={gbs} is not one of the "
-                f"artifact's batch buckets {sorted(buckets)}"
+                f"eval_dataset.global_batch_size={gbs} exceeds the "
+                f"artifact's largest batch bucket ({sorted(buckets)}); "
+                f"lower it or re-export with a bigger bucket"
             )
         params, batch_stats = None, {}
         step = build_topk_step_from_exported(exported, lookups, k)
@@ -259,7 +267,17 @@ def predict(
     for batch_idx, batch in enumerate(loader.epoch(0)):
         if limit_batches is not None and batch_idx >= limit_batches:
             break
-        images = jax.device_put(batch.images, sharded)
+        if pad_to is not None:
+            pad = np.zeros(
+                (pad_to - batch.images.shape[0], *batch.images.shape[1:]),
+                batch.images.dtype,
+            )
+            # Padded rows sit beyond every loader row index, so the
+            # mask-gated yield below never reads them; placement is left
+            # to jit (a pinned-bucket batch need not divide the mesh).
+            images = jnp.asarray(np.concatenate([batch.images, pad], axis=0))
+        else:
+            images = jax.device_put(batch.images, sharded)
         top_i, top_p, tiers, n_allowed = step(params, batch_stats, images)
         top_i, top_p = np.asarray(top_i), np.asarray(top_p)
         tiers = None if tiers is None else np.asarray(tiers)

@@ -445,10 +445,19 @@ def test_batch_bucket_artifact(tmp_path):
     cfg4 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 4}})
     recs = list(predict_lib.predict(cfg4, topk=2, artifact=str(out)))
     assert len(recs) == 8
+    # a loader batch between buckets pads up to the smallest fit (3 → 4)
     cfg3 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 3,
                                             "synthetic_num_samples": 6}})
-    with pytest.raises(ValueError, match=r"batch buckets \[1, 4\]"):
-        next(iter(predict_lib.predict(cfg3, topk=2, artifact=str(out))))
+    recs3 = list(predict_lib.predict(cfg3, topk=2, artifact=str(out)))
+    assert len(recs3) == 6
+    # same images → same records as the exact-bucket run, order-preserved
+    for a, b in zip(recs3, recs):
+        assert a["class_ids"] == b["class_ids"]
+    # beyond the largest bucket there is nothing to pad into
+    cfg9 = _cfg(tmp_path, {"eval_dataset": {"global_batch_size": 9,
+                                            "synthetic_num_samples": 9}})
+    with pytest.raises(ValueError, match="largest batch bucket"):
+        next(iter(predict_lib.predict(cfg9, topk=2, artifact=str(out))))
 
 
 def test_native_bucket_artifact(tmp_path):
