@@ -93,6 +93,8 @@ def main():
     )
     mode = "eval" if args.eval else "train"
     print(f"# {args.model} @ {args.crop}px — {mode} kernel routing")
+    print("# serving artifacts: portable export forces every route to xla; "
+          "--native keeps the eval routing below (run with --eval)")
     header = (
         f"{'stage':>5} {'blocks':>6} {'res':>4} {'win':>4} {'C':>5} "
         f"{'heads':>5} {'attn route':>14} {'mlp route':>11}  fits(attn/mlp)"
