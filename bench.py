@@ -214,12 +214,14 @@ def measure_eval(model_name: str, model_args: dict, batch_per_chip: int) -> list
 
 
 def measure_artifact(model_name: str, batch_per_chip: int,
-                     native: bool = False) -> list[float]:
+                     native: bool = False,
+                     quantize: "str | None" = None) -> list[float]:
     """Serving-artifact throughput (jax.export StableHLO, weights baked in —
     hvt/tools/export_serving.py). Measures the deployed-serving path rather
     than the live eval step. ``native`` measures the matched-TPU artifact
     (fused Pallas kernels embedded, static batch) instead of the portable
-    plain-XLA one."""
+    plain-XLA one; ``quantize="int8"`` measures the w8a8 dynamic-PTQ
+    artifact (hvt/ops/quant.py — int8 rides the MXU at 2x the bf16 rate)."""
     from hvt import config as config_lib
     from hvt.tools import export_serving
 
@@ -240,6 +242,7 @@ def measure_artifact(model_name: str, batch_per_chip: int,
         batch=(batch_per_chip * jax.device_count()) if native else 0,
         platforms=(platform,),
         native=native,
+        quantize=quantize,
     )
     call = jax.jit(lambda x: exported.call(x))
     n_chips = jax.device_count()
@@ -383,6 +386,17 @@ def main():
         record["workloads"]["swinv2_tiny_artifact_native"] = _summarize(
             measure_artifact("swinv2_tiny", 64, native=True), None, 64
         )
+    # Opt-in int8-PTQ artifact workloads (export_serving --quantize int8):
+    # the A/B against the fp artifacts above — same export path, int8
+    # Conv/Dense bodies.
+    if os.environ.get("HVT_BENCH_ARTIFACT_INT8") == "1":
+        record["workloads"]["resnet50_artifact_int8"] = _summarize(
+            measure_artifact("resnet50", 256, quantize="int8"), None, 256
+        )
+        if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
+            record["workloads"]["swinv2_tiny_artifact_int8"] = _summarize(
+                measure_artifact("swinv2_tiny", 64, quantize="int8"), None, 64
+            )
     print(json.dumps(record))
 
 

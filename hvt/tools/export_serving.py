@@ -30,6 +30,12 @@ Design notes (TPU semantics):
   (especially ``--native``) artifacts: the HTTP server dispatches each
   coalesced request group at the smallest bucket that fits, so single
   requests pay a batch-1 forward while bursts ride the big bucket.
+* **int8 quantization** (``--quantize int8``): w8a8 dynamic PTQ via
+  hvt/ops/quant.py — int8 kernels baked in as constants, per-tensor
+  activation scales computed in-graph, classifier head kept fp. Plain HLO
+  (no custom calls), so it composes with symbolic batch, buckets, and
+  multi-platform lowering; on v5e the MXU runs int8 at 2x its bf16 rate
+  and the bandwidth-bound eval forward halves its activation bytes.
 * **Multi-platform**: ``--platforms tpu,cpu`` lowers once per platform
   into one artifact; the embedded module dispatches on the backend it
   lands on, so the same file serves TPU pods and CPU canaries.
@@ -38,7 +44,7 @@ Usage:
 
     python -m hvt.tools.export_serving --machine m.yaml --exp e.yaml ... \
         --output dir/ [--batch 0] [--platforms tpu,cpu] [--raw-weights] \
-        [--native]
+        [--native] [--quantize int8]
 
 Writes ``<output>/serving.jaxexport`` (serialized ``jax.export.Exported``)
 and ``<output>/manifest.json`` (class names, input spec, preprocessing
@@ -59,7 +65,7 @@ ARTIFACT_NAME = "serving.jaxexport"
 
 def build_exported(config, *, use_ema: bool = True, batch: int = 0,
                    platforms: Sequence[str] = ("tpu", "cpu"),
-                   native: bool = False):
+                   native: bool = False, quantize: Optional[str] = None):
     """→ (jax.export.Exported, manifest dict) for the eval forward.
 
     ``batch == 0`` exports a symbolic batch dimension; ``batch > 0`` pins
@@ -71,15 +77,20 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
     eval step's lowering) instead of forcing plain XLA. Requires a static
     batch (Pallas grids are shape-specialized) and a tpu-only platform
     list; the artifact is pinned to matched TPU deployments.
+
+    ``quantize="int8"`` rewrites every Conv/Dense to w8a8 dynamic int8
+    (hvt/ops/quant.py) — plain HLO, so the artifact stays as portable as
+    the default lowering. Mutually exclusive with ``native`` (the fused
+    Mosaic kernels consume full-precision params directly).
     """
     prepared = _prepare(config, use_ema=use_ema, native=native,
-                        platforms=platforms)
+                        platforms=platforms, quantize=quantize)
     return _export_one(prepared, batch=batch, platforms=platforms,
                        native=native)
 
 
 def _prepare(config, *, use_ema: bool, native: bool,
-             platforms: Sequence[str]) -> dict:
+             platforms: Sequence[str], quantize: Optional[str] = None) -> dict:
     """Everything batch-independent: validate, build the model/loader once,
     resolve + bake the weights, and return the traceable forward. Shared by
     single exports and batch-bucket exports (which lower the SAME prepared
@@ -92,6 +103,14 @@ def _prepare(config, *, use_ema: bool, native: bool,
     from hvt.downstream import predict as predict_lib
     from hvt.models import build_model
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown --quantize {quantize!r}: expected int8")
+    if quantize and native:
+        raise ValueError(
+            "--quantize is incompatible with --native: the fused Mosaic "
+            "kernels consume full-precision params directly, so the int8 "
+            "Conv/Dense rewrite would silently not apply to them"
+        )
     if native:
         if len(tuple(platforms)) != 1 or tuple(platforms)[0] not in (
             "tpu", "axon",  # axon: a TPU behind an experimental PJRT plugin
@@ -139,7 +158,13 @@ def _prepare(config, *, use_ema: bool, native: bool,
         # Lists are not a stable serialization surface; fix tuples.
         return tuple(out) if multitask else out
 
+    if quantize == "int8":
+        from hvt.ops import quant
+
+        forward = quant.wrap_int8(forward)
+
     return {
+        "quantize": quantize,
         "forward": forward,
         "config": config,
         "info": info,
@@ -236,6 +261,10 @@ def _export_one(prepared: dict, *, batch: int, platforms: Sequence[str],
         # but pinned to deployments whose libtpu accepts the payloads;
         # false: plain StableHLO, portable to any XLA backend.
         "native": bool(native),
+        # int8: w8a8 dynamic PTQ (hvt/ops/quant.py) — int8 kernels baked
+        # in, per-tensor dynamic activation scales in-graph; still plain
+        # HLO, as portable as an unquantized artifact.
+        "quantization": prepared.get("quantize"),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
@@ -246,7 +275,8 @@ def _export_one(prepared: dict, *, batch: int, platforms: Sequence[str],
 def export_artifact(config, output: str, *, use_ema: bool = True,
                     batch: "int | Sequence[int]" = 0,
                     platforms: Sequence[str] = ("tpu", "cpu"),
-                    native: bool = False) -> pathlib.Path:
+                    native: bool = False,
+                    quantize: Optional[str] = None) -> pathlib.Path:
     """Build and write the artifact directory; returns its path.
 
     ``batch`` may be a list of pinned sizes (batch buckets): the directory
@@ -266,7 +296,7 @@ def export_artifact(config, output: str, *, use_ema: bool = True,
     # One model/loader/weight resolution shared by every bucket; only the
     # lowering runs per batch spec.
     prepared = _prepare(config, use_ema=use_ema, native=native,
-                        platforms=platforms)
+                        platforms=platforms, quantize=quantize)
     files = {}
     manifest = None
     for b in batches:
@@ -370,6 +400,7 @@ def verify_artifact(path: str) -> dict:
         "artifact": str(path),
         "model": manifest["model"],
         "native": manifest.get("native", False),
+        "quantization": manifest.get("quantization"),
         "platforms": sorted(lowered_for),
         "buckets": checked,
         "executed": bool(executable),
@@ -410,6 +441,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="keep the fused Pallas kernels in the artifact "
                              "(matched-TPU deployments; needs --batch N and "
                              "--platforms tpu)")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="post-training quantization: int8 = w8a8 "
+                             "dynamic (per-channel weights, per-tensor "
+                             "activations; head kept fp); incompatible "
+                             "with --native")
     args = parser.parse_args(argv)
     config = config_lib.load(machine=args.machine, exps=args.exp)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
@@ -426,6 +462,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         batch=batches if len(batches) > 1 else batches[0],
         platforms=platforms,
         native=args.native,
+        quantize=args.quantize,
     )
     manifest = json.loads((out / MANIFEST_NAME).read_text())
     names = list(manifest.get("files", {ARTIFACT_NAME: ARTIFACT_NAME}).values())
@@ -436,6 +473,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         "classes": len(manifest["classes"]),
         "platforms": manifest["platforms"],
         "native": manifest["native"],
+        "quantization": manifest.get("quantization"),
         "batch_buckets": manifest.get("batch_buckets"),
         "bytes": sum((out / n).stat().st_size for n in names),
     }))

@@ -1,0 +1,225 @@
+"""int8 PTQ serving path (hvt/ops/quant.py + export_serving --quantize).
+
+Contract under test: (a) the int8 graph computes exactly the math the
+float fake-quant simulation describes, (b) quantized logits track full
+precision closely on both model families, (c) the classifier head and
+non-layer matmuls stay full precision, (d) the artifact path composes —
+quantized exports are plain portable HLO with the manifest marking the
+scheme, and (e) --native + --quantize is rejected up front.
+"""
+
+import json
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hvt import config as C
+from hvt.ops import quant
+from hvt.tools import export_serving
+
+
+def _cfg(tmp_path, extra=None):
+    layers = [
+        {
+            "run_name": "quant-test",
+            "seed": 0,
+            "model": {"name": "resnet_micro", "args": {"dtype": "float32"}},
+            "machine": {"save_root": str(tmp_path)},
+            "precision": {"compute_dtype": "float32"},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    ]
+    if extra:
+        layers.append(extra)
+    return C.loads(*layers)
+
+
+def _forward(cfg, num_classes=4):
+    from hvt.data import DevicePrep
+    from hvt.models import build_model
+
+    prep = DevicePrep.from_config(cfg.eval_dataset, cfg.precision)
+    model = build_model(cfg, num_classes)
+    variables = model.init(
+        jax.random.key(cfg.seed),
+        prep.normalize(jnp.zeros((2, 32, 32, 3), jnp.uint8)),
+        train=False,
+    )
+
+    def forward(images):
+        return model.apply(variables, prep.normalize(images), train=False)
+
+    return forward
+
+
+def test_quantize_weight_roundtrip():
+    """Per-output-channel symmetric absmax: int8 values, per-channel scale,
+    dequantization error bounded by scale/2 elementwise."""
+    w = jax.random.normal(jax.random.key(0), (3, 3, 8, 16)) * jnp.arange(
+        1, 17
+    )  # channels at very different magnitudes
+    q, scale = quant.quantize_weight(w, reduce_axes=(0, 1, 2))
+    assert q.dtype == jnp.int8 and scale.shape == (1, 1, 1, 16)
+    deq = q.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= np.asarray(scale) / 2 + 1e-6).all()
+    # absmax hits ±127 exactly in every channel
+    assert (np.abs(np.asarray(q)).max(axis=(0, 1, 2)) == 127).all()
+
+    xq, sx = quant.quantize_act(jnp.linspace(-3.0, 5.0, 64))
+    assert xq.dtype == jnp.int8 and np.asarray(xq).max() == 127
+    assert sx == pytest.approx(5.0 / 127.0)
+
+
+def test_int8_graph_matches_float_simulation(tmp_path):
+    """The int8 lowering is bit-equivalent to the float fake-quant oracle
+    (int8 products summed over the micro model's fan-ins are exact in f32)."""
+    fwd = _forward(_cfg(tmp_path))
+    imgs = jax.random.randint(jax.random.key(1), (4, 32, 32, 3), 0, 256,
+                              jnp.uint8)
+    got = np.asarray(jax.jit(quant.wrap_int8(fwd))(imgs))
+    oracle = np.asarray(jax.jit(quant.wrap_int8(fwd, simulate=True))(imgs))
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_int8_tracks_full_precision_and_spares_head(tmp_path):
+    """Quantized logits stay close to fp (random-init micro net), and the
+    lowered module shows int8 convs but a full-precision head dense."""
+    fwd = _forward(_cfg(tmp_path))
+    imgs = jax.random.randint(jax.random.key(2), (4, 32, 32, 3), 0, 256,
+                              jnp.uint8)
+    fp = np.asarray(fwd(imgs))
+    q8 = np.asarray(jax.jit(quant.wrap_int8(fwd))(imgs))
+    cos = (fp * q8).sum(1) / (
+        np.linalg.norm(fp, axis=1) * np.linalg.norm(q8, axis=1)
+    )
+    assert (cos > 0.999).all()
+    assert (fp.argmax(1) == q8.argmax(1)).all()
+
+    mlir = jax.jit(quant.wrap_int8(fwd)).lower(imgs).as_text()
+    conv_lines = [l for l in mlir.splitlines() if "stablehlo.convolution" in l]
+    assert conv_lines and all("i8" in l for l in conv_lines)
+    # resnet_micro's only Dense is the head — skipped by default, so no
+    # int8 dot_general anywhere.
+    dot_lines = [l for l in mlir.splitlines() if "stablehlo.dot_general" in l]
+    assert dot_lines and not any(re.search(r"xi8>", l) for l in dot_lines)
+
+    # ... and with the skip removed the head quantizes too.
+    mlir_all = jax.jit(quant.wrap_int8(fwd, skip=())).lower(imgs).as_text()
+    assert any(
+        re.search(r"xi8>", l)
+        for l in mlir_all.splitlines()
+        if "stablehlo.dot_general" in l
+    )
+
+
+def test_int8_artifact_roundtrip(tmp_path):
+    """--quantize int8 exports a symbolic-batch artifact that (a) stays
+    Mosaic-free, (b) carries int8 tensors, (c) marks the manifest, and
+    (d) reproduces the in-process quantized forward exactly."""
+    cfg = _cfg(tmp_path)
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "artifact", batch=0, platforms=("cpu",),
+        quantize="int8",
+    )
+    exported, manifest = export_serving.load(out)
+    assert manifest["quantization"] == "int8"
+    mlir = exported.mlir_module()
+    assert "mosaic" not in mlir.lower() and "tpu.custom_call" not in mlir
+    assert re.search(r"tensor<[0-9x?]*xi8>", mlir)
+
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (3, 32, 32, 3), dtype=np.uint8
+    )
+    want = np.asarray(
+        jax.jit(quant.wrap_int8(_forward(cfg)))(jnp.asarray(imgs))
+    )
+    got = np.asarray(exported.call(imgs))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    summary = export_serving.verify_artifact(out)
+    assert summary["status"] == "ok" and summary["quantization"] == "int8"
+
+
+def test_swin_int8_artifact(tmp_path):
+    """SwinV2's Dense-heavy body quantizes (int8 dot_generals present) and
+    the quantized artifact executes with finite logits near fp."""
+    cfg = _cfg(
+        tmp_path,
+        {"model": {"name": "swinv2_micro", "args": {"dtype": "float32"}}},
+    )
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "sw8", batch=2, platforms=("cpu",), quantize="int8"
+    )
+    exported, manifest = export_serving.load(out)
+    assert manifest["quantization"] == "int8"
+    mlir = exported.mlir_module()
+    assert any(
+        re.search(r"xi8>", l)
+        for l in mlir.splitlines()
+        if "stablehlo.dot_general" in l
+    )
+
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8
+    )
+    q8 = np.asarray(exported.call(imgs))
+    fp = np.asarray(_forward(cfg)(jnp.asarray(imgs)))
+    assert np.isfinite(q8).all()
+    cos = (fp * q8).sum(1) / (
+        np.linalg.norm(fp, axis=1) * np.linalg.norm(q8, axis=1)
+    )
+    assert (cos > 0.99).all()
+
+
+def test_quantize_native_incompatible(tmp_path):
+    cfg = _cfg(tmp_path)
+    with pytest.raises(ValueError, match="incompatible with --native"):
+        export_serving.build_exported(
+            cfg, batch=4, platforms=("tpu",), native=True, quantize="int8"
+        )
+    with pytest.raises(ValueError, match="expected int8"):
+        export_serving.build_exported(cfg, batch=4, platforms=("cpu",),
+                                      quantize="int4")
+
+
+def test_cli_quantize_flag(tmp_path, monkeypatch):
+    import io
+    import sys
+
+    cfg_yaml = tmp_path / "exp.yaml"
+    cfg_yaml.write_text(json.dumps({
+        "run_name": "quant-cli",
+        "model": {"name": "resnet_micro", "args": {"dtype": "float32"}},
+        "machine": {"save_root": str(tmp_path)},
+        "precision": {"compute_dtype": "float32"},
+        "eval_dataset": {
+            "source": "synthetic", "synthetic_num_classes": 3,
+            "synthetic_num_samples": 4, "crop_size": 32,
+            "global_batch_size": 4,
+        },
+        "loader": {"num_workers": 1, "prefetch_batches": 1},
+    }))
+    machine_yaml = tmp_path / "machine.yaml"
+    machine_yaml.write_text(json.dumps({"machine": {"save_root": str(tmp_path)}}))
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    export_serving.main(
+        ["--machine", str(machine_yaml), "--exp", str(cfg_yaml),
+         "--output", str(tmp_path / "art"),
+         "--batch", "1", "--platforms", "cpu", "--quantize", "int8"]
+    )
+    summary = json.loads(buf.getvalue())
+    assert summary["quantization"] == "int8"
+    manifest = json.loads(
+        (tmp_path / "art" / export_serving.MANIFEST_NAME).read_text()
+    )
+    assert manifest["quantization"] == "int8"
