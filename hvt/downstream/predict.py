@@ -117,10 +117,24 @@ def _decode_topk(out, lookups, k):
     return top_i, top_p, tiers, n_allowed
 
 
-def build_topk_step(model, prep, lookups, k):
+def build_topk_step(model, prep, lookups, k, quantize=None):
     """→ jitted ``(params, batch_stats, images) → (top_i, top_p, tiers,
     n_allowed)``. Shared by batch inference (predict) and the HTTP server
-    (hvt/downstream/serve.py) so the decode semantics live in one place."""
+    (hvt/downstream/serve.py) so the decode semantics live in one place.
+
+    ``quantize="int8"`` runs the forward through the w8a8 dynamic-PTQ
+    rewrite (hvt/ops/quant.py) — the live-path twin of
+    ``export_serving --quantize int8``, so accuracy A/Bs need no export."""
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unknown quantize {quantize!r}: expected int8")
+
+    def apply_fn(variables, x):
+        return model.apply(variables, x, train=False)
+
+    if quantize == "int8":
+        from hvt.ops import quant
+
+        apply_fn = quant.wrap_int8(apply_fn)
 
     @jax.jit
     def step(params, batch_stats, images):
@@ -128,7 +142,7 @@ def build_topk_step(model, prep, lookups, k):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, x, train=False)
+        out = apply_fn(variables, x)
         return _decode_topk(out, lookups, k)
 
     return step
@@ -175,6 +189,7 @@ def predict(
     hierarchical: bool = False,
     limit_batches: Optional[int] = None,
     artifact: Optional[str] = None,
+    quantize: Optional[str] = None,
 ):
     """Run inference over the eval split; yields one dict per image.
 
@@ -185,7 +200,16 @@ def predict(
 
     ``artifact``: run the forward from a StableHLO serving export
     (hvt/tools/export_serving.py) instead of building the model — no
-    checkpoint or weights resolution; the config supplies only the dataset."""
+    checkpoint or weights resolution; the config supplies only the dataset.
+
+    ``quantize="int8"``: live-model runs only — the w8a8 dynamic-PTQ
+    forward (hvt/ops/quant.py), for accuracy A/Bs against full precision
+    without an export; an artifact's quantization was fixed at export."""
+    if artifact is not None and quantize is not None:
+        raise ValueError(
+            "quantize has no effect with an artifact: quantization was "
+            "fixed at export time (export with --quantize int8 instead)"
+        )
     loader, info = build_loader(config, is_train=False)
     data_cfg = config.eval_dataset
     mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
@@ -260,7 +284,7 @@ def predict(
         params, batch_stats = _resolve_weights(config, variables, use_ema)
         params = jax.device_put(params, parallel.replicated(mesh))
         batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
-        step = build_topk_step(model, prep, lookups, k)
+        step = build_topk_step(model, prep, lookups, k, quantize=quantize)
 
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)

@@ -42,7 +42,7 @@ class InferenceEngine:
 
     def __init__(self, config: config_lib.Config, *, batch: int = 1,
                  use_ema: bool = True, hierarchical: bool = False,
-                 topk: int = 5):
+                 topk: int = 5, quantize: "str | None" = None):
         import jax
         import jax.numpy as jnp
 
@@ -93,7 +93,9 @@ class InferenceEngine:
 
         k = min(topk, info.fine_grained_num_classes)
         self._steps = [
-            (self.batch, predict_lib.build_topk_step(model, prep, lookups, k))
+            (self.batch,
+             predict_lib.build_topk_step(model, prep, lookups, k,
+                                         quantize=quantize))
         ]
         self._k = k
         self._crop = crop

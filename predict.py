@@ -35,10 +35,18 @@ if __name__ == "__main__":
                              "(hvt.tools.export_serving); replaces the "
                              "model + checkpoint, config supplies the "
                              "dataset")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="run the live forward through w8a8 dynamic "
+                             "PTQ (hvt/ops/quant.py) — the no-export "
+                             "accuracy A/B for --quantize int8 artifacts")
     args = parser.parse_args()
     if args.artifact and args.raw_weights:
         parser.error("--raw-weights has no effect with --artifact: the "
                      "weight choice was fixed at export time")
+    if args.artifact and args.quantize:
+        parser.error("--quantize has no effect with --artifact: "
+                     "quantization was fixed at export time (re-export "
+                     "with --quantize int8 instead)")
     config = config_lib.load(machine=args.machine, exps=args.exp)
     predict_lib.run(
         config,
@@ -48,4 +56,5 @@ if __name__ == "__main__":
         hierarchical=args.hierarchical,
         limit_batches=args.limit_batches,
         artifact=args.artifact,
+        quantize=args.quantize,
     )

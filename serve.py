@@ -43,8 +43,17 @@ if __name__ == "__main__":
                              "bucket artifact's buckets, else 1")
     parser.add_argument("--raw-weights", action="store_true")
     parser.add_argument("--hierarchical", action="store_true")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="config mode only: serve the live forward "
+                             "through w8a8 dynamic PTQ (hvt/ops/quant.py); "
+                             "for artifacts, export with --quantize int8")
     args = parser.parse_args()
     if artifact_mode:
+        if args.quantize:
+            parser.error(
+                "--quantize has no effect with --artifact: quantization "
+                "was fixed at export time (re-export with --quantize int8)"
+            )
         if args.raw_weights:
             parser.error(
                 "--raw-weights has no effect with --artifact: the weight "
@@ -69,4 +78,5 @@ if __name__ == "__main__":
             batch=args.batch,
             use_ema=not args.raw_weights,
             hierarchical=args.hierarchical,
+            quantize=args.quantize,
         )

@@ -180,6 +180,48 @@ def test_swin_int8_artifact(tmp_path):
     assert (cos > 0.99).all()
 
 
+def test_live_int8_predict_matches_artifact(tmp_path):
+    """predict(quantize="int8") — the no-export accuracy A/B — reproduces
+    the int8 artifact's records; quantize composes nowhere it shouldn't."""
+    from hvt.downstream import predict as predict_lib
+
+    cfg = _cfg(tmp_path)
+    art = export_serving.export_artifact(
+        cfg, tmp_path / "a8", batch=0, platforms=("cpu",), quantize="int8"
+    )
+    live = list(predict_lib.predict(cfg, topk=2, quantize="int8"))
+    via_art = list(predict_lib.predict(cfg, topk=2, artifact=str(art)))
+    assert len(live) == len(via_art) == 8
+    for a, b in zip(live, via_art):
+        assert a["class_ids"] == b["class_ids"]
+        assert a["probs"] == pytest.approx(b["probs"], abs=1e-6)
+
+    with pytest.raises(ValueError, match="fixed at export"):
+        next(iter(predict_lib.predict(cfg, quantize="int8",
+                                      artifact=str(art))))
+    with pytest.raises(ValueError, match="expected int8"):
+        next(iter(predict_lib.predict(cfg, quantize="int4")))
+
+    # The HTTP engine takes the same knob (serve.py --quantize, config mode).
+    from hvt.downstream import serve as serve_lib
+
+    engine = serve_lib.InferenceEngine(cfg, topk=2, batch=1, quantize="int8")
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (40, 40, 3),
+                                              dtype=np.uint8)
+        ).save(buf, format="PNG")
+        rec = engine.predict_image(buf.getvalue(), topk=2)
+        assert len(rec["class_ids"]) == 2
+    finally:
+        engine.close()
+
+
 def test_quantize_native_incompatible(tmp_path):
     cfg = _cfg(tmp_path)
     with pytest.raises(ValueError, match="incompatible with --native"):
