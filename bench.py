@@ -215,7 +215,8 @@ def measure_eval(model_name: str, model_args: dict, batch_per_chip: int) -> list
 
 def measure_artifact(model_name: str, batch_per_chip: int,
                      native: bool = False,
-                     quantize: "str | None" = None) -> list[float]:
+                     quantize: "str | None" = None,
+                     calibrate: int = 0) -> list[float]:
     """Serving-artifact throughput (jax.export StableHLO, weights baked in —
     hvt/tools/export_serving.py). Measures the deployed-serving path rather
     than the live eval step. ``native`` measures the matched-TPU artifact
@@ -243,6 +244,7 @@ def measure_artifact(model_name: str, batch_per_chip: int,
         platforms=(platform,),
         native=native,
         quantize=quantize,
+        calibrate=calibrate,
     )
     call = jax.jit(lambda x: exported.call(x))
     n_chips = jax.device_count()
@@ -390,12 +392,17 @@ def main():
     # the A/B against the fp artifacts above — same export path, int8
     # Conv/Dense bodies.
     if os.environ.get("HVT_BENCH_ARTIFACT_INT8") == "1":
+        # HVT_BENCH_INT8_CALIBRATE=N switches to static calibrated
+        # activation scales (no in-graph absmax reductions).
+        cal = int(os.environ.get("HVT_BENCH_INT8_CALIBRATE", 0))
         record["workloads"]["resnet50_artifact_int8"] = _summarize(
-            measure_artifact("resnet50", 256, quantize="int8"), None, 256
+            measure_artifact("resnet50", 256, quantize="int8", calibrate=cal),
+            None, 256,
         )
         if os.environ.get("HVT_BENCH_SKIP_SWIN") != "1":
             record["workloads"]["swinv2_tiny_artifact_int8"] = _summarize(
-                measure_artifact("swinv2_tiny", 64, quantize="int8"), None, 64
+                measure_artifact("swinv2_tiny", 64, quantize="int8",
+                                 calibrate=cal), None, 64,
             )
     print(json.dumps(record))
 

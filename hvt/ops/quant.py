@@ -34,6 +34,14 @@ Entry point: ``wrap_int8(forward)`` → the same callable with int8
 Conv/Dense bodies; ``hvt.tools.export_serving --quantize int8`` applies it
 to the artifact forward. ``simulate=True`` runs the identical math with
 float ops (fake-quant) — the CI oracle for the int8 lowering.
+
+**Static (calibrated) activation scales**: dynamic per-tensor absmax costs
+one reduction pass per quantized layer. ``collect_act_scales(forward,
+batches)`` records each layer's absmax over a few calibration batches
+(eager, full-precision math), and ``wrap_int8(..., act_scales=...)`` bakes
+those scales in as constants — no in-graph reductions, the production
+recipe (``export_serving --quantize int8 --calibrate N``). Layers unseen
+during calibration fall back to dynamic scales.
 """
 
 from __future__ import annotations
@@ -62,12 +70,55 @@ def quantize_weight(kernel: jax.Array, reduce_axes: Sequence[int]):
     return q, scale
 
 
-def quantize_act(x: jax.Array):
-    """→ (int8 x, f32 scalar scale). Dynamic per-tensor symmetric absmax."""
+def quantize_act(x: jax.Array, scale=None):
+    """→ (int8 x, f32 scalar scale). Symmetric absmax — dynamic (computed
+    from x in-graph) unless a static calibrated ``scale`` is given."""
     xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf)), _EPS) / 127.0
+    if scale is None:
+        scale = jnp.maximum(jnp.max(jnp.abs(xf)), _EPS) / 127.0
     q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _module_key(mod) -> str:
+    """Stable per-layer key shared by calibration and the int8 rewrite."""
+    return "/".join(str(p) for p in (mod.path if mod is not None else ()))
+
+
+def collect_act_scales(
+    forward: Callable,
+    batches,
+    *,
+    skip: Sequence[str] = ("head",),
+) -> dict:
+    """Calibrate: → {module path: f32 scale} over a few forward batches.
+
+    Runs ``forward`` eagerly at full precision with a recording
+    interceptor: each quantizable Conv/Dense input's absmax is tracked
+    across ``batches`` (running max — the standard absmax calibration),
+    then converted to the symmetric int8 scale absmax/127.
+    """
+    absmax: dict = {}
+
+    def recorder(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            context.method_name == "__call__"
+            and isinstance(mod, (nn.Dense, nn.Conv))
+            and not any(
+                s in str(part) for part in (mod.path or ()) for s in skip
+            )
+            and (isinstance(mod, nn.Dense) or _supported_conv(mod))
+        ):
+            key = _module_key(mod)
+            seen = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+            absmax[key] = max(absmax.get(key, 0.0), seen)
+        return next_fun(*args, **kwargs)
+
+    for batch in batches:
+        with nn.intercept_methods(recorder):
+            forward(batch)
+    return {k: max(v, _EPS) / 127.0 for k, v in absmax.items()}
 
 
 def _norm_padding(padding, spatial_rank: int):
@@ -86,7 +137,8 @@ def _out_dtype(mod, x):
     return mod.dtype if mod.dtype is not None else x.dtype
 
 
-def _quant_conv(mod: nn.Conv, x: jax.Array, *, simulate: bool):
+def _quant_conv(mod: nn.Conv, x: jax.Array, *, simulate: bool,
+                act_scale=None):
     """int8 twin of nn.Conv.__call__ for the shapes the model zoo uses."""
     spatial = len(mod.kernel_size)
     in_features = x.shape[-1]
@@ -102,7 +154,7 @@ def _quant_conv(mod: nn.Conv, x: jax.Array, *, simulate: bool):
     )
 
     wq, sw = quantize_weight(kernel, reduce_axes=range(kernel.ndim - 1))
-    xq, sx = quantize_act(x)
+    xq, sx = quantize_act(x, act_scale)
     strides = mod.strides if mod.strides is not None else (1,) * spatial
     if isinstance(strides, int):
         strides = (strides,) * spatial
@@ -134,7 +186,8 @@ def _quant_conv(mod: nn.Conv, x: jax.Array, *, simulate: bool):
     return y.astype(_out_dtype(mod, x))
 
 
-def _quant_dense(mod: nn.Dense, x: jax.Array, *, simulate: bool):
+def _quant_dense(mod: nn.Dense, x: jax.Array, *, simulate: bool,
+                 act_scale=None):
     """int8 twin of nn.Dense.__call__ (contract last dim, any leading dims)."""
     kernel = mod.param(
         "kernel", mod.kernel_init, (x.shape[-1], mod.features), mod.param_dtype
@@ -145,7 +198,7 @@ def _quant_dense(mod: nn.Dense, x: jax.Array, *, simulate: bool):
         else None
     )
     wq, sw = quantize_weight(kernel, reduce_axes=(0,))
-    xq, sx = quantize_act(x)
+    xq, sx = quantize_act(x, act_scale)
     dims = (((x.ndim - 1,), (0,)), ((), ()))
     if simulate:
         y = jax.lax.dot_general(
@@ -174,12 +227,15 @@ def _supported_conv(mod: nn.Conv) -> bool:
     )
 
 
-def make_interceptor(skip: Sequence[str] = ("head",), *, simulate: bool = False):
+def make_interceptor(skip: Sequence[str] = ("head",), *, simulate: bool = False,
+                     act_scales: "dict | None" = None):
     """→ a flax interceptor replacing Conv/Dense bodies with int8 twins.
 
     ``skip``: module-path components that keep full precision (substring
     match on any path element, e.g. ``("head",)`` spares the classifier
-    and every submodule under it).
+    and every submodule under it). ``act_scales``: calibrated static
+    scales by module path (``collect_act_scales``); layers not in the dict
+    use dynamic scales.
     """
     skip = tuple(skip)
 
@@ -190,10 +246,13 @@ def make_interceptor(skip: Sequence[str] = ("head",), *, simulate: bool = False)
         path = mod.path if mod is not None else ()
         if any(s in str(part) for part in path for s in skip):
             return next_fun(*args, **kwargs)
+        scale = (act_scales or {}).get(_module_key(mod))
         if isinstance(mod, nn.Dense):
-            return _quant_dense(mod, args[0], simulate=simulate)
+            return _quant_dense(mod, args[0], simulate=simulate,
+                                act_scale=scale)
         if isinstance(mod, nn.Conv) and _supported_conv(mod):
-            return _quant_conv(mod, args[0], simulate=simulate)
+            return _quant_conv(mod, args[0], simulate=simulate,
+                               act_scale=scale)
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -204,18 +263,22 @@ def wrap_int8(
     *,
     skip: Sequence[str] = ("head",),
     simulate: bool = False,
+    act_scales: "dict | None" = None,
 ) -> Callable:
     """Wrap a traceable forward so every Conv/Dense inside runs int8.
 
     The wrapper is itself traceable (jit/export-safe); ``simulate=True``
     lowers the same math through float ops (the CI cross-check for the
     int8 graph — products of two 127-bounded ints summed over the model's
-    fan-ins stay exact in f32 to ~2^24).
+    fan-ins stay exact in f32 to ~2^24). ``act_scales`` switches layers it
+    names to static calibrated scales (no in-graph absmax reductions).
     """
 
     @functools.wraps(forward)
     def wrapped(*args, **kwargs):
-        with nn.intercept_methods(make_interceptor(skip, simulate=simulate)):
+        with nn.intercept_methods(
+            make_interceptor(skip, simulate=simulate, act_scales=act_scales)
+        ):
             return forward(*args, **kwargs)
 
     return wrapped

@@ -65,7 +65,8 @@ ARTIFACT_NAME = "serving.jaxexport"
 
 def build_exported(config, *, use_ema: bool = True, batch: int = 0,
                    platforms: Sequence[str] = ("tpu", "cpu"),
-                   native: bool = False, quantize: Optional[str] = None):
+                   native: bool = False, quantize: Optional[str] = None,
+                   calibrate: int = 0):
     """→ (jax.export.Exported, manifest dict) for the eval forward.
 
     ``batch == 0`` exports a symbolic batch dimension; ``batch > 0`` pins
@@ -82,15 +83,20 @@ def build_exported(config, *, use_ema: bool = True, batch: int = 0,
     (hvt/ops/quant.py) — plain HLO, so the artifact stays as portable as
     the default lowering. Mutually exclusive with ``native`` (the fused
     Mosaic kernels consume full-precision params directly).
+    ``calibrate=N`` (with int8) records static activation scales over N
+    eval batches instead of in-graph dynamic absmax — one reduction pass
+    per layer removed from the serving graph.
     """
     prepared = _prepare(config, use_ema=use_ema, native=native,
-                        platforms=platforms, quantize=quantize)
+                        platforms=platforms, quantize=quantize,
+                        calibrate=calibrate)
     return _export_one(prepared, batch=batch, platforms=platforms,
                        native=native)
 
 
 def _prepare(config, *, use_ema: bool, native: bool,
-             platforms: Sequence[str], quantize: Optional[str] = None) -> dict:
+             platforms: Sequence[str], quantize: Optional[str] = None,
+             calibrate: int = 0) -> dict:
     """Everything batch-independent: validate, build the model/loader once,
     resolve + bake the weights, and return the traceable forward. Shared by
     single exports and batch-bucket exports (which lower the SAME prepared
@@ -158,13 +164,31 @@ def _prepare(config, *, use_ema: bool, native: bool,
         # Lists are not a stable serialization surface; fix tuples.
         return tuple(out) if multitask else out
 
+    if calibrate and quantize != "int8":
+        raise ValueError("calibrate requires --quantize int8")
+    act_scales = None
     if quantize == "int8":
         from hvt.ops import quant
 
-        forward = quant.wrap_int8(forward)
+        if calibrate:
+            # Static activation scales from real eval batches (running
+            # absmax, full-precision math — hvt/ops/quant.py).
+            cal_batches = []
+            for i, b in enumerate(loader.epoch(0)):
+                if i >= calibrate:
+                    break
+                cal_batches.append(jnp.asarray(b.images))
+            if not cal_batches:
+                raise ValueError("calibration loader yielded no batches")
+            act_scales = quant.collect_act_scales(forward, cal_batches)
+        forward = quant.wrap_int8(forward, act_scales=act_scales)
 
     return {
         "quantize": quantize,
+        "act_scales": (
+            None if act_scales is None
+            else {"batches": int(calibrate), "layers": len(act_scales)}
+        ),
         "forward": forward,
         "config": config,
         "info": info,
@@ -261,10 +285,15 @@ def _export_one(prepared: dict, *, batch: int, platforms: Sequence[str],
         # but pinned to deployments whose libtpu accepts the payloads;
         # false: plain StableHLO, portable to any XLA backend.
         "native": bool(native),
-        # int8: w8a8 dynamic PTQ (hvt/ops/quant.py) — int8 kernels baked
-        # in, per-tensor dynamic activation scales in-graph; still plain
-        # HLO, as portable as an unquantized artifact.
+        # int8: w8a8 PTQ (hvt/ops/quant.py) — int8 kernels baked in;
+        # activation scales either dynamic per-tensor (in-graph absmax) or
+        # static calibrated constants; still plain HLO, as portable as an
+        # unquantized artifact.
         "quantization": prepared.get("quantize"),
+        "activation_scales": (
+            prepared.get("act_scales") or
+            ({"mode": "dynamic"} if prepared.get("quantize") else None)
+        ),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
@@ -276,7 +305,8 @@ def export_artifact(config, output: str, *, use_ema: bool = True,
                     batch: "int | Sequence[int]" = 0,
                     platforms: Sequence[str] = ("tpu", "cpu"),
                     native: bool = False,
-                    quantize: Optional[str] = None) -> pathlib.Path:
+                    quantize: Optional[str] = None,
+                    calibrate: int = 0) -> pathlib.Path:
     """Build and write the artifact directory; returns its path.
 
     ``batch`` may be a list of pinned sizes (batch buckets): the directory
@@ -296,7 +326,8 @@ def export_artifact(config, output: str, *, use_ema: bool = True,
     # One model/loader/weight resolution shared by every bucket; only the
     # lowering runs per batch spec.
     prepared = _prepare(config, use_ema=use_ema, native=native,
-                        platforms=platforms, quantize=quantize)
+                        platforms=platforms, quantize=quantize,
+                        calibrate=calibrate)
     files = {}
     manifest = None
     for b in batches:
@@ -446,6 +477,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                              "dynamic (per-channel weights, per-tensor "
                              "activations; head kept fp); incompatible "
                              "with --native")
+    parser.add_argument("--calibrate", type=int, default=0,
+                        help="with --quantize int8: record static "
+                             "activation scales over N eval batches "
+                             "(removes the in-graph absmax reductions); "
+                             "0 = dynamic scales")
     args = parser.parse_args(argv)
     config = config_lib.load(machine=args.machine, exps=args.exp)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
@@ -463,6 +499,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         platforms=platforms,
         native=args.native,
         quantize=args.quantize,
+        calibrate=args.calibrate,
     )
     manifest = json.loads((out / MANIFEST_NAME).read_text())
     names = list(manifest.get("files", {ARTIFACT_NAME: ARTIFACT_NAME}).values())
@@ -474,6 +511,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         "platforms": manifest["platforms"],
         "native": manifest["native"],
         "quantization": manifest.get("quantization"),
+        "activation_scales": manifest.get("activation_scales"),
         "batch_buckets": manifest.get("batch_buckets"),
         "bytes": sum((out / n).stat().st_size for n in names),
     }))

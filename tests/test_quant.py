@@ -180,6 +180,59 @@ def test_swin_int8_artifact(tmp_path):
     assert (cos > 0.99).all()
 
 
+def test_calibrated_static_scales(tmp_path):
+    """--calibrate N: static activation scales from real eval batches —
+    the absmax reductions leave the graph, every quantized layer gets a
+    scale, the artifact executes close to the dynamic one, and layers
+    missing from a partial scale dict fall back to dynamic."""
+    cfg = _cfg(tmp_path)
+    dyn = export_serving.export_artifact(
+        cfg, tmp_path / "dyn", batch=2, platforms=("cpu",), quantize="int8"
+    )
+    cal = export_serving.export_artifact(
+        cfg, tmp_path / "cal", batch=2, platforms=("cpu",), quantize="int8",
+        calibrate=1,
+    )
+    dyn_exp, dyn_manifest = export_serving.load(dyn)
+    cal_exp, cal_manifest = export_serving.load(cal)
+    assert dyn_manifest["activation_scales"] == {"mode": "dynamic"}
+    assert cal_manifest["activation_scales"]["batches"] == 1
+    assert cal_manifest["activation_scales"]["layers"] >= 6  # all the convs
+
+    # the calibrated graph dropped the per-layer absmax reductions
+    n_reduce = lambda m: m.count("stablehlo.reduce")
+    assert n_reduce(cal_exp.mlir_module()) < n_reduce(dyn_exp.mlir_module())
+
+    imgs = np.random.default_rng(3).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8
+    )
+    a = np.asarray(dyn_exp.call(imgs))
+    b = np.asarray(cal_exp.call(imgs))
+    # same int8 scheme, scales from the same distribution — close logits
+    assert np.isfinite(b).all()
+    cos = (a * b).sum(1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    )
+    assert (cos > 0.999).all()
+
+    # library-level: a partial scale dict mixes static and dynamic layers
+    from hvt.ops import quant
+
+    fwd = _forward(cfg)
+    scales = quant.collect_act_scales(fwd, [jnp.asarray(imgs)])
+    assert all(s > 0 for s in scales.values())
+    one_key = sorted(scales)[0]
+    partial = jax.jit(
+        quant.wrap_int8(fwd, act_scales={one_key: scales[one_key]})
+    )(jnp.asarray(imgs))
+    assert np.isfinite(np.asarray(partial)).all()
+
+    # calibrate without quantize is a usage error
+    with pytest.raises(ValueError, match="requires --quantize"):
+        export_serving.build_exported(cfg, batch=2, platforms=("cpu",),
+                                      calibrate=2)
+
+
 def test_live_int8_predict_matches_artifact(tmp_path):
     """predict(quantize="int8") — the no-export accuracy A/B — reproduces
     the int8 artifact's records; quantize composes nowhere it shouldn't."""
