@@ -117,14 +117,17 @@ def _decode_topk(out, lookups, k):
     return top_i, top_p, tiers, n_allowed
 
 
-def build_topk_step(model, prep, lookups, k, quantize=None):
+def build_topk_step(model, prep, lookups, k, quantize=None, act_scales=None):
     """→ jitted ``(params, batch_stats, images) → (top_i, top_p, tiers,
     n_allowed)``. Shared by batch inference (predict) and the HTTP server
     (hvt/downstream/serve.py) so the decode semantics live in one place.
 
-    ``quantize="int8"`` runs the forward through the w8a8 dynamic-PTQ
-    rewrite (hvt/ops/quant.py) — the live-path twin of
-    ``export_serving --quantize int8``, so accuracy A/Bs need no export."""
+    ``quantize="int8"`` runs the forward through the w8a8 PTQ rewrite
+    (hvt/ops/quant.py) — the live-path twin of ``export_serving --quantize
+    int8``, so accuracy A/Bs need no export. ``act_scales`` (from
+    ``live_act_scales``) switches the named layers to static calibrated
+    activation scales — the measured production recipe (BENCH.md: dynamic
+    absmax reductions cost R50 −33% vs calibrated)."""
     if quantize not in (None, "int8"):
         raise ValueError(f"unknown quantize {quantize!r}: expected int8")
 
@@ -134,7 +137,7 @@ def build_topk_step(model, prep, lookups, k, quantize=None):
     if quantize == "int8":
         from hvt.ops import quant
 
-        apply_fn = quant.wrap_int8(apply_fn)
+        apply_fn = quant.wrap_int8(apply_fn, act_scales=act_scales)
 
     @jax.jit
     def step(params, batch_stats, images):
@@ -146,6 +149,32 @@ def build_topk_step(model, prep, lookups, k, quantize=None):
         return _decode_topk(out, lookups, k)
 
     return step
+
+
+def live_act_scales(model, prep, params, batch_stats, loader, n):
+    """Calibrate static int8 activation scales on the live model: running
+    absmax over the first ``n`` eval batches (full-precision math,
+    hvt/ops/quant.py collect_act_scales) → {module path: scale}. The
+    live-path twin of ``export_serving --calibrate N``."""
+    import jax.numpy as jnp
+
+    from hvt.ops import quant
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    def forward(images):
+        return model.apply(variables, prep.normalize(images), train=False)
+
+    batches = []
+    for i, b in enumerate(loader.epoch(0)):
+        if i >= n:
+            break
+        batches.append(jnp.asarray(b.images))
+    if not batches:
+        raise ValueError("calibration loader yielded no batches")
+    return quant.collect_act_scales(forward, batches)
 
 
 def build_topk_step_from_exported(exported, lookups, k):
@@ -190,6 +219,7 @@ def predict(
     limit_batches: Optional[int] = None,
     artifact: Optional[str] = None,
     quantize: Optional[str] = None,
+    calibrate: int = 0,
 ):
     """Run inference over the eval split; yields one dict per image.
 
@@ -202,14 +232,19 @@ def predict(
     (hvt/tools/export_serving.py) instead of building the model — no
     checkpoint or weights resolution; the config supplies only the dataset.
 
-    ``quantize="int8"``: live-model runs only — the w8a8 dynamic-PTQ
-    forward (hvt/ops/quant.py), for accuracy A/Bs against full precision
-    without an export; an artifact's quantization was fixed at export."""
+    ``quantize="int8"``: live-model runs only — the w8a8 PTQ forward
+    (hvt/ops/quant.py), for accuracy A/Bs against full precision without
+    an export; an artifact's quantization was fixed at export.
+    ``calibrate=N``: static activation scales from the first N eval
+    batches instead of in-graph dynamic absmax (the measured production
+    recipe, BENCH.md)."""
     if artifact is not None and quantize is not None:
         raise ValueError(
             "quantize has no effect with an artifact: quantization was "
             "fixed at export time (export with --quantize int8 instead)"
         )
+    if calibrate and quantize != "int8":
+        raise ValueError("calibrate requires quantize='int8'")
     loader, info = build_loader(config, is_train=False)
     data_cfg = config.eval_dataset
     mesh = parallel.divisor_mesh(data_cfg.global_batch_size)
@@ -284,7 +319,13 @@ def predict(
         params, batch_stats = _resolve_weights(config, variables, use_ema)
         params = jax.device_put(params, parallel.replicated(mesh))
         batch_stats = jax.device_put(batch_stats, parallel.replicated(mesh))
-        step = build_topk_step(model, prep, lookups, k, quantize=quantize)
+        act_scales = (
+            live_act_scales(model, prep, params, batch_stats, loader, calibrate)
+            if calibrate
+            else None
+        )
+        step = build_topk_step(model, prep, lookups, k, quantize=quantize,
+                               act_scales=act_scales)
 
     paths = getattr(loader.dataset, "paths", None)
     sharded = parallel.batch_sharding(mesh)

@@ -42,7 +42,8 @@ class InferenceEngine:
 
     def __init__(self, config: config_lib.Config, *, batch: int = 1,
                  use_ema: bool = True, hierarchical: bool = False,
-                 topk: int = 5, quantize: "str | None" = None):
+                 topk: int = 5, quantize: "str | None" = None,
+                 calibrate: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -91,11 +92,22 @@ class InferenceEngine:
         )
         self.hierarchical = hierarchical
 
+        if calibrate and quantize != "int8":
+            raise ValueError("calibrate requires quantize='int8'")
+        act_scales = (
+            predict_lib.live_act_scales(
+                model, prep, self._params, self._batch_stats, loader, calibrate
+            )
+            if calibrate
+            else None
+        )
+
         k = min(topk, info.fine_grained_num_classes)
         self._steps = [
             (self.batch,
              predict_lib.build_topk_step(model, prep, lookups, k,
-                                         quantize=quantize))
+                                         quantize=quantize,
+                                         act_scales=act_scales))
         ]
         self._k = k
         self._crop = crop

@@ -36,10 +36,20 @@ if __name__ == "__main__":
                              "model + checkpoint, config supplies the "
                              "dataset")
     parser.add_argument("--quantize", choices=["int8"], default=None,
-                        help="run the live forward through w8a8 dynamic "
+                        help="run the live forward through w8a8 "
                              "PTQ (hvt/ops/quant.py) — the no-export "
                              "accuracy A/B for --quantize int8 artifacts")
+    parser.add_argument("--calibrate", type=int, default=0, metavar="N",
+                        help="with --quantize int8: static activation "
+                             "scales from the first N eval batches "
+                             "instead of in-graph dynamic absmax")
     args = parser.parse_args()
+    if args.calibrate and args.quantize != "int8":
+        parser.error("--calibrate requires --quantize int8")
+    if args.artifact and args.calibrate:
+        parser.error("--calibrate has no effect with --artifact: "
+                     "calibration was fixed at export time (re-export "
+                     "with --calibrate N instead)")
     if args.artifact and args.raw_weights:
         parser.error("--raw-weights has no effect with --artifact: the "
                      "weight choice was fixed at export time")
@@ -57,4 +67,5 @@ if __name__ == "__main__":
         limit_batches=args.limit_batches,
         artifact=args.artifact,
         quantize=args.quantize,
+        calibrate=args.calibrate,
     )

@@ -45,10 +45,22 @@ if __name__ == "__main__":
     parser.add_argument("--hierarchical", action="store_true")
     parser.add_argument("--quantize", choices=["int8"], default=None,
                         help="config mode only: serve the live forward "
-                             "through w8a8 dynamic PTQ (hvt/ops/quant.py); "
+                             "through w8a8 PTQ (hvt/ops/quant.py); "
                              "for artifacts, export with --quantize int8")
+    parser.add_argument("--calibrate", type=int, default=0, metavar="N",
+                        help="with --quantize int8: static activation "
+                             "scales from N eval batches instead of "
+                             "in-graph dynamic absmax (the measured "
+                             "production recipe, BENCH.md)")
     args = parser.parse_args()
+    if not artifact_mode and args.calibrate and args.quantize != "int8":
+        parser.error("--calibrate requires --quantize int8")
     if artifact_mode:
+        if getattr(args, "calibrate", 0):
+            parser.error(
+                "--calibrate has no effect with --artifact: calibration "
+                "was fixed at export time (re-export with --calibrate N)"
+            )
         if args.quantize:
             parser.error(
                 "--quantize has no effect with --artifact: quantization "
@@ -79,4 +91,5 @@ if __name__ == "__main__":
             use_ema=not args.raw_weights,
             hierarchical=args.hierarchical,
             quantize=args.quantize,
+            calibrate=args.calibrate,
         )

@@ -275,6 +275,56 @@ def test_live_int8_predict_matches_artifact(tmp_path):
         engine.close()
 
 
+def test_live_calibrated_matches_calibrated_artifact(tmp_path):
+    """predict(quantize="int8", calibrate=N) — the live twin of
+    ``export_serving --calibrate N`` (the measured production recipe,
+    BENCH.md: dynamic absmax costs R50 −33% vs static) — reproduces the
+    calibrated artifact's records: both calibrate over the same first-N
+    eval batches, so the scales and the int8 math agree."""
+    from hvt.downstream import predict as predict_lib
+
+    cfg = _cfg(tmp_path)
+    art = export_serving.export_artifact(
+        cfg, tmp_path / "c8", batch=0, platforms=("cpu",), quantize="int8",
+        calibrate=1,
+    )
+    live = list(predict_lib.predict(cfg, topk=2, quantize="int8",
+                                    calibrate=1))
+    via_art = list(predict_lib.predict(cfg, topk=2, artifact=str(art)))
+    assert len(live) == len(via_art) == 8
+    for a, b in zip(live, via_art):
+        assert a["class_ids"] == b["class_ids"]
+        # jit vs exported-module lowerings fuse differently; the records
+        # agree to float noise, not bitwise (probs are rounded to 6dp).
+        assert a["probs"] == pytest.approx(b["probs"], abs=2e-5)
+
+    # usage errors: calibrate without int8, calibrate with an artifact
+    with pytest.raises(ValueError, match="requires quantize"):
+        next(iter(predict_lib.predict(cfg, calibrate=2)))
+
+    # The HTTP engine takes the same knob (serve.py --calibrate).
+    from hvt.downstream import serve as serve_lib
+
+    engine = serve_lib.InferenceEngine(cfg, topk=2, batch=1,
+                                       quantize="int8", calibrate=1)
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (40, 40, 3),
+                                              dtype=np.uint8)
+        ).save(buf, format="PNG")
+        rec = engine.predict_image(buf.getvalue(), topk=2)
+        assert len(rec["class_ids"]) == 2
+    finally:
+        engine.close()
+    with pytest.raises(ValueError, match="requires quantize"):
+        serve_lib.InferenceEngine(cfg, topk=2, batch=1, calibrate=1)
+
+
 def test_quantize_native_incompatible(tmp_path):
     cfg = _cfg(tmp_path)
     with pytest.raises(ValueError, match="incompatible with --native"):
