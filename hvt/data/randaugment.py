@@ -24,11 +24,32 @@ uniform op choice and sign flips — transforms.py RANDAUGMENT_OPS order):
 * RNG streams are jax PRNG, not the host numpy streams — per-sample op
   choice is distribution-equivalent, not stream-equivalent.
 
-TPU shape notes: one inverse-affine gather pass covers all five geometric
-ops (per-sample 2×3 matrices, identity for non-geometric rows — exact
-pass-through at integer coordinates); the pointwise candidates are
-elementwise/reduction passes XLA fuses; per-sample selection is a
-``where`` over the batch dim. Everything is static-shaped.
+TPU shape notes (chip-probed at b256·224², see BENCH.md "device RA"):
+
+* the default policy is **stratified**: a random permutation assigns each
+  of the 13 ops a static slice of ~B/13 images, so every op computes on
+  1/13th of the batch instead of all candidates on all images (the MoE
+  capacity trick with exact capacity). Per-image op marginals stay
+  uniform up to ≤1/B (the B mod 13 remainder images always land on the
+  first ops in OP_NAMES order); ops are no longer independent across
+  images within a step. ``stratified=False`` restores the iid
+  all-candidates + ``where`` policy (the exactness oracle).
+* the geometric ops avoid XLA's general gather (which scalarizes on TPU:
+  764 ms/b256 measured) — per-row/column constant shifts are static
+  slices + a 2-tap lerp (``_shift_x_rows``/``_shift_y_cols``), exact for
+  shear/translate; rotation is the Paeth 3-shear decomposition on a
+  zero-padded canvas with the exact rotation footprint masked at the end
+  (law deviation vs PIL's direct bilinear: 3 chained 1-D lerps instead
+  of one 2-D bilerp — the black region is exact, the interior slightly
+  smoother; pinned by tests/test_data.py). The iid path keeps the exact
+  per-sample gather warp.
+* ``equalize`` dispatches by backend: a 256-lane compare-reduce
+  histogram on accelerators (TPU sort over 50k-px rows measured
+  667 ms/b256; the compare-reduce is a fused VPU pass), sort +
+  searchsorted on CPU (where the compare costs 50× more than sort on
+  the 1-core host).
+
+Everything is static-shaped.
 """
 
 from __future__ import annotations
@@ -37,6 +58,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Index order MUST match the host policy (transforms.py RANDAUGMENT_OPS).
 OP_NAMES = (
@@ -66,25 +88,46 @@ def autocontrast(x: jax.Array) -> jax.Array:
     return jnp.where(span > 0, stretched, xi).astype(jnp.uint8)
 
 
-def equalize(x: jax.Array) -> jax.Array:
+def equalize(x: jax.Array, method: str = "auto") -> jax.Array:
     """Per-channel histogram equalization (PIL ImageOps.equalize law:
     step = (total - last_nonzero_bin) // 255; lut[i] = (step//2 +
     cumsum_{j<i} h[j]) // step; identity when ≤1 nonzero bin or step==0).
 
-    The histogram comes from sort + searchsorted rather than a 256-level
-    compare-reduce: ``cum[v] = #pixels < v`` IS the exclusive prefix sum
-    the LUT needs, and sorting HW uint8 values costs ~50× less than the
-    broadcast compare (measured 15.4 s → 0.2 s/batch on the 1-core CPU
-    host at b64·224²)."""
+    Two routes to ``cum[v] = #pixels < v`` (the exclusive prefix sum the
+    LUT needs), dispatched by trace-time backend when ``method="auto"``:
+
+    * ``"sort"`` (CPU default): sort + searchsorted — sorting HW uint8
+      values costs ~50× less than the broadcast compare on the 1-core
+      CPU host (measured 15.4 s → 0.2 s/batch at b64·224²).
+    * ``"compare"`` (accelerator default): a fused 256-lane
+      compare-reduce — TPU's bitonic sort over 50k-px rows measured
+      667 ms/b256·224² while the compare-reduce is one VPU pass over the
+      uint8 pixels with the 256 levels on the lane dim; the final LUT
+      application is a compare-sum too (TPU's 256-entry gather would
+      scalarize)."""
+    if method == "auto":
+        method = "sort" if jax.default_backend() == "cpu" else "compare"
     b, h, w, c = x.shape
-    xi = x.astype(jnp.int32)
-    xp = xi.transpose(0, 3, 1, 2).reshape(b, c, h * w)  # (B, C, HW)
-    xs = jnp.sort(xp, axis=-1)
     levels = jnp.arange(256, dtype=jnp.int32)
-    # cum[v] = #pixels < v == exclusive prefix sum of the histogram.
-    cum_ex = jax.vmap(jax.vmap(
-        lambda a: jnp.searchsorted(a, levels, side="left")
-    ))(xs).astype(jnp.int32)
+
+    if method == "sort":
+        xi = x.astype(jnp.int32)
+        xp = xi.transpose(0, 3, 1, 2).reshape(b, c, h * w)  # (B, C, HW)
+        xs = jnp.sort(xp, axis=-1)
+        # cum[v] = #pixels < v == exclusive prefix sum of the histogram.
+        cum_ex = jax.vmap(jax.vmap(
+            lambda a: jnp.searchsorted(a, levels, side="left")
+        ))(xs).astype(jnp.int32)
+    elif method == "compare":
+        # (B,H,W,C,256) compare fused into the (1,2) reduce: pixels stay
+        # uint8 and NHWC (no transpose), levels ride the 256-wide lane dim.
+        lev_u8 = levels.astype(jnp.uint8)
+        cum_ex = (x[..., None] < lev_u8).sum(
+            axis=(1, 2), dtype=jnp.int32
+        )  # (B, C, 256)
+    else:
+        raise ValueError(f"unknown equalize method {method!r}")
+
     total = jnp.full((b, c, 1), h * w, jnp.int32)
     hist = jnp.diff(jnp.concatenate([cum_ex, total], axis=-1), axis=-1)
 
@@ -98,10 +141,16 @@ def equalize(x: jax.Array) -> jax.Array:
     lut = jnp.clip(lut, 0, 255)
     identity = jnp.broadcast_to(levels, lut.shape)
     use_id = (n_nonzero <= 1) | (step == 0)
-    lut = jnp.where(use_id[..., None], identity, lut)
+    lut = jnp.where(use_id[..., None], identity, lut)  # (B, C, 256)
 
-    out = jnp.take_along_axis(lut, xp, axis=-1)  # (B, C, HW)
-    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    if method == "sort":
+        xp = x.astype(jnp.int32).transpose(0, 3, 1, 2).reshape(b, c, h * w)
+        out = jnp.take_along_axis(lut, xp, axis=-1)  # (B, C, HW)
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.uint8)
+    # compare: LUT lookup as a masked lane-reduce (no gather on TPU).
+    onehot = x[..., None] == levels.astype(jnp.uint8)  # (B,H,W,C,256)
+    out = (onehot * lut[:, None, None, :, :]).sum(axis=-1, dtype=jnp.int32)
+    return out.astype(jnp.uint8)
 
 
 def posterize(x: jax.Array, severity: int) -> jax.Array:
@@ -273,8 +322,236 @@ def _affine_matrices(op: jax.Array, sign: jax.Array, severity: int,
 
 
 # ---------------------------------------------------------------------------
+# Gather-free geometric ops: banded static shifts (the TPU path)
+#
+# XLA lowers the general per-pixel gather in _bilinear_warp to scalar
+# dynamic-slices on TPU (764 ms at b256·224² measured). Every geometric op
+# in the policy except rotation maps each output ROW (or column) to a
+# single source row with a constant fractional x (or y) shift, and with a
+# static severity and enumerable sign the integer part of that shift is a
+# compile-time constant per row — so the whole op decomposes into a few
+# dozen static slices of an edge-padded image plus a per-row lerp weight.
+# Rotation is the Paeth 3-shear decomposition of the same machinery.
+# ---------------------------------------------------------------------------
+
+
+def _runs(k: np.ndarray):
+    """Contiguous runs of equal value in a 1-D integer array →
+    [(start, end, value)]. The shifts below are monotone in the row/column
+    index, so runs are the natural banding."""
+    k = np.asarray(k)
+    idx = np.flatnonzero(np.diff(k)) + 1
+    starts = np.concatenate([[0], idx])
+    ends = np.concatenate([idx, [len(k)]])
+    return [(int(s), int(e), int(k[s])) for s, e in zip(starts, ends)]
+
+
+def _shift_x_rows(xf: jax.Array, shift: np.ndarray, fill: bool = True
+                  ) -> jax.Array:
+    """Resample ``xf`` (N,H,W,C float32) at source index xs = xo + shift[yo]
+    (a per-row constant x-shift) with the exact _bilinear_warp law
+    restricted to ys == yo: 2-tap lerp, edge-clamped taps, black where the
+    mapped corner-space center xo+0.5+shift leaves [0, W). ``shift`` is a
+    static float64 (H,) array, so integer offsets band into static slices
+    of an edge-padded image — no gather."""
+    n, h, w, c = xf.shape
+    shift = np.asarray(shift, np.float64)
+    k = np.floor(shift).astype(np.int64)
+    frac = (shift - k).astype(np.float32)
+    left = max(0, -int(k.min()))
+    right = max(0, int(k.max()) + 1)
+    pad = jnp.pad(xf, ((0, 0), (0, 0), (left, right), (0, 0)), mode="edge")
+    # Masked sum of static slices taken along the MAJOR axis: move W to
+    # dim 0 so any-offset slices are tile-aligned reads. Slicing the
+    # tiled lane/sublane dims at per-band offsets makes XLA emit
+    # misaligned-window fusions (52 ms/pass for a 19-image Paeth pass,
+    # 73% of the op, chip-profiled), and a concatenate of band slices is
+    # worse still (serialized dynamic-update-slice chain, 22 GB peak at
+    # b256). Two relayout transposes + aligned reads win.
+    xt = jnp.moveaxis(pad, 2, 0)  # (W+pads, N, H, C)
+    acc = jnp.zeros((w,) + (xf.shape[0], h, xf.shape[3]), xf.dtype)
+    for r0, r1, kk in _runs(k):
+        a = xt[left + kk:left + kk + w]
+        b = xt[left + kk + 1:left + kk + 1 + w]
+        band = (np.arange(h) >= r0) & (np.arange(h) < r1)
+        wgt = np.where(band, frac, 0.0).astype(np.float32)
+        cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
+        wgt_j = jnp.asarray(wgt)[None, None, :, None]
+        cwgt_j = jnp.asarray(cwgt)[None, None, :, None]
+        acc = acc + cwgt_j * a + wgt_j * b
+    out = jnp.moveaxis(acc, 0, 2)  # (N, H, W, C)
+    if fill:
+        xo = np.arange(w, dtype=np.float64) + 0.5
+        valid = ((xo[None, :] + shift[:, None]) >= 0.0) & (
+            (xo[None, :] + shift[:, None]) < w)
+        out = out * jnp.asarray(valid, xf.dtype)[None, :, :, None]
+    return out
+
+
+def _shift_y_cols(xf: jax.Array, shift: np.ndarray, fill: bool = True
+                  ) -> jax.Array:
+    """The y-axis twin of _shift_x_rows: source ys = yo + shift[xo], a
+    per-column constant y-shift banded into static slices along H."""
+    n, h, w, c = xf.shape
+    shift = np.asarray(shift, np.float64)
+    k = np.floor(shift).astype(np.int64)
+    frac = (shift - k).astype(np.float32)
+    top = max(0, -int(k.min()))
+    bot = max(0, int(k.max()) + 1)
+    pad = jnp.pad(xf, ((0, 0), (top, bot), (0, 0), (0, 0)), mode="edge")
+    # Masked sum over major-axis slices — see _shift_x_rows.
+    xt = jnp.moveaxis(pad, 1, 0)  # (H+pads, N, W, C)
+    acc = jnp.zeros((h,) + (xf.shape[0], w, xf.shape[3]), xf.dtype)
+    for c0, c1, kk in _runs(k):
+        a = xt[top + kk:top + kk + h]
+        b = xt[top + kk + 1:top + kk + 1 + h]
+        band = (np.arange(w) >= c0) & (np.arange(w) < c1)
+        wgt = np.where(band, frac, 0.0).astype(np.float32)
+        cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
+        wgt_j = jnp.asarray(wgt)[None, None, :, None]
+        cwgt_j = jnp.asarray(cwgt)[None, None, :, None]
+        acc = acc + cwgt_j * a + wgt_j * b
+    out = jnp.moveaxis(acc, 0, 1)  # (N, H, W, C)
+    if fill:
+        yo = np.arange(h, dtype=np.float64) + 0.5
+        valid = ((yo[:, None] + shift[None, :]) >= 0.0) & (
+            (yo[:, None] + shift[None, :]) < h)
+        out = out * jnp.asarray(valid, xf.dtype)[None, :, :, None]
+    return out
+
+
+def _rotate_paeth(xf: jax.Array, sgn: float, severity: int) -> jax.Array:
+    """Rotation as the Paeth 3-shear decomposition: with a = -tan(θ/2) and
+    b = sinθ the per-axis shears Sx(a)·Sy(b)·Sx(a) compose to exactly the
+    output→input rotation map _affine_matrices builds for op 4 (the
+    coordinate algebra is checked in tests/test_data.py). Each pass is a
+    banded static shift on a zero-padded canvas sized so rotated content
+    never clips mid-pass; the exact rotation footprint (PIL's black
+    region, computed in float64) is applied at the end. Law deviation vs
+    the gather path: three chained 1-D lerps instead of one 2-D bilerp —
+    interiors are slightly smoother; the black region is exact."""
+    n, h, w, c = xf.shape
+    theta = sgn * (severity / _MAX_SEVERITY * 30.0) * (math.pi / 180.0)
+    a = -math.tan(theta / 2.0)
+    b = math.sin(theta)
+    # Canvas margin: content grows |a|·h/2 in x (pass 1), then
+    # |b|·(w/2 + g1) in y (pass 2), then |a|·(h/2 + g2) in x (pass 3).
+    g1 = abs(a) * h / 2.0
+    g2 = abs(b) * (w / 2.0 + g1)
+    g3 = abs(a) * (h / 2.0 + g2)
+    m = int(math.ceil(max(g1 + g3, g2))) + 1
+    cx, cy = m + w / 2.0, m + h / 2.0
+    # Replicate-pad the canvas: mid-pass taps that leave the content
+    # approximate PIL's edge-clamped taps (zero padding would fade the
+    # content boundary toward black); everything outside the exact
+    # footprint is masked off below regardless.
+    canvas = jnp.pad(xf, ((0, 0), (m, m), (m, m), (0, 0)), mode="edge")
+    ys = np.arange(h + 2 * m, dtype=np.float64) + 0.5
+    xs = np.arange(w + 2 * m, dtype=np.float64) + 0.5
+    sh_rows = a * (ys - cy)
+    sh_cols = b * (xs - cx)
+    t = _shift_x_rows(canvas, sh_rows, fill=False)
+    t = _shift_y_cols(t, sh_cols, fill=False)
+    t = _shift_x_rows(t, sh_rows, fill=False)
+    t = t[:, m:m + h, m:m + w, :]
+    # Exact rotation footprint, float64 (PIL computes in double).
+    gx, gy = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    u, v = gx - w / 2.0, gy - h / 2.0
+    xsrc = math.cos(theta) * u - math.sin(theta) * v + w / 2.0
+    ysrc = math.sin(theta) * u + math.cos(theta) * v + h / 2.0
+    valid = (xsrc >= 0) & (xsrc < w) & (ysrc >= 0) & (ysrc < h)
+    return t * jnp.asarray(valid, xf.dtype)[None, :, :, None]
+
+
+def _signed_variants(x: jax.Array, sign: jax.Array, fn) -> jax.Array:
+    """Geometric dispatch for the stratified path: the shift arrays above
+    need a static sign, so compute both variants on the (small) op slice
+    and select per image; quantize once with the warp law (floor, clip,
+    uint8)."""
+    xf = x.astype(jnp.float32)
+    pos = fn(xf, 1.0)
+    neg = fn(xf, -1.0)
+    out = jnp.where((sign > 0)[:, None, None, None], pos, neg)
+    return jnp.clip(jnp.floor(out), 0.0, 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
 # The policy
 # ---------------------------------------------------------------------------
+
+
+def _apply_op_static(name: str, x: jax.Array, sign: jax.Array,
+                     factor: jax.Array, severity: int) -> jax.Array:
+    """Apply one statically-known op to its stratified slice."""
+    _, h, w, _ = x.shape
+    lvl = severity / _MAX_SEVERITY
+    if name == "autocontrast":
+        return autocontrast(x)
+    if name == "equalize":
+        return equalize(x)
+    if name == "posterize":
+        return posterize(x, severity)
+    if name == "solarize":
+        return solarize(x, severity)
+    if name == "color":
+        return color(x, factor)
+    if name == "contrast":
+        return contrast(x, factor)
+    if name == "brightness":
+        return brightness(x, factor)
+    if name == "sharpness":
+        return sharpness(x, factor)
+    ys = np.arange(h, dtype=np.float64) + 0.5
+    xs = np.arange(w, dtype=np.float64) + 0.5
+    if name == "rotate":
+        return _signed_variants(
+            x, sign, lambda xf, s: _rotate_paeth(xf, s, severity))
+    if name == "shear_x":
+        return _signed_variants(
+            x, sign, lambda xf, s: _shift_x_rows(xf, s * (lvl * 0.3) * ys))
+    if name == "shear_y":
+        return _signed_variants(
+            x, sign, lambda xf, s: _shift_y_cols(xf, s * (lvl * 0.3) * xs))
+    if name == "translate_x":
+        return _signed_variants(
+            x, sign,
+            lambda xf, s: _shift_x_rows(xf, np.full(h, s * lvl * 0.45 * w)))
+    if name == "translate_y":
+        return _signed_variants(
+            x, sign,
+            lambda xf, s: _shift_y_cols(xf, np.full(w, s * lvl * 0.45 * h)))
+    raise ValueError(f"unknown op {name!r}")
+
+
+def _apply_stratified(x: jax.Array, key: jax.Array, severity: int
+                      ) -> jax.Array:
+    """One stratified RandAugment round: a random permutation deals each op
+    a static slice of ~B/13 images (uniform per-image op marginals up to
+    the ≤1/B remainder bias; ops are not independent across images), each
+    op computes only on its slice, and the inverse permutation restores
+    batch order. All slice boundaries are compile-time constants."""
+    b = x.shape[0]
+    n = len(OP_NAMES)
+    kperm, ksign = jax.random.split(key)
+    perm = jax.random.permutation(kperm, b)
+    sign = jnp.where(
+        jax.random.bernoulli(ksign, 0.5, (b,)), 1.0, -1.0
+    ).astype(jnp.float32)
+    lvl = severity / _MAX_SEVERITY
+    factor = jnp.maximum(0.05, 1.0 + sign * (lvl * 0.9))
+    xp = jnp.take(x, perm, axis=0)
+
+    sizes = [b // n + (1 if i < b % n else 0) for i in range(n)]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    pieces = []
+    for i, name in enumerate(OP_NAMES):
+        if sizes[i] == 0:
+            continue
+        sl = slice(int(offs[i]), int(offs[i + 1]))
+        pieces.append(
+            _apply_op_static(name, xp[sl], sign[sl], factor[sl], severity))
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+    return jnp.take(out, jnp.argsort(perm), axis=0)
 
 
 def _apply_one(x: jax.Array, op: jax.Array, sign: jax.Array,
@@ -304,14 +581,16 @@ def _apply_one(x: jax.Array, op: jax.Array, sign: jax.Array,
 
 
 def rand_augment(key: jax.Array, images: jax.Array, depth: int = 1,
-                 severity: int = 9) -> jax.Array:
+                 severity: int = 9, stratified: bool = True) -> jax.Array:
     """Device-side RandAugment over a uint8 NHWC batch.
 
-    Each of the ``depth`` rounds picks one of the 13 ops uniformly per
-    sample (host law: transforms.py rand_augment) with an independent
-    sign flip for the signed magnitudes. Static shapes throughout; the
-    recipes' depth=1, severity=9 costs one warp pass + the fused
-    pointwise candidates per step."""
+    Each of the ``depth`` rounds assigns one of the 13 ops per sample
+    (host law: transforms.py rand_augment) with an independent sign flip
+    for the signed magnitudes. ``stratified=True`` (the default, and the
+    TPU-fast path) deals ops via a random permutation into static per-op
+    slices so each op computes on ~B/13 images; ``stratified=False`` is
+    the iid all-candidates policy with per-sample gather warps (the
+    exactness oracle; slow on TPU). Static shapes throughout."""
     if depth <= 0:
         return images
     if images.dtype != jnp.uint8:
@@ -321,6 +600,10 @@ def rand_augment(key: jax.Array, images: jax.Array, depth: int = 1,
         )
     n = len(OP_NAMES)
     for _ in range(int(depth)):
+        if stratified:
+            key, kr = jax.random.split(key)
+            images = _apply_stratified(images, kr, severity)
+            continue
         key, kop, ksign = jax.random.split(key, 3)
         op = jax.random.randint(kop, (images.shape[0],), 0, n)
         sign = jnp.where(

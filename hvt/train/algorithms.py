@@ -77,9 +77,11 @@ class AlgorithmSettings:
     # (hvt.data.device.colout) — (p_row, p_col) when device-side.
     colout_device: Optional[tuple[float, float]] = None
     # RandAugment with args.device=true runs inside the compiled step too
-    # (hvt.data.randaugment.rand_augment) — (depth, severity) when
-    # device-side; the host transform then delivers bare crops.
-    randaugment_device: Optional[tuple[int, int]] = None
+    # (hvt.data.randaugment.rand_augment) — (depth, severity, stratified)
+    # when device-side; the host transform then delivers bare crops.
+    # stratified=true (default) is the TPU-fast static-slice policy;
+    # stratified=false restores iid per-sample op draws.
+    randaugment_device: Optional[tuple[int, int, bool]] = None
 
 
 def parse_algorithms(config) -> AlgorithmSettings:
@@ -132,7 +134,11 @@ def parse_algorithms(config) -> AlgorithmSettings:
                 # depth 0 must be a true no-op (like the host path's
                 # ra_depth=0) — not a truthy setting that still splits rng.
                 if depth > 0:
-                    s.randaugment_device = (depth, int(args.get("severity", 9)))
+                    s.randaugment_device = (
+                        depth,
+                        int(args.get("severity", 9)),
+                        bool(args.get("stratified", True)),
+                    )
             # else host-side: consumed by hvt.data.loader.build_transform
         else:
             raise ValueError(f"unknown algorithm {cls!r}")

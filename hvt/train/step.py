@@ -45,10 +45,10 @@ class StepSettings:
     # recipes request, configs/recipes/hot.yaml:36-39).
     sam_rho: Optional[float] = None
     sam_interval: int = 1
-    # Device-side RandAugment (depth, severity): applied to the uint8
-    # microbatch before ColOut/normalization, mirroring the host order
+    # Device-side RandAugment (depth, severity, stratified): applied to the
+    # uint8 microbatch before ColOut/normalization, mirroring the host order
     # RandAugment → ColOut (hvt.data.transforms.TrainTransform.post_augment).
-    randaugment: Optional[tuple[int, int]] = None
+    randaugment: Optional[tuple[int, int, bool]] = None
     # Device-side ColOut (p_row, p_col): applied to the uint8 microbatch
     # before normalization (hvt.data.device.colout).
     colout: Optional[tuple[float, float]] = None

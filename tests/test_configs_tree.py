@@ -64,7 +64,7 @@ def test_recipe_stack_composes_with_pretrain():
             assert settings.mixup_alpha == 0.2
         if recipe == "hot_tpu":
             # identical to hot except the augmentations run in-step
-            assert settings.randaugment_device == (1, 9)
+            assert settings.randaugment_device == (1, 9, True)
             assert settings.colout_device == (0.05, 0.05)
 
 

@@ -613,7 +613,7 @@ def test_device_randaugment_routing():
         {"cls": "RandAugment",
          "args": {"depth": 2, "severity": 7, "device": True}}]})
     algos = parse_algorithms(dev_cfg)
-    assert algos.randaugment_device == (2, 7)
+    assert algos.randaugment_device == (2, 7, True)
     assert build_transform(dev_cfg, is_train=True).randaugment_depth == 0
 
     host_cfg = C.loads(base, {"algorithms": [
@@ -622,3 +622,155 @@ def test_device_randaugment_routing():
     assert algos.randaugment_device is None
     tf = build_transform(host_cfg, is_train=True)
     assert tf.randaugment_depth == 2 and tf.randaugment_severity == 7
+
+
+def test_device_equalize_compare_matches_sort_and_pil():
+    """equalize's two histogram routes (sort+searchsorted for CPU,
+    compare-reduce for TPU — hvt/data/randaugment.py equalize) agree
+    bit-exactly with each other and with PIL on random, low-range, and
+    constant images."""
+    import jax.numpy as jnp
+    from PIL import ImageOps
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(5)
+    b, h, w = 4, 31, 27
+    imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    imgs[1] = rng.integers(100, 112, (h, w, 3), dtype=np.uint8)
+    imgs[2] = 0
+    imgs[3] = 255
+    x = jnp.asarray(imgs)
+
+    got_sort = np.asarray(R.equalize(x, method="sort"))
+    got_cmp = np.asarray(R.equalize(x, method="compare"))
+    np.testing.assert_array_equal(got_sort, got_cmp)
+    want = np.stack([
+        np.asarray(ImageOps.equalize(Image.fromarray(imgs[i])), np.uint8)
+        for i in range(b)
+    ])
+    np.testing.assert_array_equal(got_cmp, want)
+
+
+def test_fast_geometric_ops_match_gather_and_pil():
+    """The banded static-shift geometric ops (shear/translate, the
+    stratified TPU path) reproduce the gather warp's outputs (within the
+    ±1 float32-vs-float64 coordinate residual) and PIL's, under the same
+    bounds the gather path is pinned to."""
+    import jax.numpy as jnp
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(6)
+    b, h, w = 3, 33, 29
+    imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    x = jnp.asarray(imgs)
+    sev = 9
+    lvl = sev / 10
+    aff, bil = Image.AFFINE, Image.BILINEAR
+
+    cases = [  # (op index, PIL twin per sign)
+        (5, "shear_x", lambda s, im: im.transform(
+            im.size, aff, (1, s * lvl * 0.3, 0, 0, 1, 0), bil)),
+        (6, "shear_y", lambda s, im: im.transform(
+            im.size, aff, (1, 0, 0, s * lvl * 0.3, 1, 0), bil)),
+        (7, "translate_x", lambda s, im: im.transform(
+            im.size, aff, (1, 0, s * lvl * 0.45 * w, 0, 1, 0), bil)),
+        (8, "translate_y", lambda s, im: im.transform(
+            im.size, aff, (1, 0, 0, 0, 1, s * lvl * 0.45 * h), bil)),
+    ]
+    for op_idx, name, pil_fn in cases:
+        for sgn in (1.0, -1.0):
+            sign = jnp.full((b,), sgn, jnp.float32)
+            fast = np.asarray(R._apply_op_static(
+                name, x, sign, jnp.ones((b,), jnp.float32), sev))
+            gather = np.asarray(R._bilinear_warp(x, R._affine_matrices(
+                jnp.full((b,), op_idx, jnp.int32), sign, sev, h, w)))
+            dg = np.abs(fast.astype(int) - gather.astype(int))
+            assert dg.max() <= 1 and (dg > 0).mean() < 0.01, (name, sgn)
+            want = np.stack([
+                np.asarray(pil_fn(sgn, Image.fromarray(imgs[i])), np.uint8)
+                for i in range(b)
+            ])
+            dp = np.abs(fast.astype(int) - want.astype(int))
+            assert dp.max() <= 1 and (dp > 0).mean() < 0.01, (name, sgn)
+
+
+def test_paeth_rotation_law():
+    """The Paeth 3-shear rotation (stratified TPU path): the shear
+    coordinate maps compose to exactly the rotation matrix; the black
+    footprint matches PIL's; the interior deviates only by the documented
+    chained-lerp smoothing (bounded below; small on smooth content)."""
+    import jax.numpy as jnp
+
+    from hvt.data import randaugment as R
+
+    # (a) coordinate algebra: Sx(a)·Sy(b)·Sx(a) == R(theta)
+    for theta in (0.31, -0.47, 0.05):
+        a, bsh = -np.tan(theta / 2), np.sin(theta)
+        sx = np.array([[1, a], [0, 1]])
+        sy = np.array([[1, 0], [bsh, 1]])
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        np.testing.assert_allclose(sx @ sy @ sx, rot, atol=1e-12)
+
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 33, 29
+    noise = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+    gy, gx = np.mgrid[0:h, 0:w]
+    smooth = np.stack([gx * 4 + gy * 3] * 3, -1).astype(np.uint8)  # ≤ 208
+    imgs = np.concatenate([noise, smooth[None]], axis=0)
+    x = jnp.asarray(imgs)
+    sev = 9
+    lvl = sev / 10
+
+    for sgn in (1.0, -1.0):
+        sign = jnp.full((b,), sgn, jnp.float32)
+        fast = np.asarray(R._apply_op_static(
+            "rotate", x, sign, jnp.ones((b,), jnp.float32), sev))
+        want = np.stack([
+            np.asarray(Image.fromarray(imgs[i]).rotate(
+                sgn * lvl * 30.0, Image.BILINEAR), np.uint8)
+            for i in range(b)
+        ])
+        # black footprint: both are exactly 0 outside the rotation map
+        gxc, gyc = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        th = sgn * lvl * 30.0 * np.pi / 180.0
+        u, v = gxc - w / 2.0, gyc - h / 2.0
+        xsrc = np.cos(th) * u - np.sin(th) * v + w / 2.0
+        ysrc = np.sin(th) * u + np.cos(th) * v + h / 2.0
+        outside = ~((xsrc >= 0) & (xsrc < w) & (ysrc >= 0) & (ysrc < h))
+        assert (fast[:, outside] == 0).all()
+        assert (want[:, outside] == 0).all()
+        # smooth content: chained lerps track direct bilerp closely
+        ds = np.abs(fast[1].astype(int) - want[1].astype(int))[~outside]
+        assert ds.max() <= 8 and ds.mean() < 1.0, (sgn, ds.max(), ds.mean())
+        # noise content: bounded, and strongly correlated
+        dn = np.abs(fast[0].astype(int) - want[0].astype(int))[~outside]
+        assert dn.mean() < 16.0, (sgn, dn.mean())
+        cc = np.corrcoef(fast[0][~outside].ravel().astype(float),
+                         want[0][~outside].ravel().astype(float))[0, 1]
+        assert cc > 0.9, cc
+
+
+def test_stratified_randaugment_dispatch():
+    """The stratified policy: deterministic under a key, static
+    shape/dtype, varies across keys, handles B < 13 and B ≥ 13, and
+    depth composes."""
+    import jax
+    import jax.numpy as jnp
+
+    from hvt.data import randaugment as R
+
+    rng = np.random.default_rng(8)
+    for b in (5, 26):
+        imgs = jnp.asarray(
+            rng.integers(0, 256, (b, 24, 24, 3), dtype=np.uint8))
+        out = R.rand_augment(jax.random.key(0), imgs, depth=1, severity=9)
+        assert out.shape == imgs.shape and out.dtype == jnp.uint8
+        again = R.rand_augment(jax.random.key(0), imgs, depth=1, severity=9)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(again))
+        other = R.rand_augment(jax.random.key(1), imgs, depth=1, severity=9)
+        assert (np.asarray(out) != np.asarray(other)).any()
+        deep = R.rand_augment(jax.random.key(0), imgs, depth=2, severity=9)
+        assert (np.asarray(deep) != np.asarray(out)).any()

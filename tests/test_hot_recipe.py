@@ -247,7 +247,7 @@ def test_hot_recipe_device_augmentation_variant(ds_root, tmp_path):
     tr = Trainer(cfg, mesh=parallel.cpu_mesh(2), log_interval=4)
     # Device modes landed in the step settings, and the host transform is
     # bare (no PIL post ops → the native decode path needs no post pass).
-    assert tr.settings.randaugment == (1, 9)
+    assert tr.settings.randaugment == (1, 9, True)
     assert tr.settings.colout == (0.05, 0.05)
     assert tr.train_loader.transform.randaugment_depth == 0
     assert tr.train_loader.transform.colout_p is None
