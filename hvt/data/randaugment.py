@@ -35,14 +35,19 @@ TPU shape notes (chip-probed at b256·224², see BENCH.md "device RA"):
   images within a step. ``stratified=False`` restores the iid
   all-candidates + ``where`` policy (the exactness oracle).
 * the geometric ops avoid XLA's general gather (which scalarizes on TPU:
-  764 ms/b256 measured) — per-row/column constant shifts are static
-  slices + a 2-tap lerp (``_shift_x_rows``/``_shift_y_cols``), exact for
-  shear/translate; rotation is the Paeth 3-shear decomposition on a
-  zero-padded canvas with the exact rotation footprint masked at the end
-  (law deviation vs PIL's direct bilinear: 3 chained 1-D lerps instead
-  of one 2-D bilerp — the black region is exact, the interior slightly
-  smoother; pinned by tests/test_data.py). The iid path keeps the exact
-  per-sample gather warp.
+  764 ms/b256 measured) — per-row/column constant shifts resolve their
+  static integer offsets at compile time: a masked sum of aligned
+  windows when offsets are few (translate), a barrel shifter
+  (ceil(log₂ max-shift) roll+select passes, _barrel_select) when many
+  (shears, rotation passes — the run-per-offset version measured
+  106 ms/b19 for rotate; the barrel 22 ms), plus one 2-tap lerp
+  (``_shift_x_rows``/``_shift_y_cols``) — exact for shear/translate;
+  rotation is the Paeth 3-shear decomposition on a padded canvas with
+  the exact rotation footprint masked at the end (law deviation vs
+  PIL's direct bilinear: 3 chained 1-D lerps instead of one 2-D bilerp
+  — the black region is exact, the interior slightly smoother; pinned
+  by tests/test_data.py). The iid path keeps the exact per-sample
+  gather warp.
 * ``equalize`` dispatches by backend: a 256-lane compare-reduce
   histogram on accelerators (TPU sort over 50k-px rows measured
   667 ms/b256; the compare-reduce is a fused VPU pass), sort +
@@ -346,14 +351,34 @@ def _runs(k: np.ndarray):
     return [(int(s), int(e), int(k[s])) for s, e in zip(starts, ends)]
 
 
+def _barrel_select(xt: jax.Array, s: np.ndarray, band_axis: int
+                   ) -> jax.Array:
+    """Shift row/column ``i`` of ``xt`` (major-axis-first layout) left by the
+    static per-band amount ``s[i] ≥ 0`` along the major axis, in
+    ``ceil(log2(max(s)+1))`` full-array roll+select passes (a barrel
+    shifter with compile-time select masks). Wrap-around garbage from
+    ``jnp.roll`` stays beyond the region later sliced out as long as the
+    caller padded by ≥ max(s)+1 (see _shift_x_rows)."""
+    bits = int(max(1, math.ceil(math.log2(int(s.max()) + 1)))) if s.max() > 0 else 0
+    shape = [1] * xt.ndim
+    shape[band_axis] = len(s)
+    for j in range(bits):
+        mask = ((s >> j) & 1).astype(bool)
+        if not mask.any():
+            continue
+        mask_j = jnp.asarray(mask).reshape(shape)
+        xt = jnp.where(mask_j, jnp.roll(xt, -(1 << j), axis=0), xt)
+    return xt
+
+
 def _shift_x_rows(xf: jax.Array, shift: np.ndarray, fill: bool = True
                   ) -> jax.Array:
     """Resample ``xf`` (N,H,W,C float32) at source index xs = xo + shift[yo]
     (a per-row constant x-shift) with the exact _bilinear_warp law
     restricted to ys == yo: 2-tap lerp, edge-clamped taps, black where the
     mapped corner-space center xo+0.5+shift leaves [0, W). ``shift`` is a
-    static float64 (H,) array, so integer offsets band into static slices
-    of an edge-padded image — no gather."""
+    static float64 (H,) array, so integer offsets are compile-time
+    constants — no gather."""
     n, h, w, c = xf.shape
     shift = np.asarray(shift, np.float64)
     k = np.floor(shift).astype(np.int64)
@@ -361,25 +386,41 @@ def _shift_x_rows(xf: jax.Array, shift: np.ndarray, fill: bool = True
     left = max(0, -int(k.min()))
     right = max(0, int(k.max()) + 1)
     pad = jnp.pad(xf, ((0, 0), (0, 0), (left, right), (0, 0)), mode="edge")
-    # Masked sum of static slices taken along the MAJOR axis: move W to
-    # dim 0 so any-offset slices are tile-aligned reads. Slicing the
-    # tiled lane/sublane dims at per-band offsets makes XLA emit
-    # misaligned-window fusions (52 ms/pass for a 19-image Paeth pass,
-    # 73% of the op, chip-profiled), and a concatenate of band slices is
-    # worse still (serialized dynamic-update-slice chain, 22 GB peak at
-    # b256). Two relayout transposes + aligned reads win.
+    # All offset machinery runs with W moved to the MAJOR axis: static
+    # slices/rolls of the tiled lane/sublane dims at arbitrary offsets
+    # make XLA emit misaligned-window fusions (52 ms/pass for a 19-image
+    # Paeth pass, 73% of the op, chip-profiled); major-axis windows are
+    # tile-aligned reads. Two relayout transposes + aligned passes win.
     xt = jnp.moveaxis(pad, 2, 0)  # (W+pads, N, H, C)
-    acc = jnp.zeros((w,) + (xf.shape[0], h, xf.shape[3]), xf.dtype)
-    for r0, r1, kk in _runs(k):
-        a = xt[left + kk:left + kk + w]
-        b = xt[left + kk + 1:left + kk + 1 + w]
-        band = (np.arange(h) >= r0) & (np.arange(h) < r1)
-        wgt = np.where(band, frac, 0.0).astype(np.float32)
-        cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
-        wgt_j = jnp.asarray(wgt)[None, None, :, None]
-        cwgt_j = jnp.asarray(cwgt)[None, None, :, None]
-        acc = acc + cwgt_j * a + wgt_j * b
-    out = jnp.moveaxis(acc, 0, 2)  # (N, H, W, C)
+    runs = _runs(k)
+    s = (k + left).astype(np.int64)  # per-row shift into the padded frame
+    bits = int(math.ceil(math.log2(int(s.max()) + 1))) if s.max() > 0 else 0
+    if len(runs) <= bits + 1:
+        # Few distinct offsets (translate: 1): a masked sum of static
+        # aligned windows costs one pass per run.
+        acc = jnp.zeros((w,) + (n, h, c), xf.dtype)
+        for r0, r1, kk in runs:
+            a = xt[left + kk:left + kk + w]
+            b = xt[left + kk + 1:left + kk + 1 + w]
+            band = (np.arange(h) >= r0) & (np.arange(h) < r1)
+            wgt = np.where(band, frac, 0.0).astype(np.float32)
+            cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
+            acc = acc + (jnp.asarray(cwgt)[None, None, :, None] * a
+                         + jnp.asarray(wgt)[None, None, :, None] * b)
+        out = jnp.moveaxis(acc, 0, 2)  # (N, H, W, C)
+    else:
+        # Many offsets (shears, Paeth rotation passes: ~0.3·W distinct
+        # values): the run loop pays one full-canvas pass per offset
+        # (106 ms/b19 for rotate, chip-measured). A barrel shifter does it
+        # in ceil(log2(max_shift)) roll+select passes; the +1 lerp tap is
+        # one more static roll of the shifted result. Wrap garbage from
+        # roll lands at indices ≥ Wp − s[y] ≥ w (Wp − w = left + right >
+        # max(s)), outside the slice kept below.
+        at = _barrel_select(xt, s, band_axis=2)  # (Wp, N, H, C)
+        a = at[:w]
+        b = jnp.roll(at, -1, axis=0)[:w]
+        wgt = jnp.asarray(frac)[None, None, :, None]
+        out = jnp.moveaxis((1.0 - wgt) * a + wgt * b, 0, 2)
     if fill:
         xo = np.arange(w, dtype=np.float64) + 0.5
         valid = ((xo[None, :] + shift[:, None]) >= 0.0) & (
@@ -399,19 +440,28 @@ def _shift_y_cols(xf: jax.Array, shift: np.ndarray, fill: bool = True
     top = max(0, -int(k.min()))
     bot = max(0, int(k.max()) + 1)
     pad = jnp.pad(xf, ((0, 0), (top, bot), (0, 0), (0, 0)), mode="edge")
-    # Masked sum over major-axis slices — see _shift_x_rows.
+    # Major-axis windows / barrel shifter — see _shift_x_rows.
     xt = jnp.moveaxis(pad, 1, 0)  # (H+pads, N, W, C)
-    acc = jnp.zeros((h,) + (xf.shape[0], w, xf.shape[3]), xf.dtype)
-    for c0, c1, kk in _runs(k):
-        a = xt[top + kk:top + kk + h]
-        b = xt[top + kk + 1:top + kk + 1 + h]
-        band = (np.arange(w) >= c0) & (np.arange(w) < c1)
-        wgt = np.where(band, frac, 0.0).astype(np.float32)
-        cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
-        wgt_j = jnp.asarray(wgt)[None, None, :, None]
-        cwgt_j = jnp.asarray(cwgt)[None, None, :, None]
-        acc = acc + cwgt_j * a + wgt_j * b
-    out = jnp.moveaxis(acc, 0, 1)  # (N, H, W, C)
+    runs = _runs(k)
+    s = (k + top).astype(np.int64)  # per-column shift into the padded frame
+    bits = int(math.ceil(math.log2(int(s.max()) + 1))) if s.max() > 0 else 0
+    if len(runs) <= bits + 1:
+        acc = jnp.zeros((h,) + (n, w, c), xf.dtype)
+        for c0, c1, kk in runs:
+            a = xt[top + kk:top + kk + h]
+            b = xt[top + kk + 1:top + kk + 1 + h]
+            band = (np.arange(w) >= c0) & (np.arange(w) < c1)
+            wgt = np.where(band, frac, 0.0).astype(np.float32)
+            cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
+            acc = acc + (jnp.asarray(cwgt)[None, None, :, None] * a
+                         + jnp.asarray(wgt)[None, None, :, None] * b)
+        out = jnp.moveaxis(acc, 0, 1)  # (N, H, W, C)
+    else:
+        at = _barrel_select(xt, s, band_axis=2)  # (Hp, N, W, C)
+        a = at[:h]
+        b = jnp.roll(at, -1, axis=0)[:h]
+        wgt = jnp.asarray(frac)[None, None, :, None]
+        out = jnp.moveaxis((1.0 - wgt) * a + wgt * b, 0, 1)
     if fill:
         yo = np.arange(h, dtype=np.float64) + 0.5
         valid = ((yo[:, None] + shift[None, :]) >= 0.0) & (

@@ -36,6 +36,12 @@ def _barrier(x) -> float:
     return float(jnp.sum(x).astype(jnp.float32))
 
 
+def _sig(x: float, digits: int = 4) -> float:
+    """Round to significant digits: tiny rates (contended-CPU test runs)
+    must not round to 0.0 — tests assert positivity."""
+    return float(f"{x:.{digits}g}")
+
+
 def matmul_tflops(n: int, chain: int, dtype=jnp.bfloat16, repeats: int = 3) -> dict:
     """Chained n×n matmuls in one program; returns best-of-repeats TF/s."""
 
@@ -63,7 +69,7 @@ def matmul_tflops(n: int, chain: int, dtype=jnp.bfloat16, repeats: int = 3) -> d
         "probe": f"matmul_bf16_{n}",
         "chain": chain,
         "seconds": round(best, 4),
-        "tflops": round(flops / best / 1e12, 2),
+        "tflops": _sig(flops / best / 1e12),
     }
 
 
@@ -101,7 +107,7 @@ def hbm_bandwidth_gbs(mb: int = 512, chain: int = 16, repeats: int = 3) -> dict:
         "probe": f"hbm_read_{mb}MB",
         "chain": chain,
         "seconds": round(best, 4),
-        "gbs": round(bytes_read / best / 1e9, 1),
+        "gbs": _sig(bytes_read / best / 1e9),
     }
 
 
@@ -135,7 +141,7 @@ def hbm_copy_gbs(mb: int = 256, chain: int = 16, repeats: int = 3) -> dict:
         "probe": f"hbm_copy_{mb}MB",
         "chain": chain,
         "seconds": round(best, 4),
-        "gbs": round(bytes_moved / best / 1e9, 1),
+        "gbs": _sig(bytes_moved / best / 1e9),
     }
 
 
@@ -167,7 +173,7 @@ def bn_stats_gbs(repeats: int = 3, chain: int = 8) -> dict:
         "probe": f"bn_stats_{b}x{h}x{w}x{c}",
         "chain": chain,
         "seconds": round(best, 4),
-        "gbs": round(bytes_read / best / 1e9, 1),
+        "gbs": _sig(bytes_read / best / 1e9),
     }
 
 
@@ -220,7 +226,7 @@ def traced_hbm_probes(mb: int = 392, repeats: int = 3) -> list[dict]:
         results.append({
             "probe": f"hbm_traced_{kind}_{mb}MB",
             "op_ms": round(per_ms, 3),
-            "gbs": round(nb / (per_ms / 1e3) / 1e9, 1),
+            "gbs": _sig(nb / (per_ms / 1e3) / 1e9),
         })
     return results
 
