@@ -155,6 +155,10 @@ class MeshConfig:
     data: int = -1
     # Reserved for model-parallel experiments; 1 keeps params replicated.
     model: int = 1
+    # Spatial partitioning: shard the image H dim over this many devices
+    # (GSPMD inserts the conv halo exchanges / BN psums). For conv
+    # families; SwinV2 needs {fuse: false, use_pallas: false} with it.
+    spatial: int = 1
 
 
 @dataclass

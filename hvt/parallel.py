@@ -9,6 +9,17 @@ gradient reduction to ICI all-reduces — there is no hand-written comm layer.
 A ``model`` axis is laid out (default size 1) so model-parallel shardings can
 be introduced without re-plumbing; collectives ride ICI as long as the mesh
 uses the default device order.
+
+A ``spatial`` axis (default size 1) carries GSPMD **spatial partitioning**:
+image inputs shard their H dimension over it (``image_sharding``), XLA
+inserts the convolution halo exchanges and turns the BatchNorm/pool
+reductions into cross-``spatial`` psums automatically. This is the
+TPU-native lever for when per-chip batch would otherwise drop below 1 (very
+large images or very large meshes) — the reference has no counterpart
+(DDP only). Conv families (ResNet) partition cleanly; the SwinV2 Pallas
+kernels operate on window-major tensors and cannot partition H, so
+``spatial > 1`` requires their plain-XLA lowering (``shard_map_kernel``
+raises with instructions otherwise).
 """
 
 from __future__ import annotations
@@ -20,7 +31,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
+_AXES = (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS)
 
 
 def make_mesh(
@@ -33,16 +46,21 @@ def make_mesh(
     devices = np.asarray(devices)
 
     model = getattr(mesh_cfg, "model", 1) if mesh_cfg is not None else 1
+    spatial = getattr(mesh_cfg, "spatial", 1) if mesh_cfg is not None else 1
     data = getattr(mesh_cfg, "data", -1) if mesh_cfg is not None else -1
     if data == -1:
-        if len(devices) % model:
-            raise ValueError(f"{len(devices)} devices not divisible by model={model}")
-        data = len(devices) // model
-    if data * model != len(devices):
+        if len(devices) % (model * spatial):
+            raise ValueError(
+                f"{len(devices)} devices not divisible by "
+                f"spatial={spatial} x model={model}"
+            )
+        data = len(devices) // (model * spatial)
+    if data * spatial * model != len(devices):
         raise ValueError(
-            f"mesh {data}x{model} does not match {len(devices)} devices"
+            f"mesh {data}x{spatial}x{model} (data x spatial x model) does "
+            f"not match {len(devices)} devices"
         )
-    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(devices.reshape(data, spatial, model), _AXES)
 
 
 def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -53,16 +71,17 @@ def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None
     n = len(devices)
     while n > 1 and batch_size % n:
         n -= 1
-    return Mesh(np.asarray(devices[:n]).reshape(n, 1), (DATA_AXIS, MODEL_AXIS))
+    return Mesh(np.asarray(devices[:n]).reshape(n, 1, 1), _AXES)
 
 
-def cpu_mesh(n_devices: int, model: int = 1) -> Mesh:
+def cpu_mesh(n_devices: int, model: int = 1, spatial: int = 1) -> Mesh:
     """Mesh over virtual CPU devices (tests / multi-chip dry runs).
 
     Requires XLA_FLAGS=--xla_force_host_platform_device_count>=n. Requests
     the cpu backend explicitly because this environment force-registers a
     TPU platform regardless of JAX_PLATFORMS (see .claude/skills/verify).
-    ``model > 1`` carves a tensor-parallel axis out of the device grid.
+    ``model > 1`` carves a tensor-parallel axis out of the device grid;
+    ``spatial > 1`` a spatial-partitioning axis.
     """
     devices = jax.devices("cpu")[:n_devices]
     if len(devices) < n_devices:
@@ -70,17 +89,37 @@ def cpu_mesh(n_devices: int, model: int = 1) -> Mesh:
             f"only {len(devices)} cpu devices; set "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
         )
-    if n_devices % model:
-        raise ValueError(f"{n_devices} devices not divisible by model={model}")
+    if n_devices % (model * spatial):
+        raise ValueError(
+            f"{n_devices} devices not divisible by spatial={spatial} x "
+            f"model={model}"
+        )
     return Mesh(
-        np.asarray(devices).reshape(n_devices // model, model),
-        (DATA_AXIS, MODEL_AXIS),
+        np.asarray(devices).reshape(
+            n_devices // (model * spatial), spatial, model
+        ),
+        _AXES,
     )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharded over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def spatial_size(mesh: Mesh) -> int:
+    """Size of the spatial-partitioning axis (1 on legacy 2-axis meshes)."""
+    return int(mesh.shape.get(SPATIAL_AXIS, 1))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: batch over ``data``; H additionally
+    over ``spatial`` when that axis is real — GSPMD spatially partitions the
+    convolutions (halo exchanges) and BN/pool reductions (psums) from this
+    one annotation."""
+    if spatial_size(mesh) > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return batch_sharding(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -92,17 +131,19 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
 
     Uses make_array_from_process_local_data so each host contributes its own
     shard (multi-host analog of the per-rank DistributedSampler,
-    reference data.py:147).
+    reference data.py:147). Images take ``image_sharding`` (H additionally
+    sharded over a real spatial axis); labels/mask are batch-only.
     """
     sharding = batch_sharding(mesh)
+    img_sharding = image_sharding(mesh)
     if jax.process_count() == 1:
         # One pytree transfer (one runtime round trip) — equivalent to the
         # per-array path on a single host, cheaper on latency-bound links.
         return jax.device_put(
             (batch.images, batch.labels, batch.mask),
-            (sharding, sharding, sharding),
+            (img_sharding, sharding, sharding),
         )
-    images = jax.make_array_from_process_local_data(sharding, batch.images)
+    images = jax.make_array_from_process_local_data(img_sharding, batch.images)
     labels = jax.make_array_from_process_local_data(sharding, batch.labels)
     mask = jax.make_array_from_process_local_data(sharding, batch.mask)
     return images, labels, mask
@@ -158,6 +199,14 @@ def shard_map_kernel(fn, batch_argnums: Sequence[int], n_args: int):
     mesh = kernel_mesh()
     if mesh is None:
         return fn
+    if spatial_size(mesh) > 1:
+        raise ValueError(
+            "Pallas kernels operate on window-major tensors and cannot "
+            "partition the image H dim over the spatial mesh axis. With "
+            "mesh.spatial > 1 use the plain-XLA lowering: model.args "
+            "{fuse: false, use_pallas: false} (GSPMD partitions the XLA "
+            "ops automatically)."
+        )
     batch = frozenset(batch_argnums)
     in_specs = tuple(
         P(DATA_AXIS) if i in batch else P() for i in range(n_args)

@@ -240,7 +240,8 @@ class Trainer:
             labels = sds((gbs, len(self.info.num_classes)), jnp.int32, sharded)
         else:
             labels = sds((gbs,), jnp.int32, sharded)
-        images = sds((gbs, crop, crop, 3), jnp.uint8, sharded)
+        images = sds((gbs, crop, crop, 3), jnp.uint8,
+                     parallel.image_sharding(self.mesh))
         mask = sds((gbs,), jnp.float32, sharded)
         key_shape = jax.eval_shape(lambda: jax.random.key(0))
         rng = sds(key_shape.shape, key_shape.dtype, repl)
