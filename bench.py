@@ -302,6 +302,12 @@ def main():
         {"cls": "GradientClipping",
          "args": {"clipping_type": "norm", "clipping_threshold": 2.0}},
     ]
+    # BlurPool A/B: the reference's inat21 recipe includes BlurPool
+    # (reference configs/pretrain/inat21.yaml:30); the default workload
+    # omits it to stay comparable to the MLPerf-class anchor (which is
+    # blurpool-free). HVT_BENCH_BLURPOOL=1 measures the recipe's true cost.
+    if os.environ.get("HVT_BENCH_BLURPOOL") == "1":
+        r50_algos.insert(0, {"cls": "BlurPool"})
     # Device-side augmentation A/B (hot-recipe device pair): measures the
     # chip cost of in-step RandAugment (+ColOut) vs the bare step —
     # the host-side saving is measured separately (BENCH.md).
