@@ -109,9 +109,25 @@ def equalize(x: jax.Array, method: str = "auto") -> jax.Array:
       667 ms/b256·224² while the compare-reduce is one VPU pass over the
       uint8 pixels with the 256 levels on the lane dim; the final LUT
       application is a compare-sum too (TPU's 256-entry gather would
-      scalarize)."""
+      scalarize).
+
+    ``"auto"`` consults the declared kernel mesh first (the Trainer sets it
+    before tracing, so an explicit CPU mesh picks "sort" even when the
+    process-default platform is a TPU) and only falls back to
+    ``jax.default_backend()`` outside a Trainer — never initialize the
+    default backend from inside a mesh-pinned trace (on this machine the
+    default platform is a force-registered TPU plugin whose client init
+    can hang when the tunnel is down; see CLAUDE.md)."""
     if method == "auto":
-        method = "sort" if jax.default_backend() == "cpu" else "compare"
+        from hvt import parallel
+
+        mesh = parallel.declared_kernel_mesh()
+        platform = (
+            mesh.devices.flat[0].platform
+            if mesh is not None
+            else jax.default_backend()
+        )
+        method = "sort" if platform == "cpu" else "compare"
     b, h, w, c = x.shape
     levels = jnp.arange(256, dtype=jnp.int32)
 
@@ -432,42 +448,10 @@ def _shift_x_rows(xf: jax.Array, shift: np.ndarray, fill: bool = True
 def _shift_y_cols(xf: jax.Array, shift: np.ndarray, fill: bool = True
                   ) -> jax.Array:
     """The y-axis twin of _shift_x_rows: source ys = yo + shift[xo], a
-    per-column constant y-shift banded into static slices along H."""
-    n, h, w, c = xf.shape
-    shift = np.asarray(shift, np.float64)
-    k = np.floor(shift).astype(np.int64)
-    frac = (shift - k).astype(np.float32)
-    top = max(0, -int(k.min()))
-    bot = max(0, int(k.max()) + 1)
-    pad = jnp.pad(xf, ((0, 0), (top, bot), (0, 0), (0, 0)), mode="edge")
-    # Major-axis windows / barrel shifter — see _shift_x_rows.
-    xt = jnp.moveaxis(pad, 1, 0)  # (H+pads, N, W, C)
-    runs = _runs(k)
-    s = (k + top).astype(np.int64)  # per-column shift into the padded frame
-    bits = int(math.ceil(math.log2(int(s.max()) + 1))) if s.max() > 0 else 0
-    if len(runs) <= bits + 1:
-        acc = jnp.zeros((h,) + (n, w, c), xf.dtype)
-        for c0, c1, kk in runs:
-            a = xt[top + kk:top + kk + h]
-            b = xt[top + kk + 1:top + kk + 1 + h]
-            band = (np.arange(w) >= c0) & (np.arange(w) < c1)
-            wgt = np.where(band, frac, 0.0).astype(np.float32)
-            cwgt = np.where(band, 1.0 - frac, 0.0).astype(np.float32)
-            acc = acc + (jnp.asarray(cwgt)[None, None, :, None] * a
-                         + jnp.asarray(wgt)[None, None, :, None] * b)
-        out = jnp.moveaxis(acc, 0, 1)  # (N, H, W, C)
-    else:
-        at = _barrel_select(xt, s, band_axis=2)  # (Hp, N, W, C)
-        a = at[:h]
-        b = jnp.roll(at, -1, axis=0)[:h]
-        wgt = jnp.asarray(frac)[None, None, :, None]
-        out = jnp.moveaxis((1.0 - wgt) * a + wgt * b, 0, 1)
-    if fill:
-        yo = np.arange(h, dtype=np.float64) + 0.5
-        valid = ((yo[:, None] + shift[None, :]) >= 0.0) & (
-            (yo[:, None] + shift[None, :]) < h)
-        out = out * jnp.asarray(valid, xf.dtype)[None, :, :, None]
-    return out
+    per-column constant y-shift. Exactly the x-shift of the HW-transposed
+    image (the law is symmetric in the axes), so it IS that — the logical
+    swapaxes folds into _shift_x_rows's own relayout."""
+    return _shift_x_rows(xf.swapaxes(1, 2), shift, fill).swapaxes(1, 2)
 
 
 def _rotate_paeth(xf: jax.Array, sgn: float, severity: int) -> jax.Array:

@@ -183,9 +183,23 @@ def declared_kernel_mesh() -> Optional[Mesh]:
 
 def kernel_mesh() -> Optional[Mesh]:
     """The active multi-device kernel mesh, or None when kernels can run
-    unwrapped (no mesh declared, or a single-device mesh)."""
+    unwrapped (no mesh declared, or a single-device mesh).
+
+    Raises on a spatial mesh: every consumer wraps a Pallas kernel in a
+    data-axis-only shard_map, which under ``spatial > 1`` would silently
+    all-gather the H-sharded activations into every kernel instance —
+    defeating the memory purpose of spatial partitioning."""
     mesh = _KERNEL_MESH
     if mesh is not None and mesh.devices.size > 1:
+        if spatial_size(mesh) > 1:
+            raise ValueError(
+                "Pallas kernels operate on data-sharded tensors and cannot "
+                "partition the image H dim over the spatial mesh axis. With "
+                "mesh.spatial > 1 use the plain-XLA lowerings: model.args "
+                "{fuse: false, use_pallas: false} for SwinV2 and leave "
+                "bn_pallas off for ResNet (GSPMD partitions the XLA ops — "
+                "including the pure-jnp bn_custom path — automatically)."
+            )
         return mesh
     return None
 
@@ -196,17 +210,9 @@ def shard_map_kernel(fn, batch_argnums: Sequence[int], n_args: int):
     ``batch_argnums`` index positional args whose leading dim is the
     (window-major-batch) batch dim — sharded over the data axis; every other
     arg is replicated. No-op when no multi-device mesh is active."""
-    mesh = kernel_mesh()
+    mesh = kernel_mesh()  # raises on spatial meshes — see kernel_mesh
     if mesh is None:
         return fn
-    if spatial_size(mesh) > 1:
-        raise ValueError(
-            "Pallas kernels operate on window-major tensors and cannot "
-            "partition the image H dim over the spatial mesh axis. With "
-            "mesh.spatial > 1 use the plain-XLA lowering: model.args "
-            "{fuse: false, use_pallas: false} (GSPMD partitions the XLA "
-            "ops automatically)."
-        )
     batch = frozenset(batch_argnums)
     in_specs = tuple(
         P(DATA_AXIS) if i in batch else P() for i in range(n_args)
