@@ -687,3 +687,71 @@ def test_sigterm_preempts_saves_and_auto_resumes(tmp_path):
     assert tr2.checkpointer.latest_step() == 6
     assert np.isfinite(metrics["cross-entropy"])
     tr2.close()
+
+
+def test_cross_topology_checkpoint_restore(micro_config):
+    """A checkpoint written under one mesh topology restores under another
+    (Orbax stores global arrays; the restore target's shardings drive the
+    resharding): TP=2-sharded SwinV2 state -> pure-DP mesh, and that DP
+    checkpoint -> back onto a TP mesh. Production reality: save/restore
+    must not pin the run to its original device layout."""
+    from hvt.train.loop import Trainer
+
+    swin = C.loads(
+        C.to_dict(micro_config),
+        {
+            "run_name": "topo_tp",
+            "max_duration": "2ba",
+            "model": {"name": "swinv2_micro"},
+            "algorithms": [
+                {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
+            ],
+            "optim": {"name": "DecoupledAdamW", "lr": 1e-3,
+                      "weight_decay": 0.05},
+            "save": {"interval": "2ba", "num_checkpoints_to_keep": 2},
+        },
+    )
+    tp_mesh = parallel.cpu_mesh(4, model=2)
+    tr_a = Trainer(swin, mesh=tp_mesh, log_interval=10)
+    # Sanity: the TP rules actually sharded the MLP.
+    specs = {
+        str(leaf.sharding.spec)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            tr_a.state.params
+        )[0]
+        if "fc1" in "/".join(str(p) for p in path)
+    }
+    assert any("model" in s for s in specs), specs
+    tr_a.fit()
+    final_a = jax.tree.map(np.asarray, jax.device_get(tr_a.state.params))
+    tr_a.close()
+
+    import pathlib
+
+    ckpts = pathlib.Path(swin.machine.save_root) / "topo_tp" / "checkpoints"
+    assert (ckpts / "2").is_dir()
+
+    # TP-sharded checkpoint -> pure-DP mesh.
+    dp_cfg = C.loads(
+        C.to_dict(swin),
+        {"run_name": "topo_dp", "load_path": f"ckpt://{ckpts}:2"},
+    )
+    dp_mesh = parallel.cpu_mesh(4)
+    tr_b = Trainer(dp_cfg, mesh=dp_mesh, log_interval=10)
+    assert int(tr_b.state.step) == 2
+    final_b = jax.tree.map(np.asarray, jax.device_get(tr_b.state.params))
+    for a, b in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_b)):
+        assert np.array_equal(a, b), "TP->DP restore changed parameter values"
+    tr_b.close()
+
+    # The same checkpoint -> a fresh TP mesh (resharded back).
+    tp_cfg = C.loads(
+        C.to_dict(swin),
+        {"run_name": "topo_tp2", "load_path": f"ckpt://{ckpts}:2"},
+    )
+    tr_c = Trainer(tp_cfg, mesh=parallel.cpu_mesh(4, model=2), log_interval=10)
+    assert int(tr_c.state.step) == 2
+    final_c = jax.tree.map(np.asarray, jax.device_get(tr_c.state.params))
+    for a, c in zip(jax.tree.leaves(final_a), jax.tree.leaves(final_c)):
+        assert np.array_equal(a, c), "DP->TP restore changed parameter values"
+    tr_c.close()
