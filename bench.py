@@ -61,7 +61,8 @@ MEASURE_STEPS = int(os.environ.get("HVT_BENCH_STEPS", 50))
 MEASURE_WINDOWS = int(os.environ.get("HVT_BENCH_WINDOWS", 3))
 
 
-def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
+def measure(cfg_overrides: dict, batch_per_chip: int,
+            image_size: int = None) -> list[float]:
     """Build the full train step for one workload and time it.
 
     Timing uses a host fetch of a loss value data-dependent on every step
@@ -81,6 +82,7 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
 
     n_chips = jax.device_count()
     batch = batch_per_chip * n_chips
+    image_size = IMAGE_SIZE if image_size is None else image_size
 
     cfg = config_lib.loads(cfg_overrides)
     algos = parse_algorithms(cfg)
@@ -95,13 +97,21 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
         cfg.optim, mult, grad_clip_norm=algos.grad_clip_norm,
         no_decay_substrings=no_decay,
     )
+    # Mirror the Trainer's settings construction (hvt/train/loop.py) so
+    # recipe workloads (mixup/SAM/device augmentation) measure the real
+    # compiled step, not a subset.
     settings = step_lib.StepSettings(
-        num_classes=NUM_CLASSES, smoothing=algos.label_smoothing, ema=algos.ema,
+        num_classes=NUM_CLASSES, smoothing=algos.label_smoothing,
+        mixup_alpha=algos.mixup_alpha, cutmix_alpha=algos.cutmix_alpha,
+        ema=algos.ema, sam_rho=algos.sam_rho, sam_interval=algos.sam_interval,
         randaugment=algos.randaugment_device, colout=algos.colout_device,
     )
-    train_step = step_lib.build_train_step(
-        model, objectives.soft_cross_entropy, tx, prep, settings
+    objective = (
+        objectives.binary_cross_entropy
+        if cfg.model.loss_name == "binary_cross_entropy"
+        else objectives.soft_cross_entropy
     )
+    train_step = step_lib.build_train_step(model, objective, tx, prep, settings)
 
     replicated = parallel.replicated(mesh)
     sharded = parallel.batch_sharding(mesh)
@@ -109,14 +119,14 @@ def measure(cfg_overrides: dict, batch_per_chip: int) -> list[float]:
     state = jax.jit(
         lambda: state_lib.create(
             model, tx, jax.random.key(0),
-            prep.normalize(jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.uint8)),
+            prep.normalize(jnp.zeros((2, image_size, image_size, 3), jnp.uint8)),
             ema=algos.ema is not None,
         ),
         out_shardings=replicated,
     )()
 
     host_images = np.random.default_rng(0).integers(
-        0, 256, (batch, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8
+        0, 256, (batch, image_size, image_size, 3), dtype=np.uint8
     )
     host_labels = np.random.default_rng(1).integers(
         0, NUM_CLASSES, (batch,), dtype=np.int32
@@ -364,6 +374,46 @@ def main():
     if swin is not None:
         record["workloads"]["swinv2_tiny"] = _summarize(
             swin, A100_SWINV2_TINY_IMAGES_PER_SEC, swin_batch
+        )
+
+    # Opt-in: the COMPLETE hot recipe (configs/recipes/hot_tpu.yaml) as one
+    # compiled step — BlurPool, EMA, LabelSmoothing, MixUp, SAM(10),
+    # device ColOut+RandAugment, StochasticDepth, BCE loss, at the recipe's
+    # 176px train crop (ProgressiveResizing steady state for the main 40-80%
+    # of training). The north-star recipes' true chip throughput.
+    if os.environ.get("HVT_BENCH_HOT") == "1":
+        hot = measure(
+            {
+                "model": {"name": "resnet50", "args": r50_args,
+                          "loss_name": "binary_cross_entropy"},
+                "optim": {"name": "DecoupledSGDW", "lr": 2.048,
+                          "momentum": 0.875, "weight_decay": 5.0e-4},
+                "algorithms": [
+                    {"cls": "BlurPool"},
+                    {"cls": "EMA",
+                     "args": {"half_life": "100ba", "update_interval": "20ba"}},
+                    {"cls": "LabelSmoothing", "args": {"smoothing": 0.08}},
+                    {"cls": "MixUp", "args": {"alpha": 0.2}},
+                    {"cls": "SAM", "args": {"rho": 0.5, "interval": 10}},
+                    {"cls": "ColOut",
+                     "args": {"p_col": 0.05, "p_row": 0.05, "device": True}},
+                    {"cls": "RandAugment",
+                     "args": {"depth": 1, "severity": 9, "device": True}},
+                    {"cls": "StochasticDepth",
+                     "args": {"target_layer_name": "ResNetBottleneck",
+                              "stochastic_method": "sample",
+                              "drop_distribution": "linear",
+                              "drop_rate": 0.1}},
+                    {"cls": "GradientClipping",
+                     "args": {"clipping_type": "norm",
+                              "clipping_threshold": 2.0}},
+                ],
+            },
+            r50_batch,
+            image_size=176,
+        )
+        record["workloads"]["resnet50_hot_recipe"] = _summarize(
+            hot, None, r50_batch
         )
 
     # Opt-in inference workloads (serving-relevant eval forwards; default off
