@@ -125,3 +125,50 @@ def test_pallas_kernels_refuse_spatial_mesh():
             parallel.shard_map_kernel(lambda x: x, batch_argnums=(0,), n_args=1)
     finally:
         parallel.set_kernel_mesh(prev)
+
+
+def test_swin_spatial_mesh_runs_via_xla_and_kernels_refuse():
+    """The kernel_mesh guard's instruction is real: SwinV2 with the plain-XLA
+    lowering ({fuse: false, use_pallas: false}) trains on a spatial mesh and
+    matches pure-dp; with kernels enabled the trace raises the routing
+    error instead of computing garbage."""
+    from hvt.train.loop import Trainer
+
+    def swin_cfg(run_name, spatial, fuse):
+        base = _micro_cfg(run_name, spatial=spatial)
+        return C.loads(
+            C.to_dict(base),
+            {
+                "model": {"name": "swinv2_micro",
+                          "args": {"fuse": fuse, "use_pallas": fuse}},
+                "optim": {"name": "DecoupledAdamW", "lr": 1e-3,
+                          "weight_decay": 0.05},
+            },
+        )
+
+    losses = {}
+    for name, mesh, cfg in (
+        ("dp", parallel.cpu_mesh(4), swin_cfg("swin_sp_dp", 1, False)),
+        ("sp", parallel.cpu_mesh(4, spatial=2), swin_cfg("swin_sp_sp", 2, False)),
+    ):
+        tr = Trainer(cfg, mesh=mesh, log_interval=100)
+        batch = next(iter(tr.train_loader.epoch(0)))
+        images, labels, mask = parallel.put_batch(mesh, batch)
+        _, stats = tr.train_step(
+            tr.state, images, labels, mask, tr.base_rng, scale=1.0
+        )
+        losses[name] = float(stats["loss_sum"])
+        tr.close()
+    np.testing.assert_allclose(losses["sp"], losses["dp"], rtol=1e-5)
+
+    # Kernels on a spatial mesh refuse at trace time with instructions.
+    mesh = parallel.cpu_mesh(4, spatial=2)
+    tr = None
+    with pytest.raises(ValueError, match="fuse: false"):
+        tr = Trainer(swin_cfg("swin_sp_kern", 2, True), mesh=mesh,
+                     log_interval=100)
+        batch = next(iter(tr.train_loader.epoch(0)))
+        images, labels, mask = parallel.put_batch(mesh, batch)
+        tr.train_step(tr.state, images, labels, mask, tr.base_rng, scale=1.0)
+    if tr is not None:
+        tr.close()
