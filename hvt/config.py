@@ -159,6 +159,10 @@ class MeshConfig:
     # (GSPMD inserts the conv halo exchanges / BN psums). For conv
     # families; SwinV2 needs {fuse: false, use_pallas: false} with it.
     spatial: int = 1
+    # ZeRO-1: shard optimizer state (AdamW mu/nu, SGD momentum) over the
+    # data axis instead of replicating it — one parameter all-gather per
+    # step buys back 2x params of f32 HBM per chip under AdamW.
+    zero: bool = False
 
 
 @dataclass

@@ -263,10 +263,22 @@ def _match_spec(path: str, rules) -> PartitionSpec:
     return P()
 
 
-def tp_shardings(mesh: Mesh, tree, rules=TP_RULES):
+def tp_shardings(mesh: Mesh, tree, rules=TP_RULES, zero: bool = False):
     """Pytree of NamedShardings: rule-matched leaves shard over the model
     axis, everything else replicates. `tree` may hold arrays or
-    ShapeDtypeStructs (only the structure and paths are used)."""
+    ShapeDtypeStructs (only the structure and paths are used).
+
+    ``zero=True`` adds ZeRO-1-style optimizer-state sharding: any
+    still-replicated leaf under the TrainState's ``opt_state`` subtree
+    shards its first data-size-divisible dimension over the ``data`` axis
+    (out_shardings require exact divisibility; leaves with no such
+    dimension stay replicated). The optimizer update then computes each
+    momentum shard locally from the (replicated) gradient and the
+    parameter update all-gathers once per step — AdamW's mu/nu (2× params
+    of f32) stop being replicated per chip. Parameters, EMA, and batch
+    stats keep their TP-or-replicated layout (eval and kernels read them
+    directly)."""
+    data = int(mesh.shape.get(DATA_AXIS, 1))
 
     def leaf_sharding(path, leaf):
         keys = "/".join(
@@ -278,6 +290,11 @@ def tp_shardings(mesh: Mesh, tree, rules=TP_RULES):
         # fine — GSPMD treats size-1 axes as replication — but guard rank.
         if spec != P() and getattr(leaf, "ndim", 0) < len(spec):
             spec = P()
+        if zero and spec == P() and keys.startswith("opt_state") and data > 1:
+            for d in range(getattr(leaf, "ndim", 0)):
+                if leaf.shape[d] >= data and leaf.shape[d] % data == 0:
+                    spec = P(*([None] * d + [DATA_AXIS]))
+                    break
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

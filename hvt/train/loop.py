@@ -289,11 +289,19 @@ class Trainer:
 
     def _init_state(self) -> state_lib.TrainState:
         init = self._make_init_fn()
-        if self.mesh.shape.get(parallel.MODEL_AXIS, 1) > 1:
+        tp = self.mesh.shape.get(parallel.MODEL_AXIS, 1) > 1
+        zero = bool(getattr(self.config.mesh, "zero", False)) and (
+            self.mesh.shape.get(parallel.DATA_AXIS, 1) > 1
+        )
+        if tp or zero:
             # Tensor parallelism: rule-matched parameters (and their
             # optimizer/EMA mirrors) shard over the model axis; XLA
             # partitions the matmuls and inserts the collectives.
-            out = parallel.tp_shardings(self.mesh, jax.eval_shape(init))
+            # ZeRO-1 (mesh.zero): optimizer state shards over the data
+            # axis — see parallel.tp_shardings.
+            out = parallel.tp_shardings(
+                self.mesh, jax.eval_shape(init), zero=zero
+            )
             return jax.jit(init, out_shardings=out)()
         return jax.jit(init, out_shardings=parallel.replicated(self.mesh))()
 
