@@ -69,12 +69,25 @@ struct Image {
   int w = 0, h = 0;
 };
 
-// Decode a JPEG file to RGB. min_dim: smallest useful output dimension —
+// JPEG source: a file path (loader) or an in-memory buffer (serving — the
+// HTTP engine hands request bytes straight to the decoder).
+struct Source {
+  const char* path = nullptr;
+  const uint8_t* buf = nullptr;
+  size_t len = 0;
+};
+
+// Decode a JPEG to RGB. min_dim: smallest useful output dimension —
 // libjpeg DCT scaling (M/8 for M in 1..8) is chosen so the decoded image
 // stays >= max(min_w, min_h) in each dimension when possible.
-bool decode_jpeg(const char* path, double min_w, double min_h, Image* out) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
+bool decode_jpeg(const Source& src, double min_w, double min_h, Image* out) {
+  FILE* f = nullptr;
+  if (src.path != nullptr) {
+    f = std::fopen(src.path, "rb");
+    if (!f) return false;
+  } else if (src.buf == nullptr || src.len == 0) {
+    return false;
+  }
 
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -82,12 +95,17 @@ bool decode_jpeg(const char* path, double min_w, double min_h, Image* out) {
   jerr.mgr.error_exit = jpeg_error_exit;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
+    if (f) std::fclose(f);
     return false;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (f) {
+    jpeg_stdio_src(&cinfo, f);
+  } else {
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(src.buf),
+                 static_cast<unsigned long>(src.len));
+  }
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
 
@@ -128,31 +146,41 @@ bool decode_jpeg(const char* path, double min_w, double min_h, Image* out) {
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
+  if (f) std::fclose(f);
   return true;
 }
 
 // Read only the header for (w, h).
-bool jpeg_dims(const char* path, int* w, int* h) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
+bool jpeg_dims(const Source& src, int* w, int* h) {
+  FILE* f = nullptr;
+  if (src.path != nullptr) {
+    f = std::fopen(src.path, "rb");
+    if (!f) return false;
+  } else if (src.buf == nullptr || src.len == 0) {
+    return false;
+  }
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_error_exit;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
+    if (f) std::fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (f) {
+    jpeg_stdio_src(&cinfo, f);
+  } else {
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(src.buf),
+                 static_cast<unsigned long>(src.len));
+  }
   jpeg_read_header(&cinfo, TRUE);
   *w = cinfo.image_width;
   *h = cinfo.image_height;
   jpeg_abort_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
+  if (f) std::fclose(f);
   return true;
 }
 
@@ -241,11 +269,11 @@ Box to_source(const Box& b, double f) {
   return {b.x / f, b.y / f, b.w / f, b.h / f};
 }
 
-int load_one(const char* path, uint64_t seed, int is_train, int resize_size,
+int load_one(const Source& src, uint64_t seed, int is_train, int resize_size,
              int out_size, double smin, double smax, double rmin, double rmax,
              uint8_t* out) {
   int w = 0, h = 0;
-  if (!jpeg_dims(path, &w, &h) || w <= 0 || h <= 0) return 1;
+  if (!jpeg_dims(src, &w, &h) || w <= 0 || h <= 0) return 1;
 
   // Virtual pre-resize factor (shorter side -> resize_size).
   double f = 1.0;
@@ -266,21 +294,21 @@ int load_one(const char* path, uint64_t seed, int is_train, int resize_size,
     double chh = std::min(static_cast<double>(out_size), static_cast<double>(vh));
     vbox = {(vw - cw) / 2.0, (vh - chh) / 2.0, cw, chh};
   }
-  Box src = to_source(vbox, f);
+  Box sbox = to_source(vbox, f);
 
   Image img;
   // Decode with just enough resolution that the sampled box still maps to
   // >= out_size pixels (DCT scaling then skips most of the IDCT work for
   // large sources).
   double need_w = std::min(static_cast<double>(w),
-                           w * out_size / std::max(src.w, 1.0));
+                           w * out_size / std::max(sbox.w, 1.0));
   double need_h = std::min(static_cast<double>(h),
-                           h * out_size / std::max(src.h, 1.0));
-  if (!decode_jpeg(path, need_w, need_h, &img)) return 1;
+                           h * out_size / std::max(sbox.h, 1.0));
+  if (!decode_jpeg(src, need_w, need_h, &img)) return 1;
   // Decoding may be DCT-scaled; rescale box coordinates accordingly.
   double dsx = static_cast<double>(img.w) / w;
   double dsy = static_cast<double>(img.h) / h;
-  resample_box(img, src.x * dsx, src.y * dsy, src.w * dsx, src.h * dsy,
+  resample_box(img, sbox.x * dsx, sbox.y * dsy, sbox.w * dsx, sbox.h * dsy,
                out_size, hflip, out);
   return 0;
 }
@@ -304,7 +332,9 @@ int hvt_load_batch(const char** paths, const uint64_t* seeds, int n,
       int i = cursor.fetch_add(1);
       if (i >= n) break;
       uint8_t* dst = out + stride * i;
-      int rc = load_one(paths[i], seeds ? seeds[i] : 0, is_train, resize_size,
+      Source src;
+      src.path = paths[i];
+      int rc = load_one(src, seeds ? seeds[i] : 0, is_train, resize_size,
                         out_size, smin, smax, rmin, rmax, dst);
       if (rc != 0) {
         std::memset(dst, 0, stride);
@@ -325,11 +355,27 @@ int hvt_load_batch(const char** paths, const uint64_t* seeds, int n,
   return failures.load();
 }
 
+// In-memory single-image decode for the serving path: the HTTP engine hands
+// the request body here (eval law: virtual shorter-side resize -> center
+// crop -> bilinear, identical to the loader's native eval path). ctypes
+// releases the GIL for the call, so concurrent server threads decode in
+// parallel. Returns 0 on success.
+int hvt_decode_eval_buffer(const uint8_t* data, size_t len, int resize_size,
+                           int out_size, uint8_t* out) {
+  Source src;
+  src.buf = data;
+  src.len = len;
+  return load_one(src, 0, /*is_train=*/0, resize_size, out_size, 0.08, 1.0,
+                  0.75, 4.0 / 3.0, out);
+}
+
 // DCT-scaled decode floor: the smallest useful decode resolution for the
 // sampled box is the box itself (we only ever downsample to out_size).
 // Exposed for tests.
 int hvt_jpeg_dims(const char* path, int* w, int* h) {
-  return jpeg_dims(path, w, h) ? 0 : 1;
+  Source src;
+  src.path = path;
+  return jpeg_dims(src, w, h) ? 0 : 1;
 }
 
 }  // extern "C"

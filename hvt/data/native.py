@@ -75,6 +75,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,  # n_threads
             ctypes.POINTER(ctypes.c_uint8),  # out
         ]
+        lib.hvt_decode_eval_buffer.restype = ctypes.c_int
+        lib.hvt_decode_eval_buffer.argtypes = [
+            ctypes.c_char_p,  # data
+            ctypes.c_size_t,  # len
+            ctypes.c_int,  # resize_size
+            ctypes.c_int,  # out_size
+            ctypes.POINTER(ctypes.c_uint8),  # out
+        ]
         _lib = lib
         return _lib
 
@@ -121,3 +129,25 @@ def load_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, int(failures)
+
+
+def decode_eval(data: bytes, *, resize_size: int, out_size: int
+                ) -> Optional[np.ndarray]:
+    """In-memory eval decode for the serving path: request bytes → uint8
+    (S, S, 3), same law as the loader's native eval route (virtual
+    shorter-side resize → center crop → single bilinear resample). The
+    ctypes call releases the GIL, so concurrent server threads decode in
+    parallel on a multi-core host. Returns None on decode failure or when
+    the native core is unavailable (callers fall back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.hvt_decode_eval_buffer(
+        data,
+        len(data),
+        int(resize_size),
+        int(out_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if rc == 0 else None

@@ -33,6 +33,7 @@ import numpy as np
 from hvt import config as config_lib
 from hvt import parallel
 from hvt.data import DevicePrep
+from hvt.data import native as native_lib
 from hvt.data import transforms as T
 from hvt.models import build_model
 
@@ -293,17 +294,28 @@ class InferenceEngine:
                 p["event"].set()
 
     def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
-        """One image (encoded bytes) → top-k record."""
-        from PIL import Image
+        """One image (encoded bytes) → top-k record.
 
+        Decode runs in the calling (server) thread: JPEGs go through the
+        native GIL-free core when available (hvt/data/native.py decode_eval
+        — the loader's eval law; concurrent requests decode in parallel),
+        anything else through PIL."""
         from hvt.downstream import predict as predict_lib
 
         if topk is not None and topk <= 0:
             raise ValueError(f"topk must be positive, got {topk}")
         if self._closed:
             raise RuntimeError("InferenceEngine is closed")
-        with Image.open(io.BytesIO(data)) as img:
-            arr = self.transform(img.convert("RGB"), np.random.default_rng(0))
+        arr = native_lib.decode_eval(
+            data, resize_size=self.transform.resize_size,
+            out_size=self.transform.crop_size,
+        )
+        if arr is None:  # non-JPEG bytes or no native core → PIL
+            from PIL import Image
+
+            with Image.open(io.BytesIO(data)) as img:
+                arr = self.transform(img.convert("RGB"),
+                                     np.random.default_rng(0))
         pending = {"arr": arr, "event": threading.Event()}
         self._queue.put(pending)
         # Bounded wait: a request that races close() past the drain above

@@ -109,3 +109,37 @@ def test_loader_uses_native_and_matches_mask(tmp_path):
     assert not loader3.use_native
     b = next(iter(loader3.epoch(0)))
     assert b.images.shape == (4, 32, 32, 3)
+
+
+def test_decode_eval_buffer_matches_file_path(tmp_path):
+    """The serving-path in-memory decode (hvt_decode_eval_buffer) is
+    bit-identical to the loader's file-path eval decode, and non-JPEG
+    bytes return None (PIL fallback contract in serve.predict_image)."""
+    import io
+
+    from PIL import Image
+
+    from hvt.data import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (375, 500, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    data = buf.getvalue()
+    p = tmp_path / "x.jpg"
+    p.write_bytes(data)
+
+    mem = native.decode_eval(data, resize_size=256, out_size=224)
+    file_out, fails = native.load_batch(
+        [str(p)], None, is_train=False, resize_size=256, out_size=224,
+        num_threads=1,
+    )
+    assert fails == 0 and mem is not None
+    np.testing.assert_array_equal(mem, file_out[0])
+
+    png = io.BytesIO()
+    Image.fromarray(img).save(png, format="PNG")
+    assert native.decode_eval(png.getvalue(), resize_size=256,
+                              out_size=224) is None
