@@ -333,8 +333,15 @@ class InferenceEngine:
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                port: int = 0) -> ThreadingHTTPServer:
-    """→ a ready (unstarted) ThreadingHTTPServer; port 0 picks a free port."""
+                port: int = 0, pool_threads: int = 16) -> ThreadingHTTPServer:
+    """→ a ready (unstarted) HTTP server; port 0 picks a free port.
+
+    Connections are handled on a fixed worker pool rather than
+    thread-per-request: stdlib ``ThreadingHTTPServer`` spawns (and tears
+    down) one thread per connection, which measured a 1.2 s p99 tail under
+    a 16-client burst on a 1-core host (thread churn — serve_bench,
+    BENCH.md "serving latency"). The pool bounds concurrency at
+    ``pool_threads`` and reuses threads."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -394,7 +401,29 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 return
             self._send(200, rec)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class PooledHTTPServer(ThreadingHTTPServer):
+        daemon_threads = True
+
+        def __init__(self, *a, **kw):
+            from concurrent.futures import ThreadPoolExecutor
+
+            super().__init__(*a, **kw)
+            self._pool = ThreadPoolExecutor(
+                max_workers=pool_threads, thread_name_prefix="hvt-serve"
+            )
+
+        # socketserver.ThreadingMixIn's process_request spawns a new thread
+        # per connection; route through the pool instead.
+        def process_request(self, request, client_address):
+            self._pool.submit(
+                self.process_request_thread, request, client_address
+            )
+
+        def server_close(self):
+            super().server_close()
+            self._pool.shutdown(wait=False)
+
+    return PooledHTTPServer((host, port), Handler)
 
 
 def serve(config: config_lib.Config, *, host: str = "127.0.0.1",
