@@ -25,6 +25,7 @@ import io
 import json
 import queue as queue_lib
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -225,8 +226,34 @@ class InferenceEngine:
         # event; a single batcher thread owns the device.
         self._queue: queue_lib.Queue = queue_lib.Queue()
         self._closed = False
+        # Serving observability (GET /stats): dispatch counters owned by
+        # the single batcher thread; the request counter is bumped under
+        # _stats_lock by server threads.
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "errors": 0, "dispatches": 0, "rows": 0,
+            "step_ms_sum": 0.0,
+        }
         self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self._batcher.start()
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters: request/dispatch totals, mean batch
+        occupancy (rows per dispatch ÷ compiled batch), mean device-step
+        wall time."""
+        with self._stats_lock:
+            s = dict(self._stats)
+        d = max(1, s["dispatches"])
+        return {
+            "model": self.model_name,
+            "batch": self.batch,
+            "requests": s["requests"],
+            "errors": s["errors"],
+            "dispatches": s["dispatches"],
+            "mean_rows_per_dispatch": round(s["rows"] / d, 2),
+            "mean_occupancy": round(s["rows"] / (d * self.batch), 3),
+            "mean_step_ms": round(s["step_ms_sum"] / d, 2),
+        }
 
     # -- batching -----------------------------------------------------------
 
@@ -256,6 +283,7 @@ class InferenceEngine:
             images = np.zeros((size, self._crop, self._crop, 3), np.uint8)
             for row, p in enumerate(pendings):
                 images[row] = p["arr"]
+            t0 = time.perf_counter()
             try:
                 top_i, top_p, tiers, n_allowed = step(
                     self._params, self._batch_stats, images
@@ -271,6 +299,14 @@ class InferenceEngine:
                 for p in pendings:
                     p["error"] = e
             finally:
+                step_ms = (time.perf_counter() - t0) * 1e3
+                with self._stats_lock:
+                    self._stats["dispatches"] += 1
+                    self._stats["rows"] += len(pendings)
+                    self._stats["step_ms_sum"] += step_ms
+                    self._stats["errors"] += sum(
+                        "error" in p for p in pendings
+                    )
                 for p in pendings:
                     p["event"].set()
             if closing:
@@ -316,6 +352,8 @@ class InferenceEngine:
             with Image.open(io.BytesIO(data)) as img:
                 arr = self.transform(img.convert("RGB"),
                                      np.random.default_rng(0))
+        with self._stats_lock:
+            self._stats["requests"] += 1
         pending = {"arr": arr, "event": threading.Event()}
         self._queue.put(pending)
         # Bounded wait: a request that races close() past the drain above
@@ -356,7 +394,8 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/healthz":
+            path = self.path.split("?")[0]
+            if path == "/healthz":
                 self._send(200, {
                     "status": "ok",
                     "model": engine.model_name,
@@ -368,6 +407,8 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                     "hierarchical": engine.hierarchical,
                     "native_artifact": engine.native_artifact,
                 })
+            elif path == "/stats":
+                self._send(200, engine.stats())
             else:
                 self._send(404, {"error": f"unknown path {self.path!r}"})
 

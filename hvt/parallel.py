@@ -126,6 +126,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _spatial_axis_intra_host(devices, axis: int) -> bool:
+    """True when every run of devices along the spatial axis lives in one
+    process. Cross-host spatial sharding would require the loader to
+    supply H-slices per host (it supplies full images), and the halo
+    exchanges would ride DCN — refuse both."""
+    dev = np.moveaxis(np.asarray(devices), axis, -1)
+    for row in dev.reshape(-1, dev.shape[-1]):
+        if len({d.process_index for d in row}) > 1:
+            return False
+    return True
+
+
 def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Host-local numpy batch → global batch-sharded device arrays.
 
@@ -142,6 +154,15 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
         return jax.device_put(
             (batch.images, batch.labels, batch.mask),
             (img_sharding, sharding, sharding),
+        )
+    if spatial_size(mesh) > 1 and not _spatial_axis_intra_host(
+        mesh.devices, mesh.axis_names.index(SPATIAL_AXIS)
+    ):
+        raise ValueError(
+            "the spatial mesh axis spans hosts: each process's loader "
+            "supplies full-H images, and conv halo exchanges would ride "
+            "DCN. Lay the mesh out so every spatial group sits inside one "
+            "host (spatial <= devices-per-host)."
         )
     images = jax.make_array_from_process_local_data(img_sharding, batch.images)
     labels = jax.make_array_from_process_local_data(sharding, batch.labels)

@@ -20,6 +20,13 @@ serve:
 loader-bench:
 	python -m hvt.tools.loader_bench --threads 1,2,4
 
+serve-bench:
+	python -m hvt.tools.serve_bench --machine configs/machines/local.yaml \
+		--exp configs/pretrain/debug_synthetic.yaml --clients 8 --requests 10 --batch 8
+
+ra-probe:
+	python -m hvt.tools.ra_probe
+
 export-artifact:
 	python -m hvt.tools.export_serving --machine configs/machines/local.yaml \
 		--exp configs/pretrain/debug_synthetic.yaml --output /tmp/hvt-artifact

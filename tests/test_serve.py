@@ -406,3 +406,18 @@ def test_bucket_engine_concurrent_requests(tmp_path):
             assert results[i]["class_ids"] == results[i % 4]["class_ids"]
     finally:
         engine.close()
+
+
+def test_stats_endpoint(served):
+    """GET /stats reports request/dispatch counters and batch occupancy."""
+    base, root = served
+    img = next((root / "val").rglob("*.jpg"))
+    for _ in range(3):
+        _post(f"{base}/predict", img.read_bytes())
+    status, rec = _get(f"{base}/stats")
+    assert status == 200
+    assert rec["requests"] >= 3
+    assert rec["dispatches"] >= 1
+    assert 0 < rec["mean_occupancy"] <= 1
+    assert rec["mean_step_ms"] > 0
+    assert rec["errors"] == 0

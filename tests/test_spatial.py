@@ -172,3 +172,20 @@ def test_swin_spatial_mesh_runs_via_xla_and_kernels_refuse():
         tr.train_step(tr.state, images, labels, mask, tr.base_rng, scale=1.0)
     if tr is not None:
         tr.close()
+
+
+def test_spatial_axis_intra_host_detector():
+    """Cross-host spatial groups are refused in multi-host put_batch; the
+    detector itself is checked with synthetic process placements."""
+    import numpy as np
+
+    class _Dev:
+        def __init__(self, pidx):
+            self.process_index = pidx
+
+    # 2 data x 2 spatial, spatial groups within one host each.
+    good = np.array([[[_Dev(0)], [_Dev(0)]], [[_Dev(1)], [_Dev(1)]]])
+    assert parallel._spatial_axis_intra_host(good, axis=1)
+    # spatial group straddles hosts 0 and 1.
+    bad = np.array([[[_Dev(0)], [_Dev(1)]], [[_Dev(0)], [_Dev(1)]]])
+    assert not parallel._spatial_axis_intra_host(bad, axis=1)
