@@ -421,3 +421,34 @@ def test_stats_endpoint(served):
     assert 0 < rec["mean_occupancy"] <= 1
     assert rec["mean_step_ms"] > 0
     assert rec["errors"] == 0
+
+
+def test_serve_bench_tool(served):
+    """hvt.tools.serve_bench drives an engine and reports finite latency
+    percentiles + throughput (run_bench on a live engine, 2x2 requests)."""
+    from hvt.tools import serve_bench
+
+    base, root = served
+    # Reuse the served fixture's engine via a fresh tiny engine to avoid
+    # cross-talk with the HTTP fixture: build one directly.
+    cfg = C.loads(
+        {
+            "run_name": "serve-bench-test",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "machine": {"datasets": {"fix": str(root)},
+                        "save_root": "/tmp/hvt-serve-bench-test"},
+            "eval_dataset": {"path": "fix", "crop_size": 32,
+                             "resize_size": 34, "global_batch_size": 4},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    engine = serve_lib.InferenceEngine(cfg, topk=3, batch=2)
+    try:
+        rec = serve_bench.run_bench(engine, clients=2, requests=2)
+    finally:
+        engine.close()
+    assert rec["throughput_rps"] > 0
+    assert rec["latency_ms"]["p50"] > 0
+    assert rec["latency_ms"]["p99"] >= rec["latency_ms"]["p50"]
+    assert rec["clients"] == 2 and rec["batch"] == 2
