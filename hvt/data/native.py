@@ -42,26 +42,10 @@ def _build() -> bool:
         return False
 
 
-def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _failed
-    if _lib is not None or _failed:
-        return _lib
-    with _lock:
-        if _lib is not None or _failed:
-            return _lib
-        if os.environ.get("HVT_NATIVE", "1") == "0":
-            _failed = True
-            return None
-        if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime:
-            if not _build():
-                _failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(str(_SO_PATH))
-        except OSError as e:
-            print(f"[hvt.native] load failed: {e}")
-            _failed = True
-            return None
+def _bind(lib: ctypes.CDLL) -> bool:
+    """Attach signatures; False when a symbol is missing (a stale .so built
+    from an older decode.cc — the caller rebuilds)."""
+    try:
         lib.hvt_load_batch.restype = ctypes.c_int
         lib.hvt_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),  # paths
@@ -83,8 +67,42 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,  # out_size
             ctypes.POINTER(ctypes.c_uint8),  # out
         ]
-        _lib = lib
+    except AttributeError as e:
+        print(f"[hvt.native] stale library (missing symbol: {e}); rebuilding")
+        return False
+    return True
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    if _lib is not None or _failed:
         return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if os.environ.get("HVT_NATIVE", "1") == "0":
+            _failed = True
+            return None
+        if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < _SRC_PATH.stat().st_mtime:
+            if not _build():
+                _failed = True
+                return None
+        for attempt in range(2):
+            try:
+                lib = ctypes.CDLL(str(_SO_PATH))
+            except OSError as e:
+                print(f"[hvt.native] load failed: {e}")
+                lib = None
+            if lib is not None and _bind(lib):
+                _lib = lib
+                return _lib
+            # Stale or unloadable artifact (e.g. from a checkout whose
+            # mtimes defeat the staleness check): rebuild once, then give
+            # up cleanly (PIL fallback) rather than crash the data path.
+            if attempt == 0 and not _build():
+                break
+        _failed = True
+        return None
 
 
 def available() -> bool:

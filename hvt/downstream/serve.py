@@ -327,6 +327,8 @@ class InferenceEngine:
                 return
             if p is not None:
                 p["error"] = RuntimeError("InferenceEngine is closed")
+                with self._stats_lock:
+                    self._stats["errors"] += 1
                 p["event"].set()
 
     def predict_image(self, data: bytes, topk: Optional[int] = None) -> dict:
@@ -342,18 +344,23 @@ class InferenceEngine:
             raise ValueError(f"topk must be positive, got {topk}")
         if self._closed:
             raise RuntimeError("InferenceEngine is closed")
-        arr = native_lib.decode_eval(
-            data, resize_size=self.transform.resize_size,
-            out_size=self.transform.crop_size,
-        )
-        if arr is None:  # non-JPEG bytes or no native core → PIL
-            from PIL import Image
-
-            with Image.open(io.BytesIO(data)) as img:
-                arr = self.transform(img.convert("RGB"),
-                                     np.random.default_rng(0))
-        with self._stats_lock:
+        with self._stats_lock:  # every attempt counts, decode failures too
             self._stats["requests"] += 1
+        try:
+            arr = native_lib.decode_eval(
+                data, resize_size=self.transform.resize_size,
+                out_size=self.transform.crop_size,
+            )
+            if arr is None:  # non-JPEG bytes or no native core → PIL
+                from PIL import Image
+
+                with Image.open(io.BytesIO(data)) as img:
+                    arr = self.transform(img.convert("RGB"),
+                                         np.random.default_rng(0))
+        except Exception:
+            with self._stats_lock:
+                self._stats["errors"] += 1
+            raise
         pending = {"arr": arr, "event": threading.Event()}
         self._queue.put(pending)
         # Bounded wait: a request that races close() past the drain above

@@ -138,6 +138,28 @@ def _spatial_axis_intra_host(devices, axis: int) -> bool:
     return True
 
 
+# Memoized per mesh (Mesh hashes by devices+axis names — a handful per
+# process): the layout is immutable, and put_batch is the per-batch host
+# hot path.
+_SPATIAL_OK: dict = {}
+
+
+def _check_spatial_intra_host(mesh: Mesh) -> None:
+    ok = _SPATIAL_OK.get(mesh)
+    if ok is None:
+        ok = _spatial_axis_intra_host(
+            mesh.devices, mesh.axis_names.index(SPATIAL_AXIS)
+        )
+        _SPATIAL_OK[mesh] = ok
+    if not ok:
+        raise ValueError(
+            "the spatial mesh axis spans hosts: each process's loader "
+            "supplies full-H images, and conv halo exchanges would ride "
+            "DCN. Lay the mesh out so every spatial group sits inside one "
+            "host (spatial <= devices-per-host)."
+        )
+
+
 def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Host-local numpy batch → global batch-sharded device arrays.
 
@@ -155,15 +177,8 @@ def put_batch(mesh: Mesh, batch) -> tuple[jax.Array, jax.Array, jax.Array]:
             (batch.images, batch.labels, batch.mask),
             (img_sharding, sharding, sharding),
         )
-    if spatial_size(mesh) > 1 and not _spatial_axis_intra_host(
-        mesh.devices, mesh.axis_names.index(SPATIAL_AXIS)
-    ):
-        raise ValueError(
-            "the spatial mesh axis spans hosts: each process's loader "
-            "supplies full-H images, and conv halo exchanges would ride "
-            "DCN. Lay the mesh out so every spatial group sits inside one "
-            "host (spatial <= devices-per-host)."
-        )
+    if spatial_size(mesh) > 1:
+        _check_spatial_intra_host(mesh)
     images = jax.make_array_from_process_local_data(img_sharding, batch.images)
     labels = jax.make_array_from_process_local_data(sharding, batch.labels)
     mask = jax.make_array_from_process_local_data(sharding, batch.mask)

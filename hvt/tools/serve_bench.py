@@ -73,18 +73,25 @@ def run_bench(engine, *, clients: int, requests: int,
     one()  # warm the full path once per mode (buckets pre-warmed by engine)
 
     latencies_ms: list[float] = []
+    failures: list[str] = []
     lock = threading.Lock()
     start_barrier = threading.Barrier(clients + 1)
 
     def client():
         mine = []
+        fails = []
         start_barrier.wait()
         for _ in range(requests):
             t0 = time.perf_counter()
-            one()
+            try:
+                one()
+            except Exception as e:  # count it, keep the client alive
+                fails.append(f"{type(e).__name__}: {e}")
+                continue
             mine.append((time.perf_counter() - t0) * 1e3)
         with lock:
             latencies_ms.extend(mine)
+            failures.extend(fails)
 
     threads = [threading.Thread(target=client) for _ in range(clients)]
     for t in threads:
@@ -96,7 +103,13 @@ def run_bench(engine, *, clients: int, requests: int,
     elapsed = time.perf_counter() - t0
     if server is not None:
         server.shutdown()
+        server.server_close()  # release the socket + worker pool
 
+    if not latencies_ms:
+        raise RuntimeError(
+            f"every request failed ({len(failures)}); first: "
+            f"{failures[0] if failures else 'n/a'}"
+        )
     lat = np.asarray(latencies_ms)
     return {
         "metric": "serving_latency",
@@ -105,6 +118,7 @@ def run_bench(engine, *, clients: int, requests: int,
         "clients": clients,
         "requests_per_client": requests,
         "batch": engine.batch,
+        "failed_requests": len(failures),
         "throughput_rps": round(len(lat) / elapsed, 2),
         "latency_ms": {
             "p50": round(float(np.percentile(lat, 50)), 2),

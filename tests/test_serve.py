@@ -409,18 +409,27 @@ def test_bucket_engine_concurrent_requests(tmp_path):
 
 
 def test_stats_endpoint(served):
-    """GET /stats reports request/dispatch counters and batch occupancy."""
+    """GET /stats reports request/dispatch counters and batch occupancy;
+    decode failures count as errors (the engine is shared module-scoped, so
+    assertions are deltas)."""
     base, root = served
+    _, before = _get(f"{base}/stats")
     img = next((root / "val").rglob("*.jpg"))
     for _ in range(3):
         _post(f"{base}/predict", img.read_bytes())
     status, rec = _get(f"{base}/stats")
     assert status == 200
-    assert rec["requests"] >= 3
+    assert rec["requests"] >= before["requests"] + 3
+    assert rec["errors"] == before["errors"]  # good requests add none
     assert rec["dispatches"] >= 1
     assert 0 < rec["mean_occupancy"] <= 1
     assert rec["mean_step_ms"] > 0
-    assert rec["errors"] == 0
+
+    # A corrupt payload is a counted error and a counted request.
+    _post(f"{base}/predict", b"not an image")
+    _, after = _get(f"{base}/stats")
+    assert after["errors"] == rec["errors"] + 1
+    assert after["requests"] == rec["requests"] + 1
 
 
 def test_serve_bench_tool(served):
