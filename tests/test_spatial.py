@@ -189,3 +189,38 @@ def test_spatial_axis_intra_host_detector():
     # spatial group straddles hosts 0 and 1.
     bad = np.array([[[_Dev(0)], [_Dev(1)]], [[_Dev(0)], [_Dev(1)]]])
     assert not parallel._spatial_axis_intra_host(bad, axis=1)
+
+
+def test_spatial_enables_batch_below_device_count():
+    """The motivating case: a global batch smaller than the device count
+    cannot shard over a pure data axis (2 rows over 4 devices), but a
+    2x2 data x spatial mesh trains it — H carries the extra parallelism."""
+    from hvt.train.loop import Trainer
+
+    def cfg(run_name, spatial):
+        base = _micro_cfg(run_name, spatial=spatial)
+        return C.loads(
+            C.to_dict(base),
+            {"train_dataset": {"global_batch_size": 2},
+             "eval_dataset": {"global_batch_size": 2}},
+        )
+
+    # Pure DP over 4 devices: 2 rows don't divide 4 — put_batch must fail.
+    tr = Trainer(cfg("small_dp", 1), mesh=parallel.cpu_mesh(4),
+                 log_interval=100)
+    batch = next(iter(tr.train_loader.epoch(0)))
+    with pytest.raises(Exception):
+        jax.block_until_ready(parallel.put_batch(parallel.cpu_mesh(4), batch))
+    tr.close()
+
+    # data=2 x spatial=2 uses all 4 devices on the same global batch.
+    mesh = parallel.cpu_mesh(4, spatial=2)
+    tr = Trainer(cfg("small_sp", 2), mesh=mesh, log_interval=100)
+    batch = next(iter(tr.train_loader.epoch(0)))
+    images, labels, mask = parallel.put_batch(mesh, batch)
+    assert len(images.sharding.device_set) == 4
+    _, stats = tr.train_step(
+        tr.state, images, labels, mask, tr.base_rng, scale=1.0
+    )
+    assert np.isfinite(float(stats["loss_sum"]))
+    tr.close()
