@@ -483,6 +483,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                              "(removes the in-graph absmax reductions); "
                              "0 = dynamic scales")
     args = parser.parse_args(argv)
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()  # re-exports skip the lowering-side compiles
     config = config_lib.load(machine=args.machine, exps=args.exp)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     if args.native and platforms == ("tpu", "cpu"):

@@ -150,7 +150,9 @@ def main(argv=None) -> dict:
     parser.add_argument("--http", action="store_true",
                         help="measure through the real HTTP server")
     args = parser.parse_args(argv)
+    from hvt.utils import compile_cache
 
+    compile_cache.enable()  # repeat benchmark runs skip the engine compile
     if artifact_mode:
         engine = serve_lib.InferenceEngine.from_artifact(
             args.artifact, batch=args.batch, topk=args.topk

@@ -44,6 +44,9 @@ if __name__ == "__main__":
                              "scales from the first N eval batches "
                              "instead of in-graph dynamic absmax")
     args = parser.parse_args()
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()  # repeated batch-inference runs skip the compile
     if args.calibrate and args.quantize != "int8":
         parser.error("--calibrate requires --quantize int8")
     if args.artifact and args.calibrate:

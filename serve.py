@@ -53,6 +53,9 @@ if __name__ == "__main__":
                              "in-graph dynamic absmax (the measured "
                              "production recipe, BENCH.md)")
     args = parser.parse_args()
+    from hvt.utils import compile_cache
+
+    compile_cache.enable()  # server restarts skip the forward's compile
     if not artifact_mode and args.calibrate and args.quantize != "int8":
         parser.error("--calibrate requires --quantize int8")
     if artifact_mode:
