@@ -16,6 +16,7 @@ def main() -> None:
     pid, nprocs, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    zero = len(sys.argv) > 5 and sys.argv[5] == "zero"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -56,6 +57,10 @@ def main() -> None:
             "save": {"interval": None, "num_checkpoints_to_keep": 1,
                      "wandb": True},
             "loader": {"num_workers": 1, "prefetch_batches": 1},
+            # ZeRO-1 variant: optimizer state sharded over a data axis that
+            # SPANS both processes — exercises cross-process sharded
+            # arrays through the step AND the multiprocess Orbax save.
+            "mesh": {"zero": zero},
         }
     )
     if pid == 0:
@@ -74,6 +79,11 @@ def main() -> None:
         "devices": len(jax.devices()),
         "cross-entropy": float(metrics["cross-entropy"]),
         "step": int(trainer.state.step),
+        "opt_data_sharded": any(
+            "data" in str(leaf.sharding.spec)
+            for leaf in jax.tree.leaves(trainer.state.opt_state)
+            if hasattr(leaf, "sharding")
+        ),
     }
     pathlib.Path(outdir, f"rank{pid}.json").write_text(json.dumps(out))
 

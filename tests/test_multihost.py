@@ -28,7 +28,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_cluster(tmp_path, devices_per_proc: int):
+def _run_cluster(tmp_path, devices_per_proc: int, extra: str = ""):
     """Launch the 2-process worker cluster; → (results, stdout tails)."""
     port = _free_port()
     env = dict(os.environ)
@@ -44,9 +44,11 @@ def _run_cluster(tmp_path, devices_per_proc: int):
     env["PYTHONPATH"] = str(repo_root)
 
     worker = pathlib.Path(__file__).with_name("multihost_worker.py")
+    argv_tail = [extra] if extra else []
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port), str(tmp_path)],
+            [sys.executable, str(worker), str(i), "2", str(port),
+             str(tmp_path)] + argv_tail,
             env=env, cwd=str(repo_root),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -115,6 +117,25 @@ def test_two_process_training(tmp_path):
     assert local_metrics["cross-entropy"] == pytest.approx(
         results[0]["cross-entropy"], rel=5e-3
     )
+
+
+@pytest.mark.slow
+def test_two_process_zero_training(tmp_path):
+    """ZeRO-1 across processes: the optimizer state shards over a data axis
+    spanning both hosts; the step trains and the end-of-fit checkpoint is
+    a multiprocess Orbax save of cross-process-sharded arrays."""
+    results = _run_cluster(tmp_path, devices_per_proc=2, extra="zero")
+    for r in results:
+        assert r["world"] == 2
+        assert r["devices"] == 4
+        assert r["step"] == 2
+        assert np.isfinite(r["cross-entropy"])
+        assert r["opt_data_sharded"], "ZeRO did not shard across the cluster"
+    assert results[0]["cross-entropy"] == pytest.approx(
+        results[1]["cross-entropy"], rel=1e-6
+    )
+    ckpts = tmp_path / "runs" / "mh-sim" / "checkpoints"
+    assert any(ckpts.glob("*")), "no multiprocess checkpoint written"
 
 
 @pytest.mark.slow
