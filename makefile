@@ -10,6 +10,9 @@ dryrun:
 roofline:
 	python -m hvt.tools.roofline
 
+doctor:
+	python -m hvt.tools.doctor
+
 residuals:
 	python -m hvt.tools.residuals --model resnet50
 

@@ -136,3 +136,30 @@ def test_roofline_probes_smoke_cpu():
     assert bw["gbs"] > 0
     cp = roofline.hbm_copy_gbs(mb=1, chain=2, repeats=1)
     assert cp["gbs"] > 0
+
+
+def test_doctor_cpu_backend():
+    """The doctor's checks pass on the CPU backend: the device probe runs
+    in a subprocess (so a wedged accelerator tunnel can only ever surface
+    as a timeout, never a hang) and the native/cache checks report."""
+    from hvt.tools import doctor
+
+    report = doctor.run(platform="cpu", timeout=300.0)
+    dev = report["checks"]["device"]
+    assert dev["status"] == "ok", dev
+    assert dev["platform"] == "cpu" and dev["n_devices"] >= 1
+    assert report["checks"]["versions"]["status"] == "ok"
+    assert report["checks"]["compile_cache"]["status"] in ("ok", "warn")
+    assert report["status"] != "FAIL"
+
+
+def test_doctor_wedged_tunnel_times_out_not_hangs():
+    """A hung backend init must become a bounded FAIL: with an impossible
+    probe budget the check reports 'no response', exit path non-zero."""
+    from hvt.tools import doctor
+
+    dev = doctor.check_device(platform="cpu", timeout=0.05)
+    assert dev["status"] == "FAIL"
+    assert "no response" in dev["detail"]
+    report = {"status": "FAIL", "checks": {"device": dev}}
+    assert report["status"] == "FAIL"
