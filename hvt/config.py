@@ -159,6 +159,13 @@ class MeshConfig:
     # (GSPMD inserts the conv halo exchanges / BN psums). For conv
     # families; SwinV2 needs {fuse: false, use_pallas: false} with it.
     spatial: int = 1
+    # Pipeline parallelism: split the SwinV2 deep trunk into this many
+    # pipeline stages (stage params sharded over the `pipe` mesh axis; a
+    # GPipe microbatch schedule shifts activations via collective-permute).
+    # SwinV2 only, and requires the plain-XLA lowering
+    # (model.args {fuse: false, use_pallas: false} — the Trainer injects
+    # these and the matching model.args.pipe automatically).
+    pipe: int = 1
     # ZeRO-1: shard optimizer state (AdamW mu/nu, SGD momentum) over the
     # data axis instead of replicating it — one parameter all-gather per
     # step buys back 2x params of f32 HBM per chip under AdamW.

@@ -41,6 +41,7 @@ def _registry():
         "resnet_micro": resnet.resnet_micro,
         "resnet_micro_bottleneck": resnet.resnet_micro_bottleneck,
         "swinv2_micro": _swin("swinv2_micro"),
+        "swinv2_micro_deep": _swin("swinv2_micro_deep"),
         "swinv2_tiny": _swin("swinv2_tiny"),
         "swinv2_tiny_window8_256": _swin("swinv2_tiny_window8_256"),
         "swinv2_tiny_window16_256": _swin("swinv2_tiny_window16_256"),

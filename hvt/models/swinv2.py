@@ -118,6 +118,18 @@ class WindowAttention(nn.Module):
 from hvt.models.common import drop_path  # noqa: E402  (shared with ResNet)
 
 
+def _drop_path_traced(x, rate, deterministic: bool, rng):
+    """drop_path with a *traced* rate (the pipelined trunk stacks per-block
+    stochastic-depth rates into an array so the vmapped stages stay
+    homogeneous — module attributes must be identical across stages)."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate.astype(jnp.float32)
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros_like(x))
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -144,10 +156,23 @@ class SwinBlock(nn.Module):
     # Default ON: measured +2.4% train (813.7 -> 833.3 img/s) and +3.8%
     # eval forward (2478 -> 2572) on the dev chip at SwinV2-T b128/b64.
     fallback_xla: bool = True
+    # Mixture-of-experts MLP (hvt.ops.moe, Swin-MoE style): >0 replaces
+    # this block's dense MLP with `moe_experts` expert MLPs, top-1 routed
+    # with static capacity. Expert weights shard over the mesh's `model`
+    # axis (expert parallelism). Requires the unfused path (fuse=False).
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, H, W, C) token grid."""
+    def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
+        """x: (B, H, W, C) token grid.
+
+        ``drop_path_rate``: optional *traced* stochastic-depth rate that
+        overrides the static attribute — used by the pipelined trunk, where
+        the vmapped stages must be attribute-identical and per-block rates
+        arrive as data (hvt.models.swinv2 pipe>1). The fused Pallas path
+        does not accept it (the trunk forces fuse=False)."""
         b, h, w, c = x.shape
         window, shift = self.window, self.shift
         if min(h, w) <= window:
@@ -156,6 +181,16 @@ class SwinBlock(nn.Module):
             window, shift = min(h, w), 0
 
         if self.fuse and h % window == 0 and w % window == 0:
+            if drop_path_rate is not None:
+                raise ValueError(
+                    "traced drop_path_rate requires the unfused path "
+                    "(pipelined trunks set fuse=False)"
+                )
+            if self.moe_experts:
+                raise ValueError(
+                    "MoE blocks require the unfused path (set fuse=False "
+                    "for models with moe_experts > 0)"
+                )
             return self._fused_call(x, window, shift, deterministic)
 
         shortcut = x
@@ -184,16 +219,34 @@ class SwinBlock(nn.Module):
         # res-post-norm, zero-init (reference swinv2.py:431,603-608)
         x = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init, bias_init=zeros_init,
                          dtype=self.dtype, name="norm1")(x)
-        use_dp = self.drop_path_rate > 0.0 and not deterministic
+        if drop_path_rate is None:
+            use_dp = self.drop_path_rate > 0.0 and not deterministic
+            dp = functools.partial(drop_path, rate=self.drop_path_rate)
+        else:
+            use_dp = not deterministic
+            dp = functools.partial(_drop_path_traced, rate=drop_path_rate)
         rng = self.make_rng("dropout") if use_dp else None
-        x = shortcut + drop_path(x, self.drop_path_rate, deterministic, rng)
+        x = shortcut + dp(x, deterministic=deterministic, rng=rng)
 
-        y = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype,
-                name="mlp")(x, deterministic)
+        if self.moe_experts:
+            from hvt.ops.moe import MoeMlp
+
+            y = MoeMlp(
+                num_experts=self.moe_experts,
+                hidden=int(c * self.mlp_ratio),
+                out=c,
+                capacity_factor=self.moe_capacity,
+                aux_weight=self.moe_aux_weight,
+                dtype=self.dtype,
+                name="moe",
+            )(x, deterministic)
+        else:
+            y = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype,
+                    name="mlp")(x, deterministic)
         y = nn.LayerNorm(epsilon=1e-5, scale_init=zeros_init, bias_init=zeros_init,
                          dtype=self.dtype, name="norm2")(y)
         rng = self.make_rng("dropout") if use_dp else None
-        return x + drop_path(y, self.drop_path_rate, deterministic, rng)
+        return x + dp(y, deterministic=deterministic, rng=rng)
 
     def _fused_call(self, x, window: int, shift: int, deterministic: bool):
         """Fused-half path via hvt.ops.fused_halves_pallas.
@@ -335,6 +388,42 @@ class PatchMerging(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
+class _PairChain(nn.Module):
+    """One pipeline stage: ``n_blocks`` consecutive SwinBlocks (the usual
+    no-shift/shift alternation, so ``n_blocks`` must be even for the chain
+    to be phase-identical across stages). Per-block stochastic-depth rates
+    arrive traced (``dpr``: (n_blocks,)) — under ``nn.vmap`` over stages the
+    module attributes are shared, so anything stage-varying must be data.
+
+    Pipeline stages run inside a vmapped region GSPMD partitions over the
+    ``pipe`` mesh axis; Mosaic custom calls cannot be partitioned there, so
+    the chain always uses the plain-XLA block lowering."""
+
+    num_heads: int
+    window: int
+    n_blocks: int
+    mlp_ratio: float = 4.0
+    pretrained_window: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, dpr, deterministic: bool = True):
+        for i in range(self.n_blocks):
+            x = SwinBlock(
+                dim=x.shape[-1],
+                num_heads=self.num_heads,
+                window=self.window,
+                shift=0 if i % 2 == 0 else self.window // 2,
+                mlp_ratio=self.mlp_ratio,
+                pretrained_window=self.pretrained_window,
+                dtype=self.dtype,
+                use_pallas=False,
+                fuse=False,
+                name=f"block{i}",
+            )(x, deterministic, drop_path_rate=dpr[i])
+        return x
+
+
 class SwinTransformerV2(nn.Module):
     num_classes: Union[int, tuple[int, ...]] = 1000
     patch_size: int = 4
@@ -363,6 +452,34 @@ class SwinTransformerV2(nn.Module):
     # Default ON (measured win, see SwinBlock.fallback_xla / BENCH.md).
     fallback_xla: bool = True
     remat: bool = False
+    # Pipeline parallelism (mesh: {pipe: N}): split the deepest stage's
+    # blocks into `pipe` pipeline stages. Stage params are stacked with a
+    # leading stage dim (sharded over the mesh's `pipe` axis — each rank
+    # stores 1/pipe of the trunk) and a statically-unrolled GPipe schedule
+    # feeds `pipe_microbatches` microbatches through; the per-tick stage
+    # shift lowers to ICI collective-permutes under GSPMD. Requires the
+    # plain-XLA lowering (use_pallas/fuse false) and
+    # depths[pipe_stage] % (2*pipe) == 0. The parameter tree changes
+    # (stacked trunk) — see stack_pipe_params/unstack_pipe_params for
+    # checkpoint conversion.
+    pipe: int = 1
+    # Microbatches in flight; 0 → `pipe` (minimum that fills the pipeline).
+    # Larger values shrink the (pipe-1)/(M+pipe-1) bubble at the cost of
+    # smaller per-tick matmuls. The batch must be divisible by it.
+    pipe_microbatches: int = 0
+    # Which stage to pipeline; -1 → the deepest stage (ties → later stage).
+    pipe_stage: int = -1
+    # Mixture-of-experts (Swin-MoE style, hvt.ops.moe): >0 replaces the
+    # dense MLP with `moe_experts` expert MLPs in every `moe_every`-th
+    # block (the second of each pair by default) of stages >=
+    # `moe_from_stage`. Expert weights shard over the mesh's `model` axis
+    # (expert parallelism — TP_RULES); the Switch load-balancing aux loss
+    # is sown and added to the training objective by the train step.
+    moe_experts: int = 0
+    moe_from_stage: int = 2
+    moe_every: int = 2
+    moe_capacity: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def num_features(self) -> int:
@@ -413,10 +530,38 @@ class SwinTransformerV2(nn.Module):
         block_cls = (
             nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
         )
+        pipelined_stage = self._pipe_stage_index() if self.pipe > 1 else None
+        if pipelined_stage is not None and self.moe_experts:
+            raise ValueError(
+                "pipe > 1 and moe_experts > 0 are mutually exclusive for "
+                "now (the pipelined trunk's vmapped chains do not carry "
+                "MoE blocks)"
+            )
+
         activations = []
         block_idx = 0
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            if stage == pipelined_stage:
+                x = self._pipelined_stage(
+                    x, heads, depth, dpr[block_idx : block_idx + depth], train
+                )
+                block_idx += depth
+                if stage < len(self.depths) - 1:
+                    x = PatchMerging(dim=x.shape[-1], dtype=self.dtype,
+                                     name=f"stage{stage}_merge")(x)
+                if output_activations:
+                    activations.append(x)
+                continue
             for i in range(depth):
+                block_moe = (
+                    self.moe_experts
+                    if (
+                        self.moe_experts
+                        and stage >= self.moe_from_stage
+                        and i % self.moe_every == self.moe_every - 1
+                    )
+                    else 0
+                )
                 x = block_cls(
                     dim=x.shape[-1],
                     num_heads=heads,
@@ -427,9 +572,15 @@ class SwinTransformerV2(nn.Module):
                     pretrained_window=self.pretrained_window_sizes[stage],
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
-                    fuse=self.fuse,
+                    # The fused MLP-half kernel is dense — MoE blocks take
+                    # the unfused path (their attention may still fuse via
+                    # the plain SwinBlock gating on non-MoE blocks only).
+                    fuse=self.fuse and not block_moe,
                     fuse_attn_train=self.fuse_attn_train,
                     fallback_xla=self.fallback_xla,
+                    moe_experts=block_moe,
+                    moe_capacity=self.moe_capacity,
+                    moe_aux_weight=self.moe_aux_weight,
                     name=f"stage{stage}_block{i}",
                 )(x, not train)
                 block_idx += 1
@@ -449,6 +600,140 @@ class SwinTransformerV2(nn.Module):
             return MultitaskHead(self.num_classes, dtype=jnp.float32, name="head")(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, kernel_init=trunc02,
                         bias_init=zeros_init, name="head")(x)
+
+    def _pipe_stage_index(self) -> int:
+        """The stage carried by the pipeline: explicit ``pipe_stage``, or the
+        deepest stage (later stage wins ties — deeper in the net, where the
+        channel width carries most of the FLOPs)."""
+        if self.pipe_stage >= 0:
+            return self.pipe_stage
+        depths = list(self.depths)
+        best = max(depths)
+        return len(depths) - 1 - depths[::-1].index(best)
+
+    def _pipelined_stage(self, x, heads: int, depth: int, dpr_slice, train: bool):
+        """GPipe over the stage's blocks, in the GSPMD-native stacked-stage
+        formulation (the scaling-book / maxtext pipeline recipe, not a
+        hand-written send/recv scheduler):
+
+        * the stage's blocks are grouped into ``pipe`` chains whose params
+          are stacked with a leading stage dim by ``nn.vmap`` — sharded over
+          the mesh's ``pipe`` axis (hvt.parallel.TP_RULES ``pipe_trunk``
+          rules), each rank stores and computes only its own chain;
+        * a state buffer (pipe, microbatch, H, W, C) holds each stage's
+          in-flight microbatch; every tick applies all chains in lockstep
+          (one vmapped call) and shifts the buffer one stage down — under
+          GSPMD the shift is an ICI collective-permute;
+        * the schedule is statically unrolled (M + pipe - 1 ticks, python
+          loop): all indices are static, no lax.scan, no dynamic slicing.
+
+        Bubble ticks flow zeros through not-yet-fed stages; their outputs
+        are never collected, so gradients through them are exactly zero.
+        Numerics match the sequential stage bit-for-bit in eval mode
+        (tests/test_pipeline.py); in training the stochastic-depth draws
+        differ from the sequential path (split rngs per stage), same
+        distribution."""
+        from hvt import parallel
+
+        P = self.pipe
+        if depth % (2 * P):
+            raise ValueError(
+                f"pipelined stage depth {depth} must divide into {P} "
+                f"phase-aligned chains (depth % (2*pipe) == 0)"
+            )
+        n_blocks = depth // P
+        M = self.pipe_microbatches or P
+        b, h, w, c = x.shape
+        if b % M:
+            raise ValueError(
+                f"batch {b} not divisible by pipe_microbatches={M}"
+            )
+        bm = b // M
+
+        dpr_stage = jnp.asarray(np.asarray(dpr_slice, np.float32).reshape(P, n_blocks))
+        stage_cls = nn.vmap(
+            _PairChain,
+            in_axes=(0, 0, None),
+            out_axes=0,
+            axis_size=P,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        trunk = stage_cls(
+            num_heads=heads,
+            window=self.window_size,
+            n_blocks=n_blocks,
+            mlp_ratio=self.mlp_ratio,
+            pretrained_window=self.pretrained_window_sizes[self._pipe_stage_index()],
+            dtype=self.dtype,
+            name="pipe_trunk",
+        )
+
+        microbatches = x.reshape(M, bm, h, w, c)
+        # Bubble slots hold REAL data (microbatch 0), not zeros: bubble
+        # lineages never reach a collected output, so their cotangents are
+        # exactly zero — but only if every value on them stays finite. A
+        # zero buffer NaNs the cosine-attention q/k normalization (0/0),
+        # and 0 * NaN poisons the param gradients of every block a bubble
+        # passes through.
+        state = parallel.pipe_constraint(jnp.repeat(microbatches[:1], P, axis=0))
+        det = not train
+        outputs = []
+        for t in range(M + P - 1):
+            # Feed the next microbatch at stage 0 (garbage re-feed of the
+            # last microbatch during drain ticks — never collected).
+            feed = microbatches[min(t, M - 1)]
+            state = parallel.pipe_constraint(
+                jnp.concatenate([feed[None], state[1:]], axis=0)
+            )
+            y = parallel.pipe_constraint(trunk(state, dpr_stage, det))
+            if t >= P - 1:
+                outputs.append(y[P - 1])
+            # Shift one stage down: stage s's next input is stage s-1's
+            # output (slot 0 is overwritten by the next feed).
+            state = jnp.concatenate([y[:1], y[:-1]], axis=0)
+        return jnp.concatenate(outputs, axis=0)
+
+
+def _pipe_layout(model: "SwinTransformerV2") -> tuple[int, int, int, int]:
+    """(stage index, stage depth, pipe, blocks per chain) of a pipelined model."""
+    ps = model._pipe_stage_index()
+    depth = model.depths[ps]
+    return ps, depth, model.pipe, depth // model.pipe
+
+
+def unstack_pipe_params(model: "SwinTransformerV2", params):
+    """Pipelined param tree → the sequential (pipe=1) tree.
+
+    ``pipe_trunk/block{j}`` leaves carry a leading stage dim; chain r's
+    block j is the sequential ``stage{ps}_block{r*nb+j}``. Checkpoints
+    trained under a pipe mesh convert to single-chip/pure-DP layouts with
+    this (the pipe analog of the cross-topology restore test)."""
+    ps, depth, pipe, nb = _pipe_layout(model)
+    p = dict(params)
+    trunk = p.pop("pipe_trunk")
+    for r in range(pipe):
+        for j in range(nb):
+            p[f"stage{ps}_block{r * nb + j}"] = jax.tree.map(
+                lambda a, r=r: a[r], trunk[f"block{j}"]
+            )
+    return p
+
+
+def stack_pipe_params(model: "SwinTransformerV2", params):
+    """Sequential (pipe=1) param tree → the pipelined tree (inverse of
+    unstack_pipe_params); finetune a pretrained checkpoint under a pipe
+    mesh by restacking its trunk."""
+    ps, depth, pipe, nb = _pipe_layout(model)
+    p = dict(params)
+    blocks = [p.pop(f"stage{ps}_block{i}") for i in range(depth)]
+    p["pipe_trunk"] = {
+        f"block{j}": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[blocks[r * nb + j] for r in range(pipe)]
+        )
+        for j in range(nb)
+    }
+    return p
 
 
 def _variant(embed_dim, depths, num_heads, window_size):
@@ -488,6 +773,8 @@ swinv2_large = _variant(192, (2, 2, 18, 2), (6, 12, 24, 48), 7)
 # window 12; window 7 only divides the 224-px grids).
 swinv2_large_window12_192 = _variant(192, (2, 2, 18, 2), (6, 12, 24, 48), 12)
 swinv2_micro = _variant(16, (1, 1), (2, 4), 4)  # tests only
+# tests only: a pipeline-able micro (deep stage divides into 2 chains)
+swinv2_micro_deep = _variant(16, (2, 4), (2, 4), 4)
 
 
 def analytic_flops(model: SwinTransformerV2, img_size: int) -> int:

@@ -20,6 +20,14 @@ large images or very large meshes) — the reference has no counterpart
 kernels operate on window-major tensors and cannot partition H, so
 ``spatial > 1`` requires their plain-XLA lowering (``shard_map_kernel``
 raises with instructions otherwise).
+
+A ``pipe`` axis (default size 1) carries **pipeline parallelism** for the
+SwinV2 deep trunk (hvt.models.swinv2 ``pipe``): the trunk's blocks are
+stacked over a leading stage dim sharded over this axis (each rank stores
+and computes only its own stage), and a statically-unrolled GPipe schedule
+shifts microbatch activations stage-to-stage — the shift lowers to ICI
+collective-permutes under GSPMD. The scaling-book formulation (vmap over
+stages + sharded stage dim), not a hand-written send/recv scheduler.
 """
 
 from __future__ import annotations
@@ -33,7 +41,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
-_AXES = (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS)
+PIPE_AXIS = "pipe"
+_AXES = (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS, PIPE_AXIS)
 
 
 def make_mesh(
@@ -47,20 +56,21 @@ def make_mesh(
 
     model = getattr(mesh_cfg, "model", 1) if mesh_cfg is not None else 1
     spatial = getattr(mesh_cfg, "spatial", 1) if mesh_cfg is not None else 1
+    pipe = getattr(mesh_cfg, "pipe", 1) if mesh_cfg is not None else 1
     data = getattr(mesh_cfg, "data", -1) if mesh_cfg is not None else -1
     if data == -1:
-        if len(devices) % (model * spatial):
+        if len(devices) % (model * spatial * pipe):
             raise ValueError(
                 f"{len(devices)} devices not divisible by "
-                f"spatial={spatial} x model={model}"
+                f"spatial={spatial} x model={model} x pipe={pipe}"
             )
-        data = len(devices) // (model * spatial)
-    if data * spatial * model != len(devices):
+        data = len(devices) // (model * spatial * pipe)
+    if data * spatial * model * pipe != len(devices):
         raise ValueError(
-            f"mesh {data}x{spatial}x{model} (data x spatial x model) does "
-            f"not match {len(devices)} devices"
+            f"mesh {data}x{spatial}x{model}x{pipe} (data x spatial x model "
+            f"x pipe) does not match {len(devices)} devices"
         )
-    return Mesh(devices.reshape(data, spatial, model), _AXES)
+    return Mesh(devices.reshape(data, spatial, model, pipe), _AXES)
 
 
 def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
@@ -71,10 +81,12 @@ def divisor_mesh(batch_size: int, devices: Optional[Sequence[jax.Device]] = None
     n = len(devices)
     while n > 1 and batch_size % n:
         n -= 1
-    return Mesh(np.asarray(devices[:n]).reshape(n, 1, 1), _AXES)
+    return Mesh(np.asarray(devices[:n]).reshape(n, 1, 1, 1), _AXES)
 
 
-def cpu_mesh(n_devices: int, model: int = 1, spatial: int = 1) -> Mesh:
+def cpu_mesh(
+    n_devices: int, model: int = 1, spatial: int = 1, pipe: int = 1
+) -> Mesh:
     """Mesh over virtual CPU devices (tests / multi-chip dry runs).
 
     Requires XLA_FLAGS=--xla_force_host_platform_device_count>=n. Requests
@@ -89,14 +101,14 @@ def cpu_mesh(n_devices: int, model: int = 1, spatial: int = 1) -> Mesh:
             f"only {len(devices)} cpu devices; set "
             f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
         )
-    if n_devices % (model * spatial):
+    if n_devices % (model * spatial * pipe):
         raise ValueError(
             f"{n_devices} devices not divisible by spatial={spatial} x "
-            f"model={model}"
+            f"model={model} x pipe={pipe}"
         )
     return Mesh(
         np.asarray(devices).reshape(
-            n_devices // (model * spatial), spatial, model
+            n_devices // (model * spatial * pipe), spatial, model, pipe
         ),
         _AXES,
     )
@@ -110,6 +122,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def spatial_size(mesh: Mesh) -> int:
     """Size of the spatial-partitioning axis (1 on legacy 2-axis meshes)."""
     return int(mesh.shape.get(SPATIAL_AXIS, 1))
+
+
+def pipe_size(mesh: Mesh) -> int:
+    """Size of the pipeline-parallel axis (1 on legacy meshes)."""
+    return int(mesh.shape.get(PIPE_AXIS, 1))
 
 
 def image_sharding(mesh: Mesh) -> NamedSharding:
@@ -236,6 +253,13 @@ def kernel_mesh() -> Optional[Mesh]:
                 "bn_pallas off for ResNet (GSPMD partitions the XLA ops — "
                 "including the pure-jnp bn_custom path — automatically)."
             )
+        if pipe_size(mesh) > 1:
+            raise ValueError(
+                "Pallas kernels cannot run inside the pipelined trunk (the "
+                "stage dim is vmapped and GSPMD cannot partition Mosaic "
+                "calls). With mesh.pipe > 1 use the plain-XLA lowerings: "
+                "model.args {fuse: false, use_pallas: false}."
+            )
         return mesh
     return None
 
@@ -284,6 +308,20 @@ def shard_map_kernel(fn, batch_argnums: Sequence[int], n_args: int):
 # fuse=false when actually running TP>1 on memory-constrained chips.
 
 TP_RULES: tuple[tuple[str, PartitionSpec], ...] = (
+    # Pipelined-trunk params (hvt.models.swinv2 pipe>1) carry a leading
+    # stage dim stacked by nn.vmap — shard it over the pipe axis so each
+    # pipeline rank stores only its own stage's blocks. TP composes: the
+    # trunk's MLP kernels additionally split over the model axis. These
+    # rules must precede the plain MLP rules (first match wins).
+    (r"pipe_trunk/.*mlp/fc1/kernel$", P(PIPE_AXIS, None, MODEL_AXIS)),
+    (r"pipe_trunk/.*mlp/fc1/bias$", P(PIPE_AXIS, MODEL_AXIS)),
+    (r"pipe_trunk/.*mlp/fc2/kernel$", P(PIPE_AXIS, MODEL_AXIS, None)),
+    (r"pipe_trunk/", P(PIPE_AXIS)),
+    # Expert parallelism (hvt.ops.moe): stacked expert weights (E, ...)
+    # shard their expert dim over the model axis — EP rides `model` (the
+    # router stays replicated; GSPMD inserts the dispatch all-to-alls at
+    # the ep_constraint boundary).
+    (r"/moe/(w1|w2|b1|b2)$", P(MODEL_AXIS)),
     (r"mlp/fc1/kernel$", P(None, MODEL_AXIS)),
     (r"mlp/fc1/bias$", P(MODEL_AXIS)),
     (r"mlp/fc2/kernel$", P(MODEL_AXIS, None)),
@@ -334,6 +372,36 @@ def tp_shardings(mesh: Mesh, tree, rules=TP_RULES, zero: bool = False):
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
+
+
+def pipe_constraint(x: jax.Array) -> jax.Array:
+    """Pin a pipelined-trunk activation buffer (stage-major: dim 0 = pipeline
+    stage, dim 1 = microbatch) to P(pipe, data) on the declared mesh.
+
+    Called from model code (hvt.models.swinv2 pipe>1) so the stage dim of
+    the state/shift buffers maps onto the pipe axis — the per-tick stage
+    shift then lowers to an ICI collective-permute instead of a gather.
+    No-op when no multi-device mesh with a real pipe axis is declared
+    (single-device tests run the same math unsharded)."""
+    mesh = declared_kernel_mesh()
+    if mesh is None or pipe_size(mesh) <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(PIPE_AXIS, DATA_AXIS))
+    )
+
+
+def ep_constraint(x: jax.Array) -> jax.Array:
+    """Pin an expert-major token buffer (dim 0 = expert, dim 1 = token
+    group) to P(model, data): expert parallelism rides the ``model`` axis.
+    GSPMD inserts the token all-to-alls at this boundary (the GShard
+    lowering). No-op without a declared multi-device model axis."""
+    mesh = declared_kernel_mesh()
+    if mesh is None or int(mesh.shape.get(MODEL_AXIS, 1)) <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS))
+    )
 
 
 def broadcast_small_json(obj, world: int = 1, max_bytes: int = 65536):

@@ -117,9 +117,34 @@ class Trainer:
             mesh_platform in ("tpu", "axon")
             and config.model.name.startswith("swinv2")
             and "fuse" not in config.model.args
+            and parallel.pipe_size(self.mesh) == 1
         ):
             config = config_lib.loads(
                 config_lib.to_dict(config), {"model": {"args": {"fuse": True}}}
+            )
+            self.config = config
+        # Pipeline parallelism: the mesh's pipe axis decides the model's
+        # pipeline split; inject it (and the plain-XLA lowering it requires —
+        # Mosaic calls cannot be GSPMD-partitioned over the vmapped stage
+        # dim, hvt.parallel.kernel_mesh) so configs only say mesh: {pipe: N}.
+        pipe = parallel.pipe_size(self.mesh)
+        if pipe > 1:
+            if not config.model.name.startswith("swinv2"):
+                raise ValueError(
+                    "mesh.pipe > 1 pipelines the SwinV2 deep trunk; conv "
+                    "families have no homogeneous stage to pipeline — use "
+                    "data/spatial parallelism for ResNet."
+                )
+            if config.model.args.get("fuse") or config.model.args.get("use_pallas"):
+                raise ValueError(
+                    "mesh.pipe > 1 requires the plain-XLA lowering: remove "
+                    "model.args {fuse: true, use_pallas: true}"
+                )
+            config = config_lib.loads(
+                config_lib.to_dict(config),
+                {"model": {"args": {
+                    "pipe": pipe, "use_pallas": False, "fuse": False,
+                }}},
             )
             self.config = config
         self.model = build_model(config, self.info.num_classes)
@@ -290,13 +315,16 @@ class Trainer:
     def _init_state(self) -> state_lib.TrainState:
         init = self._make_init_fn()
         tp = self.mesh.shape.get(parallel.MODEL_AXIS, 1) > 1
+        pipe = parallel.pipe_size(self.mesh) > 1
         zero = bool(getattr(self.config.mesh, "zero", False)) and (
             self.mesh.shape.get(parallel.DATA_AXIS, 1) > 1
         )
-        if tp or zero:
+        if tp or zero or pipe:
             # Tensor parallelism: rule-matched parameters (and their
             # optimizer/EMA mirrors) shard over the model axis; XLA
             # partitions the matmuls and inserts the collectives.
+            # Pipeline parallelism: the stacked pipe_trunk params (and
+            # mirrors) shard their stage dim over the pipe axis.
             # ZeRO-1 (mesh.zero): optimizer state shards over the data
             # axis — see parallel.tp_shardings.
             out = parallel.tp_shardings(

@@ -55,17 +55,23 @@ class StepSettings:
 
 
 def _forward(model, params, batch_stats, x, train: bool, rng=None):
+    """→ (out, new_batch_stats, aux_loss). ``aux_loss`` sums everything the
+    model sowed into the ``aux_losses`` collection (the MoE load-balancing
+    loss, hvt.ops.moe); a python 0.0 — not a traced zero — for models that
+    sow nothing, so the non-MoE graph is unchanged."""
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     rngs = {"dropout": rng} if (train and rng is not None) else None
-    if train and batch_stats:
+    if train:
+        mut_cols = ["batch_stats", "aux_losses"] if batch_stats else ["aux_losses"]
         out, mut = model.apply(
-            variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            variables, x, train=True, mutable=mut_cols, rngs=rngs
         )
-        return out, mut["batch_stats"]
+        aux = sum(jax.tree.leaves(mut.get("aux_losses", {})), 0.0)
+        return out, mut.get("batch_stats", batch_stats), aux
     out = model.apply(variables, x, train=train, rngs=rngs)
-    return out, batch_stats
+    return out, batch_stats, 0.0
 
 
 def build_train_step(
@@ -100,8 +106,10 @@ def build_train_step(
             rng, key = jax.random.split(rng)
             x, targets = device_prep.cutmix(key, x, targets, settings.cutmix_alpha)
         rng, dropout_rng = jax.random.split(rng)
-        out, new_bs = _forward(model, params, batch_stats, x, train=True, rng=dropout_rng)
-        loss = objective(out, targets, mask)
+        out, new_bs, aux = _forward(
+            model, params, batch_stats, x, train=True, rng=dropout_rng
+        )
+        loss = objective(out, targets, mask) + aux
         return loss, (out, new_bs)
 
     def step(state: TrainState, images, labels, mask, rng, scale: float):
@@ -243,7 +251,7 @@ def build_eval_step(
 
     def step(params, batch_stats, images, labels, mask):
         x = prep.normalize(images)
-        out, _ = _forward(model, params, batch_stats, x, train=False)
+        out, _, _ = _forward(model, params, batch_stats, x, train=False)
         dists = None if td is None else jnp.asarray(td)
         return metrics_lib.batch_stats(out, labels, mask, tree_dists=dists)
 

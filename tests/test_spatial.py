@@ -52,7 +52,7 @@ def test_mesh_axes_and_image_sharding():
     """A spatial mesh is (data, spatial, model); images shard H over
     `spatial`, labels/mask stay batch-only."""
     mesh = parallel.cpu_mesh(4, spatial=2)
-    assert dict(mesh.shape) == {"data": 2, "spatial": 2, "model": 1}
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2, "model": 1, "pipe": 1}
     assert parallel.spatial_size(mesh) == 2
 
     img_spec = parallel.image_sharding(mesh).spec
@@ -72,7 +72,7 @@ def test_mesh_axes_and_image_sharding():
 def test_make_mesh_spatial_from_config():
     cfg = _micro_cfg("mesh_cfg", spatial=2)
     mesh = parallel.make_mesh(cfg.mesh, devices=jax.devices("cpu")[:4])
-    assert dict(mesh.shape) == {"data": 2, "spatial": 2, "model": 1}
+    assert dict(mesh.shape) == {"data": 2, "spatial": 2, "model": 1, "pipe": 1}
     with pytest.raises(ValueError, match="not divisible"):
         parallel.make_mesh(
             C.loads({"mesh": {"spatial": 3}}).mesh,
