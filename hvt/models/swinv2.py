@@ -627,8 +627,11 @@ class SwinTransformerV2(nn.Module):
         * the schedule is statically unrolled (M + pipe - 1 ticks, python
           loop): all indices are static, no lax.scan, no dynamic slicing.
 
-        Bubble ticks flow zeros through not-yet-fed stages; their outputs
-        are never collected, so gradients through them are exactly zero.
+        Bubble ticks flow REAL data (microbatch 0) through not-yet-fed
+        stages — never zeros, which would NaN the cosine-attention q/k
+        normalization (0/0) and poison every param gradient downstream of a
+        bubble via 0 * NaN. Bubble outputs are never collected, so their
+        cotangents are exactly zero (see the `state` init below).
         Numerics match the sequential stage bit-for-bit in eval mode
         (tests/test_pipeline.py); in training the stochastic-depth draws
         differ from the sequential path (split rngs per stage), same
@@ -651,8 +654,14 @@ class SwinTransformerV2(nn.Module):
         bm = b // M
 
         dpr_stage = jnp.asarray(np.asarray(dpr_slice, np.float32).reshape(P, n_blocks))
+        # remat applies to the pipelined trunk too — it carries the deepest
+        # (most activation-heavy) stage, so skipping it here would forfeit
+        # most of the rematerialisation saving (advisor finding, round 3).
+        chain_cls = (
+            nn.remat(_PairChain, static_argnums=(3,)) if self.remat else _PairChain
+        )
         stage_cls = nn.vmap(
-            _PairChain,
+            chain_cls,
             in_axes=(0, 0, None),
             out_axes=0,
             axis_size=P,

@@ -147,6 +147,17 @@ class Trainer:
                 }}},
             )
             self.config = config
+        # Expert parallelism shards the (E, ...) expert-weight dim over the
+        # model axis; a non-divisible expert count would otherwise surface
+        # as an opaque GSPMD divisibility error deep inside jit at init.
+        moe_experts = int(config.model.args.get("moe_experts", 0) or 0)
+        model_axis = self.mesh.shape.get(parallel.MODEL_AXIS, 1)
+        if moe_experts and model_axis > 1 and moe_experts % model_axis:
+            raise ValueError(
+                f"model.args.moe_experts={moe_experts} must be divisible by "
+                f"the mesh's model-axis size {model_axis} (expert weights "
+                f"shard their expert dim over that axis)"
+            )
         self.model = build_model(config, self.info.num_classes)
         class_names = getattr(self.train_loader.dataset, "classes", None)
         self.objective = objectives_lib.build_objective(config, self.info, class_names)

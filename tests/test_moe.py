@@ -172,3 +172,117 @@ def test_trainer_step_with_expert_parallelism(tmp_path):
         assert float(stats["loss_sum"]) > loss_small_aux + 1.0
     finally:
         trainer_big.close()
+
+def test_dense_and_moe_blocks_compose_tp_and_ep(tmp_path):
+    """Dense and MoE blocks in the SAME state on a data x model mesh: the
+    dense blocks' mlp/fc1 leaves carry Megatron TP sharding AND the MoE
+    blocks' w1/w2 leaves carry EP sharding — the exact invariant the
+    driver's dryrun prints (__graft_entry__.py), previously untested (the
+    test above forces all-MoE, which leaves zero fc1 params and broke the
+    round-3 gate). swinv2_micro has depths (1, 1): moe_from_stage=1 keeps
+    stage 0 dense and makes stage 1 MoE."""
+    from hvt import config as C
+    from hvt import parallel
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "moe_tp_compose",
+            "max_duration": "1ba",
+            "grad_accum": 1,
+            "seed": 0,
+            "model": {
+                "name": "swinv2_micro",
+                "args": {
+                    "dtype": "float32",
+                    "moe_experts": 2,
+                    "moe_from_stage": 1,
+                    "moe_every": 1,
+                },
+            },
+            "machine": {"save_root": str(tmp_path)},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 16, "crop_size": 32,
+                "global_batch_size": 8, "drop_last": True, "shuffle": True,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "optim": {"name": "DecoupledAdamW", "lr": 1e-3,
+                      "weight_decay": 0.01},
+            "scheduler": {"args": {"t_warmup": "1ba", "alpha_f": 0.0}},
+            "save": {"interval": None, "num_checkpoints_to_keep": 1,
+                     "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    trainer = Trainer(cfg, mesh=parallel.cpu_mesh(4, model=2), log_interval=1)
+    try:
+        flat = jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
+        fc1_specs = {
+            str(s.sharding.spec)
+            for p, s in flat
+            if "fc1" in "/".join(str(k) for k in p)
+        }
+        assert fc1_specs, "no dense mlp/fc1 params — blocks are all-MoE"
+        assert any("model" in s for s in fc1_specs), fc1_specs
+        ep_specs = {
+            str(s.sharding.spec)
+            for p, s in flat
+            if "moe" in "/".join(str(k) for k in p)
+            and any(str(k) in ("w1", "w2") or "w1" in str(k) or "w2" in str(k)
+                    for k in p)
+        }
+        assert ep_specs, "no MoE expert params — no block is MoE"
+        assert all("model" in s for s in ep_specs), ep_specs
+
+        batch = next(iter(trainer.train_loader.epoch(0)))
+        images, labels, mask = parallel.put_batch(trainer.mesh, batch)
+        state, stats = trainer.train_step(
+            trainer.state, images, labels, mask, trainer.base_rng, scale=1.0
+        )
+        assert int(state.step) == 1
+        assert np.isfinite(float(stats["loss_sum"]))
+    finally:
+        trainer.close()
+
+
+def test_moe_experts_must_divide_model_axis(tmp_path):
+    """moe_experts not divisible by the mesh model-axis size raises a clear
+    config error at Trainer construction, not an opaque GSPMD divisibility
+    failure inside jit (advisor finding, round 3)."""
+    import pytest
+
+    from hvt import config as C
+    from hvt import parallel
+    from hvt.train.loop import Trainer
+
+    cfg = C.loads(
+        {
+            "run_name": "moe_indivisible",
+            "max_duration": "1ba",
+            "model": {
+                "name": "swinv2_micro",
+                "args": {"moe_experts": 3, "moe_from_stage": 0,
+                         "moe_every": 1},
+            },
+            "machine": {"save_root": str(tmp_path)},
+            "train_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 16, "crop_size": 32,
+                "global_batch_size": 8, "drop_last": True, "shuffle": True,
+            },
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 4,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 8,
+            },
+            "save": {"interval": None, "wandb": False},
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(cfg, mesh=parallel.cpu_mesh(4, model=2), log_interval=1)

@@ -167,3 +167,43 @@ def test_train_step_on_pipe_mesh(tmp_path):
         assert int(trainer.state.step) == 1
     finally:
         trainer.close()
+
+def test_remat_pipelined_matches_unrematted():
+    """remat=True must apply to the pipelined trunk too (advisor finding,
+    round 3: the deepest stage silently skipped checkpointing). remat is a
+    numerical identity — the rematted pipelined model's forward and grads
+    must equal the un-rematted pipelined model's exactly."""
+    common = dict(
+        num_classes=11,
+        embed_dim=16,
+        depths=(2, 4),
+        num_heads=(2, 4),
+        window_size=4,
+        drop_path_rate=0.0,
+        dtype=jnp.float32,
+        use_pallas=False,
+        pipe=2,
+        pipe_microbatches=2,
+    )
+    plain = swinv2.SwinTransformerV2(**common)
+    rematted = swinv2.SwinTransformerV2(remat=True, **common)
+    x = jax.random.normal(jax.random.key(7), (4, 32, 32, 3), jnp.float32)
+    variables = plain.init(jax.random.key(8), x)
+
+    def loss(model, params):
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    f_plain, g_plain = jax.value_and_grad(lambda p: loss(plain, p))(
+        variables["params"]
+    )
+    f_remat, g_remat = jax.value_and_grad(lambda p: loss(rematted, p))(
+        variables["params"]
+    )
+    np.testing.assert_allclose(float(f_plain), float(f_remat), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g_plain,
+        g_remat,
+    )
