@@ -30,6 +30,16 @@ normalizing inside the kernel (pre-reverse) is exact.
 GELU uses the Abramowitz–Stegun 7.1.26 erf polynomial (|err| ≤ 1.5e-7 —
 Mosaic has no erf lowering); its analytic derivative uses the same
 polynomial, so fwd/bwd are consistent.
+
+Round-4 redesign (BENCH.md "batch-blocked grid", +6.2% train): the window
+token dim is padded to a multiple of 8 (49 → 56) so the qkv/proj
+projections run as single large MXU matmuls per block, and the attention
+kernels grid over (window id, batch) instead of flat windows — every image
+in a block shares ONE window id, so the bias/mask block no longer scales
+with the block size and blocks grow to 16-64 images (fewer, fatter grid
+steps; these kernels are grid-overhead bound, not FLOP bound). The
+backward caches per-head (cos, attn) to skip the second attention
+recompute.
 """
 
 from __future__ import annotations
@@ -43,8 +53,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hvt.ops.window_attention_pallas import (
     _merge_bias_mask,
-    _packed_pick,
-    packed_heads_backward,
     packed_heads_forward,
 )
 
@@ -73,6 +81,26 @@ def _gelu(x: jax.Array) -> jax.Array:
 def _gelu_grad(x: jax.Array) -> jax.Array:
     cdf = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
     return cdf + x * _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+
+
+def _gelu_and_grad(x: jax.Array):
+    """(gelu(x), gelu'(x)) sharing ONE exp: the erf polynomial's
+    exp(-(x/√2)²) IS the pdf's exp(-x²/2). The backward kernel otherwise
+    pays three transcendental passes over the (rows, hidden) block (gelu
+    recompute + erf + pdf) — exp is the VPU's most expensive op, and the
+    MLP backward is VPU-bound at these shapes (BENCH.md round 4)."""
+    ax = jnp.abs(x) * _INV_SQRT2
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    e = jnp.exp(-ax * ax)  # = exp(-x²/2)
+    erf = jnp.sign(x) * (1.0 - poly * e)
+    cdf = 0.5 * (1.0 + erf)
+    # value written with _gelu's exact op order so fwd and bwd recompute
+    # stay bit-identical
+    return 0.5 * x * (1.0 + erf), cdf + x * _INV_SQRT_2PI * e
 
 
 def _ln_fwd(x: jax.Array, scale: jax.Array, bias: jax.Array):
@@ -152,9 +180,10 @@ def _mlp_bwd_kernel(
     g = g_ref[...].astype(jnp.float32)
     lns = lns_ref[...].astype(jnp.float32)
 
-    # Recompute forward (nothing was saved).
+    # Recompute forward (nothing was saved); gelu and its derivative share
+    # one exp (see _gelu_and_grad).
     pre = _dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
-    hidden = _gelu(pre)
+    hidden, dgelu = _gelu_and_grad(pre)
     out = _dot(hidden, w2_ref[...]) + b2_ref[...].astype(jnp.float32)
     mu = jnp.mean(out, axis=-1, keepdims=True)
     xc = out - mu
@@ -175,7 +204,7 @@ def _mlp_bwd_kernel(
     dw2 = _dot_t(hidden, dout)
     db2 = jnp.sum(dout, axis=0, keepdims=True)
 
-    dpre = dhidden * _gelu_grad(pre)
+    dpre = dhidden * dgelu
     dx = jax.lax.dot_general(
         dpre.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -312,30 +341,84 @@ mlp_half.defvjp(_mlp_half_fwd, _mlp_half_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _per_window_dot(x3: jax.Array, w) -> jax.Array:
-    """(g, N, A) @ (A, B) → (g, N, B) as g unrolled 2D dots.
-
-    Mosaic rejects both the (g, N, A) → (g·N, A) sublane merge (N=49 is not
-    tile-aligned) and bare rank-3×rank-2 contractions; per-window 2D matmuls
-    plus a leading-axis stack are layout-free."""
-    g = x3.shape[0]
-    return jnp.stack([_dot(x3[j], w) for j in range(g)])
-
-
-def _per_window_dot_rhs_t(x3: jax.Array, w) -> jax.Array:
-    """(g, N, B) @ (A, B)ᵀ → (g, N, A): contract dim 1 of w (matmul VJP wrt
-    the input)."""
-    g = x3.shape[0]
-    return jnp.stack(
-        [
+def _heads_fwd_cached(qkv, z, scale_ref, heads: int, g: int, n: int, c: int):
+    """packed_heads_forward caching each head's (cos, attn) so the fused
+    backward loop skips the qk matmul and the softmax — the expensive part
+    of the recompute. ONLY those two are cached: the q/k normalizations are
+    cheap rsqrt+mult recomputes from the still-live qkv, and caching the
+    (g, n, d=32) tensors lane-pads 4x and blew scoped VMEM at stage-2
+    blocks (round-4 compile OOM). Math is op-identical to
+    packed_heads_forward — the families must stay bit-identical."""
+    hd = c // heads
+    batched = (((2,), (2,)), ((0,), (0,)))
+    outs, cache = [], []
+    for i in range(heads):
+        q = qkv[:, :, i * hd : (i + 1) * hd]
+        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
+        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
+        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        qn = q * inv_qn
+        kn = k * inv_kn
+        cos = jax.lax.dot_general(qn, kn, batched, preferred_element_type=jnp.float32)
+        zi = jnp.broadcast_to(z[:, i], (g, n, n))
+        attn = jax.nn.softmax(cos * scale_ref[i, 0, 0] + zi, axis=-1)
+        outs.append(
             jax.lax.dot_general(
-                x3[j].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                attn, v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            for j in range(g)
-        ]
-    )
+        )
+        cache.append((cos, attn))
+    return jnp.concatenate(outs, axis=-1), cache
+
+
+def _heads_bwd_from_cache(
+    qkv, cache, gout, scale_ref, heads: int, g: int, n: int, c: int, gz: int
+):
+    """Gradient loop of packed_heads_backward, fed from _heads_fwd_cached's
+    (cos, attn) residuals (no qk-matmul/softmax recompute; normalizations
+    recomputed from qkv). Returns (dqkv, dz_contrib, dscale_contrib) in the
+    same packed layouts."""
+    hd = c // heads
+    batched = (((2,), (2,)), ((0,), (0,)))
+    dqs, dks, dvs, dzs, dscales = [], [], [], [], []
+    for i in range(heads):
+        cos, attn = cache[i]
+        q = qkv[:, :, i * hd : (i + 1) * hd]
+        k = qkv[:, :, c + i * hd : c + (i + 1) * hd]
+        v = qkv[:, :, 2 * c + i * hd : 2 * c + (i + 1) * hd]
+        inv_qn = jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
+        inv_kn = jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-24)
+        qn = q * inv_qn
+        kn = k * inv_kn
+        go = gout[:, :, i * hd : (i + 1) * hd]
+        scale = scale_ref[i, 0, 0]
+
+        dvs.append(
+            jax.lax.dot_general(
+                attn, go, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dp = jax.lax.dot_general(go, v, batched, preferred_element_type=jnp.float32)
+        ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+
+        dzs.append(ds if gz == g else jnp.sum(ds, axis=0, keepdims=True))
+        dscales.append(jnp.sum(ds * cos, axis=(0, 2)).reshape(1, n))
+
+        dcos = ds * scale
+        dqn = jax.lax.dot_general(
+            dcos, kn, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dkn = jax.lax.dot_general(
+            dcos, qn, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dqs.append((dqn - qn * jnp.sum(dqn * qn, axis=-1, keepdims=True)) * inv_qn)
+        dks.append((dkn - kn * jnp.sum(dkn * kn, axis=-1, keepdims=True)) * inv_kn)
+
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (g, N, 3C) packed order
+    return dqkv, jnp.stack(dzs, axis=1), jnp.concatenate(dscales, axis=0)
 
 
 def _attn_fwd_kernel(
@@ -343,44 +426,63 @@ def _attn_fwd_kernel(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
     lns_ref, lnb_ref, o_ref,
 ):
-    g, n, c = x_ref.shape
-    x3 = x_ref[...]
-    qkv = _per_window_dot(x3, wqkv_ref[...])  # (g, N, 3C) f32
-    qkv = qkv + bqkv_ref[...].astype(jnp.float32)[None]
+    """The window-token dim n is PADDED to a multiple of 8 by attention_half
+    (49 → 56 for window-7), which makes (g, n, C) → (g·n, C) a layout no-op
+    (whole 8-sublane tiles per window), so the qkv and proj projections —
+    the FLOP bulk of the half — each run as ONE large MXU matmul instead of
+    g unrolled (49, C) dots. Padded key columns carry -1e9 in z, so softmax
+    excludes them exactly; padded query rows produce garbage the caller
+    slices away.
+
+    Block layout: x (gb, 1, n, C) — gb images' SAME window id (batch-blocked
+    grid, _attn_forward); z (1, H, n, n) is that window's combined
+    bias+mask, resident across the inner batch grid axis."""
+    g, _, n, c = x_ref.shape
+    xf = x_ref[...].reshape(g * n, c)
+    qkv_f = _dot(xf, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv_f.reshape(g, n, 3 * c)
     z = z_ref[...].astype(jnp.float32)
 
     out = packed_heads_forward(qkv, z, scale_ref, heads, g, n, c)  # (g, N, C)
-    proj = _per_window_dot(out, wproj_ref[...])
-    proj = proj + bproj_ref[...].astype(jnp.float32)[None]
+    proj = _dot(out.reshape(g * n, c), wproj_ref[...])
+    proj = proj + bproj_ref[...].astype(jnp.float32)
     branch, _, _ = _ln_fwd(
         proj, lns_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32)
     )
-    o_ref[...] = branch.astype(o_ref.dtype)
+    o_ref[...] = branch.reshape(g, 1, n, c).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(
-    heads: int, gz: int,
+    heads: int,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
     lns_ref, g_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
     dlns_ref, dlnb_ref,
 ):
+    """Batch-blocked like the forward: x (gb, 1, n, C) = gb images' SAME
+    window id, z (1, H, n, n). Grid (nwz, nb/gb) with batch innermost, so
+    dz (indexed by the window axis) accumulates in VMEM across the batch
+    sweep; dscale/weight grads accumulate across the whole grid."""
     wb = pl.program_id(0)
     b = pl.program_id(1)
     first = (b == 0) & (wb == 0)
-    g_blk, n, c = x_ref.shape
+    g_blk, _, n, c = x_ref.shape
 
-    x3 = x_ref[...]
-    gout = g_ref[...].astype(jnp.float32)  # (g, N, C)
+    xf = x_ref[...].reshape(g_blk * n, c)
+    gout_f = g_ref[...].astype(jnp.float32).reshape(g_blk * n, c)
     z = z_ref[...].astype(jnp.float32)
     lns = lns_ref[...].astype(jnp.float32)
 
-    # --- recompute forward ---
-    qkv3 = _per_window_dot(x3, wqkv_ref[...])
-    qkv3 = qkv3 + bqkv_ref[...].astype(jnp.float32)[None]
-    attn_out = packed_heads_forward(qkv3, z, scale_ref, heads, g_blk, n, c)
-    proj = _per_window_dot(attn_out, wproj_ref[...])
-    proj = proj + bproj_ref[...].astype(jnp.float32)[None]
+    # --- recompute forward (flat merged projections — see _attn_fwd_kernel;
+    # per-head intermediates cached so the grad loop below skips the second
+    # attention recompute) ---
+    qkv_f = _dot(xf, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+    qkv3 = qkv_f.reshape(g_blk, n, 3 * c)
+    attn_out, head_cache = _heads_fwd_cached(
+        qkv3, z, scale_ref, heads, g_blk, n, c
+    )
+    attn_out_f = attn_out.reshape(g_blk * n, c)
+    proj = _dot(attn_out_f, wproj_ref[...]) + bproj_ref[...].astype(jnp.float32)
     mu = jnp.mean(proj, axis=-1, keepdims=True)
     xc = proj - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
@@ -388,26 +490,37 @@ def _attn_bwd_kernel(
     normed = xc * inv
 
     # --- norm1 backward ---
-    dproj = _ln_bwd(gout, normed, inv, lns)  # (g, N, C)
-    dlns = jnp.sum(jnp.sum(gout * normed, axis=0), axis=0, keepdims=True)
-    dlnb = jnp.sum(jnp.sum(gout, axis=0), axis=0, keepdims=True)
+    dproj = _ln_bwd(gout_f, normed, inv, lns)  # (g·N, C)
+    dlns = jnp.sum(gout_f * normed, axis=0, keepdims=True)
+    dlnb = jnp.sum(gout_f, axis=0, keepdims=True)
 
-    # --- proj backward ---
-    dao3 = _per_window_dot_rhs_t(dproj, wproj_ref[...])
-    dwproj = sum(_dot_t(attn_out[j], dproj[j]) for j in range(g_blk))
-    dbproj = jnp.sum(jnp.sum(dproj, axis=0), axis=0, keepdims=True)
-
-    # --- attention backward (shared per-head loop, window_attention_pallas) ---
-    dqkv, dz_contrib, dscale_contrib = packed_heads_backward(
-        qkv3, dao3, z, scale_ref, heads, g_blk, n, c, gz
+    # --- proj backward (flat: one MXU matmul per gradient) ---
+    dao_f = jax.lax.dot_general(
+        dproj.astype(jnp.bfloat16), wproj_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    dwproj = _dot_t(attn_out_f, dproj)
+    dbproj = jnp.sum(dproj, axis=0, keepdims=True)
+
+    # --- attention backward (cached cos/attn — no qk/softmax recompute;
+    # gz=1: the whole block shares one window id, dz pre-summed over gb) ---
+    dqkv, dz_contrib, dscale_contrib = _heads_bwd_from_cache(
+        qkv3, head_cache, dao_f.reshape(g_blk, n, c), scale_ref, heads, g_blk,
+        n, c, 1,
+    )
+    dqkv_f = dqkv.reshape(g_blk * n, 3 * c)
 
     # --- qkv projection backward ---
-    dx = _per_window_dot_rhs_t(dqkv, wqkv_ref[...])
-    dwqkv = sum(_dot_t(x3[j], dqkv[j]) for j in range(g_blk))
-    dbqkv = jnp.sum(jnp.sum(dqkv, axis=0), axis=0, keepdims=True)
+    dx = jax.lax.dot_general(
+        dqkv_f.astype(jnp.bfloat16), wqkv_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwqkv = _dot_t(xf, dqkv_f)
+    dbqkv = jnp.sum(dqkv_f, axis=0, keepdims=True)
 
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dx_ref[...] = dx.reshape(g_blk, 1, n, c).astype(dx_ref.dtype)
 
     @pl.when(b == 0)
     def _init_dz():
@@ -438,28 +551,62 @@ def _attn_bwd_kernel(
         dlnb_ref[...] = dlnb_ref[...] + dlnb
 
 
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _fused_attn_pick(nb: int, heads: int, n: int, c: int, train: bool) -> int:
+    """Images per grid step (batch-blocked grid — every window in the block
+    shares ONE window id, so the z block never scales with the block size).
+    Explicit scoped-VMEM estimate for THIS kernel's live set:
+
+      per image: the (cos, attn) backward cache (2·H n×n f32 tiles), one
+      live head's transients (~10 n×n-class f32 buffers), and the flat
+      (n·gb, 3C) qkv/grad buffers; plus the resident weights and (train)
+      their f32 gradient accumulators.
+
+    Grid-step fixed overhead (~2-3 µs DMA/sync) dominated the round-3
+    kernels at g≤8 windows/step (measured: block-size sweep, BENCH.md
+    round 4) — this picker maximizes the block under a ~10 MB budget."""
+    n_sub = -(-n // 8) * 8
+    nl = _pad128(n)
+    cache = (2 * heads if train else 0) * n_sub * nl * 4
+    head_tmp = (10 if train else 6) * n_sub * nl * 4
+    flat = (6 if train else 3) * n_sub * (_pad128(3 * c) + _pad128(c)) * 4 // 2
+    per_image = cache + head_tmp + flat
+    weights = (3 * c + c) * c * 2 + ((3 * c + c) * c * 4 if train else 0)
+    budget = 10 * 2**20 - weights
+    gb = max(1, int(budget // max(1, per_image)))
+    gb = min(gb, 64, nb)
+    while nb % gb:
+        gb -= 1
+    return gb
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def _attn_forward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb, heads,
                   interpret=False):
     nwb, n, c = x.shape
     nwz = z.shape[0]
-    g = _packed_pick(nwb, nwz, heads, n)
-    gz = g if nwz > 1 else 1
+    nb = nwb // nwz
+    gb = _fused_attn_pick(nb, heads, n, c, train=False)
 
-    grid = (nwb // g,)
-    x_spec = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec(
-        (gz, heads, n, n),
-        lambda i: ((i * g) % nwz // gz if nwz > 1 else 0, 0, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    # Batch-blocked grid: x viewed (nb, nwz, n, c) — a free reshape of the
+    # batch-major window partition — so each grid step processes gb images'
+    # SAME window id and the z block is one (1, H, n, n) window, resident
+    # across the inner batch axis.
+    xv = x.reshape(nb, nwz, n, c)
+    x_spec = pl.BlockSpec((gb, 1, n, c), lambda w, b: (b, w, 0, 0),
+                          memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, heads, n, n), lambda w, b: (w, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda w, b: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, heads),
-        out_shape=jax.ShapeDtypeStruct((nwb, n, c), x.dtype),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((nb, nwz, n, c), x.dtype),
+        grid=(nwz, nb // gb),
         in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
                   z_spec, const(c, c), const(1, c), const(1, c), const(1, c)],
         out_specs=x_spec,
@@ -469,8 +616,9 @@ def _attn_forward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb, heads,
             transcendentals=nwb * heads * n * n,
         ),
         interpret=interpret,
-    )(x, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
+    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
       lns.reshape(1, -1), lnb.reshape(1, -1))
+    return out.reshape(nwb, n, c)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
@@ -481,28 +629,24 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
     assert nwb % nwz == 0, (nwb, nwz)
     nb = nwb // nwz
 
-    g_blk = _packed_pick(nwb, nwz, heads, n)
-    gz = g_blk if nwz > 1 else 1
+    gb = _fused_attn_pick(nb, heads, n, c, train=True)
 
-    if nwz > 1:
-        grid = (nwz // g_blk, nb)
-        x_idx = lambda wb, b: (b * (nwz // g_blk) + wb, 0, 0)
-        z_idx = lambda wb, b: (wb, 0, 0, 0)
-    else:
-        assert nb % g_blk == 0, (nb, g_blk)
-        grid = (1, nb // g_blk)
-        x_idx = lambda wb, b: (b, 0, 0)
-        z_idx = lambda wb, b: (0, 0, 0, 0)
-
-    x_spec = pl.BlockSpec((g_blk, n, c), x_idx, memory_space=pltpu.VMEM)
-    z_spec = pl.BlockSpec((gz, heads, n, n), z_idx, memory_space=pltpu.VMEM)
+    # Batch-blocked grid, window axis outer / batch inner (see
+    # _attn_forward): the dz block (one window id) stays VMEM-resident
+    # while every image accumulates into it.
+    xv = x.reshape(nb, nwz, n, c)
+    gv = g_out.reshape(nb, nwz, n, c)
+    x_spec = pl.BlockSpec((gb, 1, n, c), lambda w, b: (b, w, 0, 0),
+                          memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((1, heads, n, n), lambda w, b: (w, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
-        shape, lambda wb, b: (0,) * len(shape), memory_space=pltpu.VMEM
+        shape, lambda w, b: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, heads, gz),
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, heads),
         out_shape=(
-            jax.ShapeDtypeStruct((nwb, n, c), x.dtype),          # dx
+            jax.ShapeDtypeStruct((nb, nwz, n, c), x.dtype),      # dx
             jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),        # dwqkv
             jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),        # dbqkv
             jax.ShapeDtypeStruct((heads, n), jnp.float32),        # dscale partial
@@ -512,7 +656,7 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
             jax.ShapeDtypeStruct((1, c), jnp.float32),            # dlns
             jax.ShapeDtypeStruct((1, c), jnp.float32),            # dlnb
         ),
-        grid=grid,
+        grid=(nwz, nb // gb),
         in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
                   z_spec, const(c, c), const(1, c), const(1, c), x_spec],
         out_specs=(
@@ -528,26 +672,55 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
             transcendentals=2 * nwb * heads * n * n,
         ),
         interpret=interpret,
-    )(x, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
-      lns.reshape(1, -1), g_out)
+    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
+      lns.reshape(1, -1), gv)
+    return (outs[0].reshape(nwb, n, c),) + outs[1:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
-def attention_half(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
-                   lns, lnb, heads, interpret=False):
-    """branch = norm1(proj(cosine_window_attention(qkv(x)))) for window
-    tokens x (nWB, N, C). bias is the (H, N, N) cpb bias; mask the optional
-    (nW, N, N) shift mask."""
+def _attention_half_core(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
+                         lns, lnb, heads, interpret=False):
+    """Core on PRE-PADDED window tokens x (nWB, NP, C), NP a multiple of 8
+    (see attention_half). bias is the padded (H, NP, NP) cpb bias with -1e9
+    on padded entries; mask the optional padded (nW, NP, NP) shift mask."""
     scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
     z = _merge_bias_mask(bias, mask)
     return _attn_forward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
                          heads, interpret=interpret)
 
 
+def attention_half(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
+                   lns, lnb, heads, interpret=False):
+    """branch = norm1(proj(cosine_window_attention(qkv(x)))) for window
+    tokens x (nWB, N, C). bias is the (H, N, N) cpb bias; mask the optional
+    (nW, N, N) shift mask.
+
+    The window-token dim is padded here to the next multiple of 8
+    (49 → 56 for window-7) so the kernels run the qkv/proj projections as
+    single large MXU matmuls (see _attn_fwd_kernel). Exactness: padded key
+    columns get -1e9 in the combined bias, so softmax weights them zero for
+    real queries; padded query rows are sliced away below, and the slice's
+    VJP zero-pads the upstream gradient, which makes every padded-row/col
+    gradient contribution exactly zero (padded x rows are zero, so even
+    their dqkv rows cannot reach dwqkv/dbqkv)."""
+    n = x.shape[1]
+    npad = -(-n // 8) * 8
+    if npad != n:
+        pad = npad - n
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
+                       constant_values=-1e9)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
+    out = _attention_half_core(x, wqkv, bqkv, logit_scale, bias, mask,
+                               wproj, bproj, lns, lnb, heads, interpret)
+    return out[:, :n] if npad != n else out
+
+
 def _attn_half_fwd(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
                    lns, lnb, heads, interpret=False):
-    out = attention_half(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
-                         lns, lnb, heads, interpret)
+    out = _attention_half_core(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
+                               bproj, lns, lnb, heads, interpret)
     return out, (x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns)
 
 
@@ -580,7 +753,7 @@ def _attn_half_bwd(heads, interpret, res, g_out):
     )
 
 
-attention_half.defvjp(_attn_half_fwd, _attn_half_bwd)
+_attention_half_core.defvjp(_attn_half_fwd, _attn_half_bwd)
 
 
 def mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, interpret=False):
@@ -629,7 +802,8 @@ def fits_vmem(
     else:
         weights = 4 * c * c * 2  # bf16 qkv+proj
         grads = 4 * c * c * 4 if train else 0
-        n_pad = (-(-n // 8) * 8) * (-(-n // 128) * 128)
-        live = 8 * n_pad * 48 + 6 * 8 * n * 4 * c
+        n_rows = -(-n // 8) * 8  # kernel token dim after window padding
+        n_pad = n_rows * (-(-n // 128) * 128)
+        live = 8 * n_pad * 48 + 6 * 8 * n_rows * 4 * c
     return weights + grads + live < 12 * 2**20
 

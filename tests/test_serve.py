@@ -461,3 +461,69 @@ def test_serve_bench_tool(served):
     assert rec["latency_ms"]["p50"] > 0
     assert rec["latency_ms"]["p99"] >= rec["latency_ms"]["p50"]
     assert rec["clients"] == 2 and rec["batch"] == 2
+
+def test_int8_multitask_hierarchical_bucket_artifact(tmp_path):
+    """The full flagship serving story composed end-to-end (round-3 verdict
+    #7): calibrated int8 artifact x multitask head x hierarchical decode x
+    batch buckets. Mirrors the reference's constrained top-down predict
+    path (reference hierarchy.py:538-597) served from a quantized
+    StableHLO artifact with bucket dispatch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hvt import hierarchy as hierarchy_lib
+    from hvt.data import build_loader
+    from hvt.tools import export_serving
+
+    cfg = C.loads(
+        {
+            "run_name": "serve-int8-hier",
+            "seed": 0,
+            "model": {"name": "resnet_micro"},
+            "hierarchy": {"variant": "multitask",
+                          "multitask_coeffs": [1, 1, 1, 1, 1, 1, 1]},
+            "machine": {"save_root": str(tmp_path)},
+            "eval_dataset": {
+                "source": "synthetic", "synthetic_num_classes": 6,
+                "synthetic_num_samples": 8, "crop_size": 32,
+                "global_batch_size": 4,
+            },
+            "loader": {"num_workers": 1, "prefetch_batches": 1},
+        }
+    )
+    art = export_serving.export_artifact(
+        cfg, str(tmp_path / "art"), batch=[2, 4], platforms=("cpu",),
+        quantize="int8", calibrate=4,
+    )
+    engine = serve_lib.InferenceEngine.from_artifact(
+        str(art), hierarchical=True, topk=3
+    )
+    try:
+        assert [s for s, _ in engine._steps] == [2, 4]  # both buckets live
+
+        rng = np.random.default_rng(0)
+        payloads = []
+        for i in range(5):
+            buf = io.BytesIO()
+            Image.fromarray(
+                rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+            ).save(buf, format="JPEG")
+            payloads.append(buf.getvalue())
+        with ThreadPoolExecutor(5) as pool:
+            recs = list(pool.map(engine.predict_image, payloads))
+
+        loader, _ = build_loader(cfg, is_train=False)
+        lookups = hierarchy_lib.parent_lookup_from_classes(
+            loader.dataset.classes
+        )
+        for rec in recs:
+            # hierarchical decode: 7 tiers, top-k confined to the
+            # predicted parent's branch
+            assert len(rec["tier_ids"]) == 7
+            parent = rec["tier_ids"][-2]
+            for cid in rec["class_ids"]:
+                assert lookups[-1][cid] == parent
+        s = engine.stats()
+        assert s["requests"] == 5 and s["errors"] == 0
+        assert s["dispatches"] >= 1
+    finally:
+        engine.close()
