@@ -142,6 +142,26 @@ class PallasBatchNorm(nn.Module):
         return y2d.reshape(x.shape)
 
 
+class TransformerMlp(nn.Module):
+    """Two-layer GELU MLP with the ``mlp/fc1`` / ``mlp/fc2`` parameter paths
+    that hvt.parallel.TP_RULES key on (fc1 column-parallel, fc2 row-parallel
+    over the mesh's model axis). Exact (erf) GELU, matching torch nn.GELU /
+    HF ACT2FN["gelu"]."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype | None = None
+    kernel_init: nn.initializers.Initializer = trunc02
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=self.kernel_init,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, kernel_init=self.kernel_init,
+                        name="fc2")(x)
+
+
 def drop_path(x: jax.Array, rate: float, deterministic: bool, rng=None) -> jax.Array:
     """Per-sample stochastic depth (timm DropPath semantics): zero the whole
     residual branch for a sample with probability `rate`, rescale survivors."""

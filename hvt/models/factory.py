@@ -31,6 +31,16 @@ def _swin(name):
     return build
 
 
+def _lazy(module_name, name):
+    def build(num_classes, **kwargs):
+        import importlib
+
+        module = importlib.import_module(f"hvt.models.{module_name}")
+        return getattr(module, name)(num_classes, **kwargs)
+
+    return build
+
+
 def _registry():
     return {
         "resnet50": resnet.resnet50,
@@ -49,6 +59,19 @@ def _registry():
         "swinv2_base": _swin("swinv2_base"),
         "swinv2_large": _swin("swinv2_large"),
         "swinv2_large_window12_192": _swin("swinv2_large_window12_192"),
+        # ViT / ConvNeXt (timm-zoo breadth beyond the reference's shipped
+        # configs; same timm names, reference models.py:16-25).
+        "vit_tiny_patch16_224": _lazy("vit", "vit_tiny_patch16_224"),
+        "vit_small_patch16_224": _lazy("vit", "vit_small_patch16_224"),
+        "vit_base_patch16_224": _lazy("vit", "vit_base_patch16_224"),
+        "vit_base_patch32_224": _lazy("vit", "vit_base_patch32_224"),
+        "vit_large_patch16_224": _lazy("vit", "vit_large_patch16_224"),
+        "vit_micro": _lazy("vit", "vit_micro"),
+        "convnext_tiny": _lazy("convnext", "convnext_tiny"),
+        "convnext_small": _lazy("convnext", "convnext_small"),
+        "convnext_base": _lazy("convnext", "convnext_base"),
+        "convnext_large": _lazy("convnext", "convnext_large"),
+        "convnext_micro": _lazy("convnext", "convnext_micro"),
     }
 
 

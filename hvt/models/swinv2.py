@@ -405,6 +405,11 @@ class _PairChain(nn.Module):
     mlp_ratio: float = 4.0
     pretrained_window: int = 0
     dtype: Any = None
+    # Static: whether the trunk's stochastic-depth schedule is nonzero.
+    # False (drop_path_rate=0 configs) skips the traced bernoulli/where
+    # path entirely instead of drawing dropout rng for a rate-0 mask
+    # (advisor finding, round 3).
+    traced_dp: bool = True
 
     @nn.compact
     def __call__(self, x, dpr, deterministic: bool = True):
@@ -420,7 +425,8 @@ class _PairChain(nn.Module):
                 use_pallas=False,
                 fuse=False,
                 name=f"block{i}",
-            )(x, deterministic, drop_path_rate=dpr[i])
+            )(x, deterministic,
+              drop_path_rate=dpr[i] if self.traced_dp else None)
         return x
 
 
@@ -675,6 +681,7 @@ class SwinTransformerV2(nn.Module):
             mlp_ratio=self.mlp_ratio,
             pretrained_window=self.pretrained_window_sizes[self._pipe_stage_index()],
             dtype=self.dtype,
+            traced_dp=self.drop_path_rate > 0.0,
             name="pipe_trunk",
         )
 

@@ -378,6 +378,196 @@ def save_resnet_checkpoint(params: Mapping, batch_stats: Mapping, path: str) -> 
 
 
 # ---------------------------------------------------------------------------
+# ViT (HF transformers and timm layouts)
+# ---------------------------------------------------------------------------
+
+
+def _strip_prefix(sd: dict, prefix: str) -> dict:
+    if any(k.startswith(prefix) for k in sd):
+        return {
+            (k[len(prefix):] if k.startswith(prefix) else k): v
+            for k, v in sd.items()
+        }
+    return sd
+
+
+def convert_vit_state_dict(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Torch ViT state dict → hvt.models.vit flax params tree.
+
+    Accepts both layouts the reference ecosystem produces: timm
+    (``blocks.{i}.attn.qkv``, the layout ``timm.create_model`` checkpoints
+    use, reference models.py:16-25) and HF transformers
+    (``[vit.]encoder.layer.{i}.attention.attention.{query,key,value}`` —
+    the parity oracle in tests/test_vit.py). HF's separate q/k/v Linears
+    are concatenated into the fused qkv Dense (out-dim order [q;k;v],
+    heads-major within each — identical to timm's qkv layout).
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = _strip_prefix(sd, "vit.")
+    params: dict = {}
+
+    def dense(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"]}
+
+    def norm(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    hf = any(k.startswith("encoder.layer.") for k in sd)
+    if hf:
+        params["cls_token"] = sd["embeddings.cls_token"]
+        params["pos_embed"] = sd["embeddings.position_embeddings"]
+        proj = "embeddings.patch_embeddings.projection"
+    else:
+        params["cls_token"] = sd["cls_token"]
+        params["pos_embed"] = sd["pos_embed"]
+        proj = "patch_embed.proj"
+    params["patch_embed"] = {
+        "kernel": sd[f"{proj}.weight"].transpose(2, 3, 1, 0),  # OIHW → HWIO
+        "bias": sd[f"{proj}.bias"],
+    }
+
+    def n_blocks(prefix):
+        pat = re.compile(rf"^{re.escape(prefix)}(\d+)\.")
+        idx = [int(m.group(1)) for k in sd if (m := pat.match(k))]
+        if not idx:
+            raise ValueError(f"no {prefix}* keys — not a ViT state dict?")
+        return max(idx) + 1
+
+    if hf:
+        for i in range(n_blocks("encoder.layer.")):
+            p = f"encoder.layer.{i}"
+            qkv_w = np.concatenate(
+                [sd[f"{p}.attention.attention.{n}.weight"]
+                 for n in ("query", "key", "value")], axis=0)
+            qkv_b = np.concatenate(
+                [sd[f"{p}.attention.attention.{n}.bias"]
+                 for n in ("query", "key", "value")], axis=0)
+            params[f"block{i}"] = {
+                "norm1": norm(f"{p}.layernorm_before"),
+                "norm2": norm(f"{p}.layernorm_after"),
+                "attn": {
+                    "qkv": {"kernel": qkv_w.T, "bias": qkv_b},
+                    "proj": dense(f"{p}.attention.output.dense"),
+                },
+                "mlp": {
+                    "fc1": dense(f"{p}.intermediate.dense"),
+                    "fc2": dense(f"{p}.output.dense"),
+                },
+            }
+        params["norm"] = norm("layernorm")
+    else:
+        for i in range(n_blocks("blocks.")):
+            p = f"blocks.{i}"
+            params[f"block{i}"] = {
+                "norm1": norm(f"{p}.norm1"),
+                "norm2": norm(f"{p}.norm2"),
+                "attn": {
+                    "qkv": dense(f"{p}.attn.qkv"),
+                    "proj": dense(f"{p}.attn.proj"),
+                },
+                "mlp": {
+                    "fc1": dense(f"{p}.mlp.fc1"),
+                    "fc2": dense(f"{p}.mlp.fc2"),
+                },
+            }
+        params["norm"] = norm("norm")
+
+    head = "classifier" if hf else "head"
+    if f"{head}.weight" in sd:
+        params["head"] = dense(head)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt (HF transformers and timm layouts)
+# ---------------------------------------------------------------------------
+
+
+def convert_convnext_state_dict(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Torch ConvNeXt state dict → hvt.models.convnext flax params tree.
+
+    Accepts timm (``stages.{s}.blocks.{i}.conv_dw``/``.mlp.fc{1,2}``/
+    ``.gamma``) and HF transformers (``[convnext.]encoder.stages.{s}.
+    layers.{i}.dwconv``/``.pwconv{1,2}``/``.layer_scale_parameter`` — the
+    parity oracle in tests/test_convnext.py) layouts.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = _strip_prefix(sd, "convnext.")
+    params: dict = {}
+
+    def dense(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"]}
+
+    def norm(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    def conv(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0),
+                "bias": sd[f"{prefix}.bias"]}
+
+    hf = any(k.startswith("encoder.stages.") for k in sd)
+    if hf:
+        params["stem_conv"] = conv("embeddings.patch_embeddings")
+        params["stem_norm"] = norm("embeddings.layernorm")
+        stage_prefix, block_sub = "encoder.stages.", "layers"
+    else:
+        params["stem_conv"] = conv("stem.0")
+        params["stem_norm"] = norm("stem.1")
+        stage_prefix, block_sub = "stages.", "blocks"
+
+    stages = sorted({
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(rf"^{re.escape(stage_prefix)}(\d+)\.", k))
+    })
+    for s in stages:
+        sp = f"{stage_prefix}{s}"
+        if hf and s > 0:
+            params[f"downsample{s}_norm"] = norm(f"{sp}.downsampling_layer.0")
+            params[f"downsample{s}_conv"] = conv(f"{sp}.downsampling_layer.1")
+        elif not hf and f"{sp}.downsample.1.weight" in sd:
+            params[f"downsample{s}_norm"] = norm(f"{sp}.downsample.0")
+            params[f"downsample{s}_conv"] = conv(f"{sp}.downsample.1")
+        blocks = sorted({
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(
+                rf"^{re.escape(sp)}\.{block_sub}\.(\d+)\.", k))
+        })
+        for i in blocks:
+            p = f"{sp}.{block_sub}.{i}"
+            if hf:
+                params[f"stage{s}_block{i}"] = {
+                    "dwconv": conv(f"{p}.dwconv"),
+                    "norm": norm(f"{p}.layernorm"),
+                    "mlp": {"fc1": dense(f"{p}.pwconv1"),
+                            "fc2": dense(f"{p}.pwconv2")},
+                    "gamma": sd[f"{p}.layer_scale_parameter"],
+                }
+            else:
+                params[f"stage{s}_block{i}"] = {
+                    "dwconv": conv(f"{p}.conv_dw"),
+                    "norm": norm(f"{p}.norm"),
+                    "mlp": {"fc1": dense(f"{p}.mlp.fc1"),
+                            "fc2": dense(f"{p}.mlp.fc2")},
+                    "gamma": sd[f"{p}.gamma"],
+                }
+
+    if hf:
+        params["norm"] = norm("layernorm")
+        if "classifier.weight" in sd:
+            params["head"] = dense("classifier")
+    else:
+        params["norm"] = norm("head.norm" if "head.norm.weight" in sd
+                              else "norm")
+        if "head.fc.weight" in sd:
+            params["head"] = dense("head.fc")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Family-detecting torch:// loader
 # ---------------------------------------------------------------------------
 
@@ -402,7 +592,16 @@ def load_torch_variables(uri: str) -> tuple[dict, dict]:
         return convert_swin_state_dict(sd), {}
     if any(k.startswith("layer1.") for k in sd) or "conv1.weight" in sd:
         return convert_resnet_state_dict(sd)
+    if any("cls_token" in k for k in sd) or any(
+        k.startswith(("encoder.layer.", "vit.encoder.layer.")) for k in sd
+    ):
+        return convert_vit_state_dict(sd), {}
+    if any(
+        k.startswith(("stages.", "encoder.stages.", "convnext.")) for k in sd
+    ) or "stem.0.weight" in sd:
+        return convert_convnext_state_dict(sd), {}
     raise ValueError(
         f"torch checkpoint {uri!r}: unrecognized family (expected SwinV2 "
-        "'layers.*' or ResNet 'layer{s}.{b}'/'conv1' key names)"
+        "'layers.*', ResNet 'layer{s}.{b}'/'conv1', ViT "
+        "'cls_token'/'encoder.layer.*', or ConvNeXt 'stages.*' key names)"
     )

@@ -105,7 +105,11 @@ class Trainer:
         # default — on a non-TPU mesh (CPU dry runs/tests inside a
         # TPU-registered process) default them off unless explicitly set.
         mesh_platform = self.mesh.devices.flat[0].platform
-        if mesh_platform not in ("tpu", "axon") and "use_pallas" not in config.model.args:
+        if (
+            mesh_platform not in ("tpu", "axon")
+            and config.model.name.startswith("swinv2")
+            and "use_pallas" not in config.model.args
+        ):
             config = config_lib.loads(
                 config_lib.to_dict(config), {"model": {"args": {"use_pallas": False}}}
             )

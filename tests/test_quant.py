@@ -180,6 +180,38 @@ def test_swin_int8_artifact(tmp_path):
     assert (cos > 0.99).all()
 
 
+@pytest.mark.parametrize("name", ["vit_micro", "convnext_micro"])
+def test_new_family_int8_artifact(tmp_path, name):
+    """The interceptor-based PTQ rewrite is family-generic: ViT and
+    ConvNeXt quantize (int8 dot_generals in the artifact) and track fp."""
+    cfg = _cfg(
+        tmp_path,
+        {"model": {"name": name, "args": {"dtype": "float32"}}},
+    )
+    out = export_serving.export_artifact(
+        cfg, tmp_path / "nf8", batch=2, platforms=("cpu",), quantize="int8"
+    )
+    exported, manifest = export_serving.load(out)
+    assert manifest["quantization"] == "int8"
+    mlir = exported.mlir_module()
+    assert any(
+        re.search(r"xi8>", l)
+        for l in mlir.splitlines()
+        if "stablehlo.dot_general" in l
+    )
+
+    imgs = np.random.default_rng(1).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8
+    )
+    q8 = np.asarray(exported.call(imgs))
+    fp = np.asarray(_forward(cfg)(jnp.asarray(imgs)))
+    assert np.isfinite(q8).all()
+    cos = (fp * q8).sum(1) / (
+        np.linalg.norm(fp, axis=1) * np.linalg.norm(q8, axis=1)
+    )
+    assert (cos > 0.99).all()
+
+
 def test_calibrated_static_scales(tmp_path):
     """--calibrate N: static activation scales from real eval batches —
     the absmax reductions leave the graph, every quantized layer gets a

@@ -344,7 +344,9 @@ def test_basic_resnet_warns_on_stochastic_depth():
 def test_unknown_model_error_names_reference_contract():
     from hvt.models import build_model
 
-    cfg = C.loads({"model": {"name": "vit_base_patch16_224"}})
+    # vit/convnext joined the registry in round 4 — use a name that stays
+    # timm-only (EfficientNet has no hvt implementation).
+    cfg = C.loads({"model": {"name": "efficientnet_b0"}})
     with pytest.raises(ValueError, match="timm"):
         build_model(cfg, 10)
 
