@@ -451,3 +451,151 @@ def test_resnet_blurpool_300_step_convergence_matches_torch():
         np.asarray(batch_stats["stage2_block0"]["conv1"]["BatchNorm_0"]["var"]),
         tnet.b2_bn1.running_var.numpy(), rtol=5e-2, atol=5e-3,
     )
+
+
+# --------------------------------------------------------------------------
+# ViT / ConvNeXt: 5 AdamW steps vs the HF transformers torch twins
+# --------------------------------------------------------------------------
+#
+# The logits-parity tests (test_vit.py / test_convnext.py) pin the forward;
+# these pin the *training composition* — gradients, the no-decay grouping,
+# and torch-AdamW-compatible updates — for the round-4 timm-zoo families
+# (reference models.py:16-25 resolves these names via timm).
+
+
+def _hf_twin_adamw(ref, wd, lr, extra_no_decay=()):
+    decay, no_decay = [], []
+    for name, p in ref.named_parameters():
+        if (
+            p.ndim <= 1
+            or name.endswith(".bias")
+            or any(k in name for k in extra_no_decay)
+        ):
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    return torch.optim.AdamW(
+        [{"params": decay, "weight_decay": wd},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=lr,
+    )
+
+
+def _five_adamw_steps(ours, params, ref, topt, img=32):
+    STEPS, B = 5, 4
+    rng = np.random.default_rng(7)
+    data = [
+        (
+            rng.normal(size=(B, img, img, 3)).astype(np.float32),
+            rng.integers(0, CLASSES, (B,), dtype=np.int64),
+        )
+        for _ in range(STEPS)
+    ]
+
+    no_decay_subs = tuple(getattr(ours, "no_weight_decay_substrings", ()))
+    cfg = C.loads({"optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.05}})
+    tx = optim_lib.build_optimizer(
+        cfg.optim, lambda s: jnp.asarray(1.0), no_decay_substrings=no_decay_subs
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = ours.apply(
+                {"params": p}, images, train=True,
+                rngs={"dropout": jax.random.key(0)},
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            return objectives.soft_cross_entropy(
+                logits, onehot, jnp.ones((labels.shape[0],))
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    losses_j, losses_t = [], []
+    for images, labels in data:
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses_j.append(float(loss))
+
+        topt.zero_grad()
+        logits = ref(torch.tensor(images.transpose(0, 3, 1, 2))).logits
+        tloss = TF.cross_entropy(logits, torch.tensor(labels))
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-3)
+    return params
+
+
+def test_vit_five_adamw_steps_match_hf_twin():
+    transformers = pytest.importorskip("transformers")
+    from hvt.models import torch_compat
+    from hvt.models import vit as V
+
+    torch.manual_seed(11)
+    cfg = transformers.ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8,
+        num_labels=CLASSES, layer_norm_eps=1e-6,
+    )
+    ref = transformers.ViTForImageClassification(cfg).train()
+    ours = V.VisionTransformer(
+        num_classes=CLASSES, patch_size=8, embed_dim=64, depth=2,
+        num_heads=4, mlp_ratio=2.0, dtype=jnp.float32,
+    )
+    params = torch_compat.convert_vit_state_dict(ref.state_dict())
+    # HF names the pos embed "position_embeddings"; hvt's substrings name
+    # the flax leaves ("pos_embed", "cls_token") — map for the twin.
+    topt = _hf_twin_adamw(
+        ref, wd=0.05, lr=1e-3,
+        extra_no_decay=("cls_token", "position_embeddings"),
+    )
+    params = _five_adamw_steps(ours, params, ref, topt)
+
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]).T,
+        sd["classifier.weight"].numpy(), rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["block0"]["mlp"]["fc1"]["kernel"]).T,
+        sd["vit.encoder.layer.0.intermediate.dense.weight"].numpy(),
+        rtol=2e-3, atol=1e-3,
+    )
+
+
+def test_convnext_five_adamw_steps_match_hf_twin():
+    transformers = pytest.importorskip("transformers")
+    from hvt.models import convnext as X
+    from hvt.models import torch_compat
+
+    torch.manual_seed(13)
+    cfg = transformers.ConvNextConfig(
+        num_channels=3, hidden_sizes=[16, 32, 64, 128], depths=[1, 1, 2, 1],
+        num_labels=CLASSES, image_size=32,
+    )
+    ref = transformers.ConvNextForImageClassification(cfg).train()
+    ours = X.ConvNeXt(
+        num_classes=CLASSES, depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+        dtype=jnp.float32,
+    )
+    params = torch_compat.convert_convnext_state_dict(ref.state_dict())
+    topt = _hf_twin_adamw(ref, wd=0.05, lr=1e-3)
+    params = _five_adamw_steps(ours, params, ref, topt)
+
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]).T,
+        sd["classifier.weight"].numpy(), rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["stage2_block0"]["mlp"]["fc1"]["kernel"]).T,
+        sd["convnext.encoder.stages.2.layers.0.pwconv1.weight"].numpy(),
+        rtol=2e-3, atol=1e-3,
+    )
