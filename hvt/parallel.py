@@ -374,6 +374,61 @@ def tp_shardings(mesh: Mesh, tree, rules=TP_RULES, zero: bool = False):
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
+def zero_update_shardings(mesh: Mesh, params_tree, rules=TP_RULES):
+    """Per-leaf NamedShardings for the ZeRO-1 *optimizer update* tree
+    (params-shaped): TP-rule-matched leaves keep their model-axis spec;
+    everything else shards its first data-divisible dimension over the
+    data axis — the layout the sharded mu/nu carry.
+
+    Why this exists: with only the opt_state sharded (tp_shardings
+    zero=True) and nothing constraining the update math, GSPMD chooses to
+    **all-gather mu/nu and compute the AdamW update replicated** — AOT
+    memory analysis on a v5e:2x4 topology measured +0.7-4.3 GiB of temps,
+    a net live-memory LOSS at every batch size (BENCH.md round 4, "ZeRO-1
+    on-TPU memory analysis"). Constraining the update tree to these specs
+    keeps the moment math local to each data shard; the one all-gather
+    ZeRO-1 budgets for happens where it belongs, at
+    ``params + updates``."""
+    data = int(mesh.shape.get(DATA_AXIS, 1))
+
+    def leaf_sharding(path, leaf):
+        keys = "/".join(
+            getattr(k, "key", getattr(k, "name", str(getattr(k, "idx", k))))
+            for k in path
+        )
+        spec = _match_spec(keys, rules)
+        if spec != P() and getattr(leaf, "ndim", 0) < len(spec):
+            spec = P()
+        if spec == P() and data > 1:
+            for d in range(getattr(leaf, "ndim", 0)):
+                if leaf.shape[d] >= data and leaf.shape[d] % data == 0:
+                    spec = P(*([None] * d + [DATA_AXIS]))
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params_tree)
+
+
+def constrain_tx_updates(tx, shardings):
+    """Wrap an optax transformation so its emitted updates are pinned to
+    `shardings` (a params-shaped tree of NamedShardings) with
+    with_sharding_constraint — the ZeRO-1 sharded-update contract (see
+    zero_update_shardings)."""
+    import optax
+
+    def init(params):
+        return tx.init(params)
+
+    def update(updates, state, params=None):
+        updates, state = tx.update(updates, state, params)
+        updates = jax.tree.map(
+            jax.lax.with_sharding_constraint, updates, shardings
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def pipe_constraint(x: jax.Array) -> jax.Array:
     """Pin a pipelined-trunk activation buffer (stage-major: dim 0 = pipeline
     stage, dim 1 = microbatch) to P(pipe, data) on the declared mesh.

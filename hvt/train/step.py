@@ -80,9 +80,15 @@ def build_train_step(
     tx: optax.GradientTransformation,
     prep: device_prep.DevicePrep,
     settings: StepSettings,
+    out_state_shardings=None,
 ) -> Callable:
     """Returns step(state, images, labels, mask, rng, scale) — jitted with the
-    state donated; `scale` is static (progressive resizing bucket)."""
+    state donated; `scale` is static (progressive resizing bucket).
+
+    ``out_state_shardings``: optional TrainState-shaped tree of
+    NamedShardings pinning the output state layout (the Trainer passes the
+    init-time layout under ZeRO-1 so the state's shardings are stable
+    step-to-step and donation aliases; stats stay unconstrained)."""
 
     def microbatch_loss(params, batch_stats, images, labels, mask, rng, scale):
         if settings.randaugment:
@@ -230,6 +236,17 @@ def build_train_step(
         stats["grad_norm"] = optax.global_norm(grads).astype(jnp.float32)
         return new_state, stats
 
+    if out_state_shardings is not None:
+        # Pin the output state layout (ZeRO-1: without this, GSPMD drifts
+        # the steady state to fully-data-sharded params re-gathered every
+        # step and compiles a second executable after step 1 — see
+        # parallel.zero_update_shardings).
+        return jax.jit(
+            step,
+            static_argnames=("scale",),
+            donate_argnums=(0,),
+            out_shardings=(out_state_shardings, None),
+        )
     return jax.jit(step, static_argnames=("scale",), donate_argnums=(0,))
 
 

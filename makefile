@@ -7,6 +7,9 @@ bench:
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python __graft_entry__.py 8
 
+aot-tpu:
+	python -m hvt.tools.aot_tpu
+
 roofline:
 	python -m hvt.tools.roofline
 
