@@ -576,7 +576,7 @@ def _fused_attn_budget_bytes() -> int:
     return int(os.environ.get("HVT_FUSED_VMEM_MB", "32")) * 2**20
 
 
-def _attn_compiler_params(*sems: str) -> "pltpu.CompilerParams":
+def _attn_compiler_params(*sems: str, n_inputs: int = 0) -> "pltpu.CompilerParams":  # noqa: D401
     """CompilerParams for the attention kernels: Mosaic's default scoped-VMEM
     limit is 16 MiB; raise it to cover the picked block's live set (the
     budget estimate tracks actual usage within ~10%), capped well under the
@@ -586,6 +586,11 @@ def _attn_compiler_params(*sems: str) -> "pltpu.CompilerParams":
     # limit is 2× the budget: the budget is the gb knob, the limit just
     # keeps Mosaic from rejecting what the picker chose.
     limit = min(100 * 2**20, max(32 * 2**20, 2 * _fused_attn_budget_bytes()))
+    # NOTE: allow_input_fusion was tried for the boundary relayout copies
+    # and is a measured dead end on this toolchain: the Pallas call becomes
+    # a kCustom fusion and vmem_limit_bytes no longer reaches Mosaic (the
+    # 16 MiB default reasserts itself and compilation fails at any raised
+    # budget) — BENCH.md round 4.
     return pltpu.CompilerParams(
         dimension_semantics=sems or None, vmem_limit_bytes=limit
     )
@@ -646,7 +651,7 @@ def _attn_forward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb, heads,
         in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
                   z_spec, const(c, c), const(1, c), const(1, c), const(1, c)],
         out_specs=x_spec,
-        compiler_params=_attn_compiler_params("arbitrary", "arbitrary"),
+        compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
         cost_estimate=pl.CostEstimate(
             flops=(8 * c * c + 4 * heads * n * (c // heads) * 2) * n * nwb,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
@@ -700,7 +705,7 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
             x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, n), z_spec,
             const(c, c), const(1, c), const(1, c), const(1, c),
         ),
-        compiler_params=_attn_compiler_params("arbitrary", "arbitrary"),
+        compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
         cost_estimate=pl.CostEstimate(
             flops=(24 * c * c + 10 * heads * n * (c // heads)) * n * nwb,
             bytes_accessed=4 * x.size * x.dtype.itemsize,
