@@ -832,14 +832,16 @@ def fits_vmem(
 ) -> bool:
     """Conservative estimate of whether the fused kernel's resident set
     (weights [+ f32 weight-gradient accumulators when differentiated] +
-    live activation blocks) fits the ~16 MB/core VMEM budget. SwinV2-T's
-    stage 4 (C=768) exceeds it for training — callers fall back per-block."""
+    live activation blocks) fits the scoped-VMEM routing threshold —
+    budget + 8 MiB headroom (HVT_FITS_VMEM_MB overrides). At the 32 MiB
+    default budget SwinV2-T's stage 4 (C=768) now FUSES (chip A/B round 4:
+    119.90 vs 120.68 ms — the raised Mosaic limit flipped round 3's
+    fallback_xla verdict); swinv2_large-scale stage 4 (C=1536) still falls
+    back per-block."""
     if mlp_hidden is not None:
-        # Fusability is judged at the legacy width-scaled row block (the
-        # 16 MiB-limit-era sizing): the budget knob (_mlp_target_rows)
-        # only scales blocks of components that already fit. Routing is
-        # therefore budget-independent — stage 4 keeps its measured-better
-        # XLA fallback (BENCH.md round 3).
+        # Fusability is judged at the legacy width-scaled row block — a
+        # minimum viable block; the budget knob (_mlp_target_rows) scales
+        # blocks of components that fit.
         r = max(64, (512 * 96) // c)
         weights = 2 * c * mlp_hidden * 2  # bf16 w1+w2
         grads = 2 * c * mlp_hidden * 4 if train else 0
@@ -850,5 +852,12 @@ def fits_vmem(
         n_rows = -(-n // 8) * 8  # kernel token dim after window padding
         n_pad = n_rows * (-(-n // 128) * 128)
         live = 8 * n_pad * 48 + 6 * 8 * n_rows * 4 * c
-    return weights + grads + live < 12 * 2**20
+    import os
+
+    override = os.environ.get("HVT_FITS_VMEM_MB")
+    if override is not None:
+        thresh = int(override) * 2**20
+    else:
+        thresh = max(12 * 2**20, _fused_attn_budget_bytes() + 8 * 2**20)
+    return weights + grads + live < thresh
 

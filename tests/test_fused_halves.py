@@ -169,16 +169,23 @@ def test_attention_half_production_shift_layout():
     _assert_close(gk[1], gr[1], 0.03, "attn stage1 dwqkv")
 
 
-def test_swinblock_stage4_fallback_parity():
-    """Stage-4 shapes (C=768, one 7×7 window) exceed the fused kernels'
-    VMEM budget, so a fuse=True block must route BOTH halves through the
-    fallback (XLA attention under fallback_xla, plain Mlp) and still match
-    the fuse=False path exactly — same parameter tree, same outputs/grads.
-    Guards the routing wiring; on TPU the same branch is the measured
-    +2.4% fallback_xla win (BENCH.md round 3)."""
+def test_swinblock_stage4_fallback_parity(monkeypatch):
+    """Blocks whose resident set exceeds the fused kernels' VMEM routing
+    threshold must route BOTH halves through the fallback (XLA attention
+    under fallback_xla, plain Mlp) and still match the fuse=False path
+    exactly — same parameter tree, same outputs/grads. Pinned at the
+    round-3 10 MiB budget where stage 4 (C=768) doesn't fit; at the
+    round-4 32 MiB default it fuses (chip-measured better, BENCH.md), and
+    the fallback wiring guarded here still serves swinv2_large-scale
+    stage 4 (C=1536) at any budget."""
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "10")
     c, heads, n = 768, 24, 49
     assert not fh.fits_vmem(c, heads, n, train=True)
     assert not fh.fits_vmem(c, heads, n, mlp_hidden=4 * c, train=True)
+    # swinv2_large's stage 4 exceeds even the raised default threshold.
+    monkeypatch.delenv("HVT_FUSED_VMEM_MB", raising=False)
+    assert not fh.fits_vmem(1536, 48, 49, mlp_hidden=4 * 1536, train=True)
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "10")
 
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(2, 7, 7, c)) * 0.1, jnp.float32
@@ -293,3 +300,30 @@ def test_force_tpu_lowering_context_restores():
         with ops_pkg.force_tpu_lowering():
             raise RuntimeError("boom")
     assert not ops_pkg.tpu_lowering_forced()
+
+
+def test_vmem_budget_scales_blocks_and_limit(monkeypatch):
+    """Round-4 VMEM discovery (BENCH.md "VMEM budget sweep"): the
+    HVT_FUSED_VMEM_MB budget must scale the attention gb pick, the MLP
+    row target, and the fits_vmem routing threshold monotonically (stage 4
+    fuses at the 32 MiB default, falls back at round 3's 10 MiB), and the
+    Mosaic limit must stay 2x the budget (the pick estimate under-predicts
+    the real stack by up to ~30%)."""
+    from hvt.ops import fused_halves_pallas as fh
+
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "10")
+    gb_small = fh._fused_attn_pick(8192, 3, 49, 96, train=True)
+    rows_small = fh._mlp_target_rows(96, 384)
+    assert not fh.fits_vmem(768, 24, 49, mlp_hidden=3072, train=True)
+
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "32")
+    gb_big = fh._fused_attn_pick(8192, 3, 49, 96, train=True)
+    rows_big = fh._mlp_target_rows(96, 384)
+    assert fh.fits_vmem(768, 24, 49, mlp_hidden=3072, train=True)
+    # ...but not swinv2_large-scale stage 4 (C=1536) at any default.
+    assert not fh.fits_vmem(1536, 48, 49, mlp_hidden=6144, train=True)
+
+    assert gb_big > gb_small
+    assert rows_big > rows_small
+    params = fh._attn_compiler_params("arbitrary", "arbitrary")
+    assert params.vmem_limit_bytes == 64 * 2**20
