@@ -72,6 +72,13 @@ def _registry():
         "convnext_base": _lazy("convnext", "convnext_base"),
         "convnext_large": _lazy("convnext", "convnext_large"),
         "convnext_micro": _lazy("convnext", "convnext_micro"),
+        "efficientnet_b0": _lazy("efficientnet", "efficientnet_b0"),
+        "efficientnet_b1": _lazy("efficientnet", "efficientnet_b1"),
+        "efficientnet_b2": _lazy("efficientnet", "efficientnet_b2"),
+        "efficientnet_b3": _lazy("efficientnet", "efficientnet_b3"),
+        "efficientnet_b4": _lazy("efficientnet", "efficientnet_b4"),
+        "efficientnet_b5": _lazy("efficientnet", "efficientnet_b5"),
+        "efficientnet_micro": _lazy("efficientnet", "efficientnet_micro"),
     }
 
 

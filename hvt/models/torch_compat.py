@@ -567,6 +567,73 @@ def convert_convnext_state_dict(state_dict: Mapping[str, np.ndarray]) -> dict:
     return params
 
 
+def convert_efficientnet_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+) -> tuple[dict, dict]:
+    """Torch EfficientNet state dict → (flax params, batch_stats) for
+    hvt.models.efficientnet.
+
+    Accepts the HF transformers layout (``efficientnet.embeddings.*``,
+    ``efficientnet.encoder.blocks.{i}.*`` — the parity oracle in
+    tests/test_efficientnet.py). BatchNorm running statistics convert
+    alongside the weights — they are part of the model. Conv kernels
+    transpose (O, I, kh, kw) → (kh, kw, I, O); the depthwise kernel
+    (C, 1, k, k) lands as (k, k, 1, C) for feature_group_count=C.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = _strip_prefix(sd, "efficientnet.")
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(prefix, bias=False):
+        out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def bn(dst_parent: dict, stats_parent: dict, name: str, prefix: str):
+        dst_parent[name] = {"scale": sd[f"{prefix}.weight"],
+                            "bias": sd[f"{prefix}.bias"]}
+        stats_parent[name] = {"mean": sd[f"{prefix}.running_mean"],
+                              "var": sd[f"{prefix}.running_var"]}
+
+    params["stem_conv"] = conv("embeddings.convolution")
+    bn(params, stats, "stem_bn", "embeddings.batchnorm")
+
+    i = 0
+    while f"encoder.blocks.{i}.depthwise_conv.depthwise_conv.weight" in sd:
+        src = f"encoder.blocks.{i}"
+        p, s = {}, {}
+        if f"{src}.expansion.expand_conv.weight" in sd:
+            p["expand_conv"] = conv(f"{src}.expansion.expand_conv")
+            bn(p, s, "expand_bn", f"{src}.expansion.expand_bn")
+        p["dwconv"] = conv(f"{src}.depthwise_conv.depthwise_conv")
+        bn(p, s, "dw_bn", f"{src}.depthwise_conv.depthwise_norm")
+        p["se_reduce"] = conv(f"{src}.squeeze_excite.reduce", bias=True)
+        p["se_expand"] = conv(f"{src}.squeeze_excite.expand", bias=True)
+        p["project_conv"] = conv(f"{src}.projection.project_conv")
+        bn(p, s, "project_bn", f"{src}.projection.project_bn")
+        params[f"block{i}"] = p
+        stats[f"block{i}"] = s
+        i += 1
+
+    params["top_conv"] = conv("encoder.top_conv")
+    bn(params, stats, "top_bn", "encoder.top_bn")
+    if "classifier.weight" in sd:
+        params["head"] = {"kernel": sd["classifier.weight"].T,
+                          "bias": sd["classifier.bias"]}
+    else:
+        tiers = {}
+        t = 0
+        while f"classifier.heads.{t}.weight" in sd:
+            tiers[f"tier{t}"] = {"kernel": sd[f"classifier.heads.{t}.weight"].T,
+                                 "bias": sd[f"classifier.heads.{t}.bias"]}
+            t += 1
+        if tiers:
+            params["head"] = tiers
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Family-detecting torch:// loader
 # ---------------------------------------------------------------------------
@@ -600,8 +667,13 @@ def load_torch_variables(uri: str) -> tuple[dict, dict]:
         k.startswith(("stages.", "encoder.stages.", "convnext.")) for k in sd
     ) or "stem.0.weight" in sd:
         return convert_convnext_state_dict(sd), {}
+    if any(
+        k.startswith(("efficientnet.", "encoder.blocks.", "embeddings.convolution"))
+        for k in sd
+    ):
+        return convert_efficientnet_state_dict(sd)
     raise ValueError(
         f"torch checkpoint {uri!r}: unrecognized family (expected SwinV2 "
         "'layers.*', ResNet 'layer{s}.{b}'/'conv1', ViT "
-        "'cls_token'/'encoder.layer.*', or ConvNeXt 'stages.*' key names)"
+        "'cls_token'/'encoder.layer.*', ConvNeXt 'stages.*', or EfficientNet 'encoder.blocks.*' key names)"
     )
