@@ -599,3 +599,102 @@ def test_convnext_five_adamw_steps_match_hf_twin():
         sd["convnext.encoder.stages.2.layers.0.pwconv1.weight"].numpy(),
         rtol=2e-3, atol=1e-3,
     )
+
+
+def test_efficientnet_five_adamw_steps_match_hf_twin():
+    """EfficientNet training-composition parity: unlike ViT/ConvNeXt this
+    threads BatchNorm running statistics through training, so the twin's
+    torch BN momenta are set to 0.01 (torch's inverted convention of the
+    family's keep-99%-of-running TF rule, which hvt implements as flax
+    momentum 0.99 — hvt/models/efficientnet.py docstring). Pins gradients
+    through SE/depthwise/BN, the no-decay grouping, AdamW updates, AND the
+    running-stat trajectories."""
+    transformers = pytest.importorskip("transformers")
+    from hvt.models import efficientnet as E
+    from hvt.models import torch_compat
+
+    torch.manual_seed(17)
+    hf_cfg = transformers.EfficientNetConfig(
+        width_coefficient=1.0, depth_coefficient=1.0,
+        kernel_sizes=[3, 5], in_channels=[32, 16], out_channels=[16, 24],
+        strides=[1, 2], num_block_repeats=[1, 2], expand_ratios=[1, 6],
+        hidden_dim=1280, num_labels=CLASSES, image_size=32,
+        drop_connect_rate=0.0, dropout_rate=0.0,
+    )
+    ref = transformers.EfficientNetForImageClassification(hf_cfg).train()
+    gen = torch.Generator().manual_seed(18)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.1, generator=gen)
+    for mod in ref.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.momentum = 0.01  # torch-inverted keep-99% (flax 0.99)
+
+    ours = E.EfficientNet(
+        num_classes=CLASSES, stem_channels=32, top_channels=1280,
+        kernels=(3, 5), in_ch=(32, 16), out_ch=(16, 24), strides=(1, 2),
+        repeats=(1, 2), expands=(1, 6), drop_connect_rate=0.0,
+        dropout_rate=0.0, dtype=jnp.float32,
+    )
+    params, batch_stats = torch_compat.convert_efficientnet_state_dict(
+        ref.state_dict()
+    )
+
+    cfg = C.loads({"optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.05}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, labels):
+        def loss_fn(p):
+            logits, mut = ours.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"],
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            loss = objectives.soft_cross_entropy(
+                logits, onehot, jnp.ones((labels.shape[0],))
+            )
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates), new_stats, new_opt, loss
+        )
+
+    STEPS, B = 5, 4
+    rng = np.random.default_rng(7)
+    losses_j, losses_t = [], []
+    topt = _hf_twin_adamw(ref, wd=0.05, lr=1e-3)
+    for _ in range(STEPS):
+        images = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+        labels = rng.integers(0, CLASSES, (B,), dtype=np.int64)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(images),
+            jnp.asarray(labels),
+        )
+        losses_j.append(float(loss))
+
+        topt.zero_grad()
+        logits = ref(torch.tensor(images.transpose(0, 3, 1, 2))).logits
+        tloss = TF.cross_entropy(logits, torch.tensor(labels))
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-3)
+    # Running statistics stayed matched across the five training steps.
+    _, ref_stats = torch_compat.convert_efficientnet_state_dict(
+        ref.state_dict()
+    )
+    for (kp, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(batch_stats),
+        jax.tree.leaves(ref_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(kp),
+        )
