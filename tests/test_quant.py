@@ -180,10 +180,13 @@ def test_swin_int8_artifact(tmp_path):
     assert (cos > 0.99).all()
 
 
-@pytest.mark.parametrize("name", ["vit_micro", "convnext_micro"])
+@pytest.mark.parametrize(
+    "name", ["vit_micro", "convnext_micro", "efficientnet_micro"]
+)
 def test_new_family_int8_artifact(tmp_path, name):
-    """The interceptor-based PTQ rewrite is family-generic: ViT and
-    ConvNeXt quantize (int8 dot_generals in the artifact) and track fp."""
+    """The interceptor-based PTQ rewrite is family-generic: ViT, ConvNeXt
+    and EfficientNet (incl. its depthwise convs — feature_group_count rides
+    through _quant_conv) quantize and track fp."""
     cfg = _cfg(
         tmp_path,
         {"model": {"name": name, "args": {"dtype": "float32"}}},
@@ -194,10 +197,12 @@ def test_new_family_int8_artifact(tmp_path, name):
     exported, manifest = export_serving.load(out)
     assert manifest["quantization"] == "int8"
     mlir = exported.mlir_module()
+    # ViT/ConvNeXt lower their Dense layers to int8 dot_generals;
+    # EfficientNet (all-conv) lowers to int8 convolutions.
     assert any(
         re.search(r"xi8>", l)
         for l in mlir.splitlines()
-        if "stablehlo.dot_general" in l
+        if "stablehlo.dot_general" in l or "stablehlo.convolution" in l
     )
 
     imgs = np.random.default_rng(1).integers(
