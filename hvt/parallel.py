@@ -420,6 +420,12 @@ def constrain_tx_updates(tx, shardings):
         return tx.init(params)
 
     def update(updates, state, params=None):
+        # NOTE (measured dead end): also constraining the INCOMING
+        # gradients to `shardings` (forcing a reduce-scatter instead of
+        # the all-reduce) changes NOTHING in the AOT memory analysis at
+        # R50/b2048 — temps identical to the byte. The production-batch
+        # temp inflation is backward activation scheduling, not gradient
+        # collective choice (BENCH.md round 4, ZeRO section).
         updates, state = tx.update(updates, state, params)
         updates = jax.tree.map(
             jax.lax.with_sharding_constraint, updates, shardings
