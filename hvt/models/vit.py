@@ -47,12 +47,66 @@ from hvt.models.heads import MultitaskHead
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
 
+def _attend_flash(q, k, v, n_real: int, sm_scale: float):
+    """Differentiable flash attention on (B, H, N, hd) q/k/v via the
+    bundled TPU Pallas op (jax.experimental.pallas.ops.tpu.flash_attention):
+    the (B, H, N, N) score matrix never hits HBM in either direction. The
+    sequence is padded to the kernel's 128-block multiple (ViT-B: 197 →
+    256); segment ids wall the padding off — pad rows attend only pad
+    (sliced away, and their cotangents are exactly zero)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, n, hd = q.shape
+    n_pad = -(-n // fa.MIN_BLOCK_SIZE) * fa.MIN_BLOCK_SIZE
+    pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+    q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    seg = (jnp.arange(n_pad)[None, :] < n_real).astype(jnp.int32)
+    seg = jnp.broadcast_to(seg, (b, n_pad))
+    out = fa.flash_attention(
+        q, k, v, segment_ids=fa.SegmentIds(seg, seg), sm_scale=sm_scale
+    )
+    return out[:, :, :n, :]
+
+
+# Auto-routing threshold: below this the dense XLA path wins (chip A/B,
+# BENCH.md round 4 — 197 tokens: flash 2.3x slower; the crossover is where
+# the (B, H, N, N) score materialization stops fitting the cache hierarchy,
+# ~1k tokens at ViT-B widths).
+_FLASH_MIN_SEQ = 1024
+
+
+def flash_available() -> bool:
+    """The bundled flash kernel is Mosaic — TPU lowerings only (the same
+    predicate the SwinV2 kernels use, hvt/models/swinv2.py)."""
+    from hvt import ops as ops_pkg
+
+    return (
+        ops_pkg.tpu_lowering_forced()
+        or jax.default_backend() in ("tpu",)
+        or any(d.platform in ("tpu", "axon") for d in jax.devices())
+    )
+
+
 class Attention(nn.Module):
-    """Global multi-head self-attention with fused qkv."""
+    """Global multi-head self-attention with fused qkv.
+
+    ``use_flash=None`` (auto) routes the score/softmax/value contraction
+    through the bundled TPU flash-attention Pallas op only for LONG
+    sequences (≥ _FLASH_MIN_SEQ tokens) on a TPU lowering. At ViT-B/16's
+    197 tokens flash measured 2.3× SLOWER than the plain XLA einsums on
+    chip (326 vs 144 ms/step train — the kernel's 128-token grid blocks
+    and padding overhead swamp a sequence XLA tiles densely in one pass;
+    BENCH.md round 4 "ViT flash refutation"), so auto keeps the dense
+    path there; high-resolution / small-patch variants with thousands of
+    tokens flip it on, where skipping the O(N²) score materialization is
+    the textbook win. ``use_flash=True`` forces it. The two paths differ
+    only by flash's blockwise-softmax rescaling; tests/test_vit.py pins
+    the wrapper's padding/segment logic against the plain path exactly."""
 
     dim: int
     num_heads: int
     dtype: Any = None
+    use_flash: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,9 +117,17 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        flash = self.use_flash
+        if flash is None:
+            flash = n >= _FLASH_MIN_SEQ and flash_available()
+        if flash:
+            out = _attend_flash(q, k, v, n_real=n, sm_scale=hd ** -0.5)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd ** -0.5)
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(q.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         return nn.Dense(d, dtype=self.dtype, kernel_init=trunc02,
                         name="proj")(out)
@@ -80,6 +142,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     ln_eps: float = 1e-6
     dtype: Any = None
+    use_flash: bool | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -93,7 +156,7 @@ class Block(nn.Module):
 
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         x = x + dp(Attention(self.dim, self.num_heads, dtype=self.dtype,
-                             name="attn")(h))
+                             use_flash=self.use_flash, name="attn")(h))
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         x = x + dp(common.TransformerMlp(
             int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
@@ -148,6 +211,7 @@ class VisionTransformer(nn.Module):
     ln_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    use_flash: bool | None = None
 
     @property
     def num_features(self) -> int:
@@ -194,6 +258,7 @@ class VisionTransformer(nn.Module):
                 drop_path=float(dpr[i]),
                 ln_eps=self.ln_eps,
                 dtype=self.dtype,
+                use_flash=self.use_flash,
                 name=f"block{i}",
             )(x, train)
 
@@ -242,11 +307,15 @@ def _variant(embed_dim, depth, num_heads, patch_size):
         **kwargs,
     ):
         del blurpool
-        # Framework-wide knobs other families read; no-ops for ViT (the
-        # factory/Trainer/export inject them uniformly — "every builder
-        # tolerates these", hvt/tools/export_serving.py).
-        for knob in ("bn_scale_init", "use_pallas", "fuse"):
-            kwargs.pop(knob, None)
+        # Framework-wide knobs other families read (the factory/Trainer/
+        # export inject them uniformly — "every builder tolerates these",
+        # hvt/tools/export_serving.py). `use_pallas` maps to the flash-
+        # attention route (ViT's one Pallas-backed component); `fuse` and
+        # `bn_scale_init` are no-ops here.
+        kwargs.pop("bn_scale_init", None)
+        kwargs.pop("fuse", None)
+        if "use_pallas" in kwargs:
+            kwargs.setdefault("use_flash", kwargs.pop("use_pallas"))
         if isinstance(dtype, str):
             dtype = jnp.dtype(dtype)
         return VisionTransformer(

@@ -211,3 +211,41 @@ def test_analytic_flops_vit_b16_magnitude():
     flops = V.analytic_flops(model, 224)
     # ViT-B/16 at 224² ≈ 17.6 GMACs (paper convention).
     assert 16e9 < flops < 19e9
+
+
+def test_flash_wrapper_padding_matches_plain_path(monkeypatch):
+    """_attend_flash pads 197 → 256 with segment-id walls and slices back;
+    with the kernel itself replaced by a reference einsum that honours
+    segment_ids, the flash-routed Attention must equal the plain path
+    EXACTLY (same weights, f32). Pins the padding/mask/slice logic the
+    chip-only Mosaic kernel rides on."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from hvt.models import vit as V
+
+    def ref_flash(q, k, v, ab=None, segment_ids=None, *, causal=False,
+                  sm_scale=1.0, block_sizes=None, debug=False):
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+        if segment_ids is not None:
+            mask = segment_ids.q[:, None, :, None] == segment_ids.kv[
+                :, None, None, :
+            ]
+            attn = jnp.where(mask, attn, -1e30)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            q.dtype
+        )
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+    monkeypatch.setattr(fa, "flash_attention", ref_flash)
+
+    mod_plain = V.Attention(dim=32, num_heads=2, dtype=jnp.float32,
+                            use_flash=False)
+    mod_flash = V.Attention(dim=32, num_heads=2, dtype=jnp.float32,
+                            use_flash=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 197, 32)), jnp.float32
+    )
+    variables = mod_plain.init(jax.random.key(0), x)
+    a = mod_plain.apply(variables, x)
+    b = mod_flash.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
