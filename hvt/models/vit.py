@@ -68,13 +68,6 @@ def _attend_flash(q, k, v, n_real: int, sm_scale: float):
     return out[:, :, :n, :]
 
 
-# Auto-routing threshold: below this the dense XLA path wins (chip A/B,
-# BENCH.md round 4 — 197 tokens: flash 2.3x slower; the crossover is where
-# the (B, H, N, N) score materialization stops fitting the cache hierarchy,
-# ~1k tokens at ViT-B widths).
-_FLASH_MIN_SEQ = 1024
-
-
 def flash_available() -> bool:
     """The bundled flash kernel is Mosaic — TPU lowerings only (the same
     predicate the SwinV2 kernels use, hvt/models/swinv2.py)."""
@@ -90,18 +83,17 @@ def flash_available() -> bool:
 class Attention(nn.Module):
     """Global multi-head self-attention with fused qkv.
 
-    ``use_flash=None`` (auto) routes the score/softmax/value contraction
-    through the bundled TPU flash-attention Pallas op only for LONG
-    sequences (≥ _FLASH_MIN_SEQ tokens) on a TPU lowering. At ViT-B/16's
-    197 tokens flash measured 2.3× SLOWER than the plain XLA einsums on
-    chip (326 vs 144 ms/step train — the kernel's 128-token grid blocks
-    and padding overhead swamp a sequence XLA tiles densely in one pass;
-    BENCH.md round 4 "ViT flash refutation"), so auto keeps the dense
-    path there; high-resolution / small-patch variants with thousands of
-    tokens flip it on, where skipping the O(N²) score materialization is
-    the textbook win. ``use_flash=True`` forces it. The two paths differ
-    only by flash's blockwise-softmax rescaling; tests/test_vit.py pins
-    the wrapper's padding/segment logic against the plain path exactly."""
+    ``use_flash`` routes the score/softmax/value contraction through the
+    bundled TPU flash-attention Pallas op
+    (jax.experimental.pallas.ops.tpu.flash_attention). **Measured SLOWER
+    than the plain XLA einsums on this toolchain at every tested length**
+    (BENCH.md round 4 "ViT flash refutation": 197 tokens 2.3× slower,
+    1025 tokens 2.5× slower — 435.9 vs 173.0 ms/step at 512px/b16), so
+    the default is the dense path unconditionally; the route stays as an
+    explicit opt-in for future toolchains / much longer sequences, with
+    the wrapper's padding/segment logic CI-pinned against the plain path
+    (tests/test_vit.py). The two paths differ only by flash's
+    blockwise-softmax rescaling."""
 
     dim: int
     num_heads: int
@@ -117,9 +109,9 @@ class Attention(nn.Module):
                        name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        flash = self.use_flash
-        if flash is None:
-            flash = n >= _FLASH_MIN_SEQ and flash_available()
+        # Default: dense. Flash measured slower at 197 AND 1025 tokens on
+        # this chip (see class docstring) — opt-in only.
+        flash = bool(self.use_flash) and flash_available()
         if flash:
             out = _attend_flash(q, k, v, n_real=n, sm_scale=hd ** -0.5)
         else:
