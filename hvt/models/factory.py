@@ -79,6 +79,14 @@ def _registry():
         "efficientnet_b4": _lazy("efficientnet", "efficientnet_b4"),
         "efficientnet_b5": _lazy("efficientnet", "efficientnet_b5"),
         "efficientnet_micro": _lazy("efficientnet", "efficientnet_micro"),
+        "regnety_004": _lazy("regnet", "regnety_004"),
+        "regnety_008": _lazy("regnet", "regnety_008"),
+        "regnety_016": _lazy("regnet", "regnety_016"),
+        "regnety_040": _lazy("regnet", "regnety_040"),
+        "regnety_080": _lazy("regnet", "regnety_080"),
+        "regnety_160": _lazy("regnet", "regnety_160"),
+        "regnety_320": _lazy("regnet", "regnety_320"),
+        "regnety_micro": _lazy("regnet", "regnety_micro"),
     }
 
 

@@ -634,6 +634,77 @@ def convert_efficientnet_state_dict(
     return params, stats
 
 
+def convert_regnet_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+) -> tuple[dict, dict]:
+    """Torch RegNet-Y state dict → (flax params, batch_stats) for
+    hvt.models.regnet.
+
+    Accepts the HF transformers layout (``regnet.embedder.*``,
+    ``regnet.encoder.stages.{s}.layers.{b}.*`` — the parity oracle in
+    tests/test_regnet.py). The Y layer's nn.Sequential indices map
+    0→conv1, 1→grouped conv2, 2→squeeze-excite, 3→conv3; grouped conv
+    kernels (O, I/g, 3, 3) land as (3, 3, I/g, O), which is exactly
+    flax's layout for ``feature_group_count=g``.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = _strip_prefix(sd, "regnet.")
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(prefix, bias=False):
+        out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def bn(dst_parent: dict, stats_parent: dict, name: str, prefix: str):
+        dst_parent[name] = {"scale": sd[f"{prefix}.weight"],
+                            "bias": sd[f"{prefix}.bias"]}
+        stats_parent[name] = {"mean": sd[f"{prefix}.running_mean"],
+                              "var": sd[f"{prefix}.running_var"]}
+
+    params["stem_conv"] = conv("embedder.embedder.convolution")
+    bn(params, stats, "stem_bn", "embedder.embedder.normalization")
+
+    s_idx = 0
+    while f"encoder.stages.{s_idx}.layers.0.layer.0.convolution.weight" in sd:
+        b_idx = 0
+        while (f"encoder.stages.{s_idx}.layers.{b_idx}.layer.0."
+               "convolution.weight") in sd:
+            src = f"encoder.stages.{s_idx}.layers.{b_idx}"
+            p, st = {}, {}
+            p["conv1"] = conv(f"{src}.layer.0.convolution")
+            bn(p, st, "bn1", f"{src}.layer.0.normalization")
+            p["conv2"] = conv(f"{src}.layer.1.convolution")
+            bn(p, st, "bn2", f"{src}.layer.1.normalization")
+            p["se_reduce"] = conv(f"{src}.layer.2.attention.0", bias=True)
+            p["se_expand"] = conv(f"{src}.layer.2.attention.2", bias=True)
+            p["conv3"] = conv(f"{src}.layer.3.convolution")
+            bn(p, st, "bn3", f"{src}.layer.3.normalization")
+            if f"{src}.shortcut.convolution.weight" in sd:
+                p["sc_conv"] = conv(f"{src}.shortcut.convolution")
+                bn(p, st, "sc_bn", f"{src}.shortcut.normalization")
+            params[f"stage{s_idx}_block{b_idx}"] = p
+            stats[f"stage{s_idx}_block{b_idx}"] = st
+            b_idx += 1
+        s_idx += 1
+
+    if "classifier.1.weight" in sd:
+        params["head"] = {"kernel": sd["classifier.1.weight"].T,
+                          "bias": sd["classifier.1.bias"]}
+    else:
+        tiers = {}
+        t = 0
+        while f"classifier.heads.{t}.weight" in sd:
+            tiers[f"tier{t}"] = {"kernel": sd[f"classifier.heads.{t}.weight"].T,
+                                 "bias": sd[f"classifier.heads.{t}.bias"]}
+            t += 1
+        if tiers:
+            params["head"] = tiers
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # Family-detecting torch:// loader
 # ---------------------------------------------------------------------------

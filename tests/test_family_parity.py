@@ -698,3 +698,92 @@ def test_efficientnet_five_adamw_steps_match_hf_twin():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_regnet_five_adamw_steps_match_hf_twin():
+    """RegNet-Y training-composition parity: like EfficientNet this threads
+    BatchNorm running statistics through training, but at torch's default
+    momentum (0.1 inverted == flax 0.9, hvt/models/regnet.py). Pins
+    gradients through the grouped 3x3 conv, SE, the projection shortcut,
+    the no-decay grouping, AdamW updates, AND the running-stat
+    trajectories."""
+    import pytest
+    transformers = pytest.importorskip("transformers")
+    from hvt.models import regnet as RG
+    from hvt.models import torch_compat
+
+    torch.manual_seed(23)
+    hf_cfg = transformers.RegNetConfig(
+        num_channels=3, embedding_size=8, hidden_sizes=[16, 24],
+        depths=[1, 2], groups_width=8, layer_type="y", num_labels=CLASSES,
+    )
+    ref = transformers.RegNetForImageClassification(hf_cfg).train()
+    gen = torch.Generator().manual_seed(24)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.1, generator=gen)
+
+    ours = RG.RegNetY(
+        num_classes=CLASSES, depths=(1, 2), widths=(16, 24), group_width=8,
+        stem_channels=8, dtype=jnp.float32,
+    )
+    params, batch_stats = torch_compat.convert_regnet_state_dict(
+        ref.state_dict()
+    )
+
+    cfg = C.loads({"optim": {"name": "adamw", "lr": 1e-3, "weight_decay": 0.05}})
+    tx = optim_lib.build_optimizer(cfg.optim, lambda s: jnp.asarray(1.0))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, labels):
+        def loss_fn(p):
+            logits, mut = ours.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"],
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            loss = objectives.soft_cross_entropy(
+                logits, onehot, jnp.ones((labels.shape[0],))
+            )
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (
+            optax.apply_updates(params, updates), new_stats, new_opt, loss
+        )
+
+    STEPS, B = 5, 4
+    rng = np.random.default_rng(25)
+    losses_j, losses_t = [], []
+    topt = _hf_twin_adamw(ref, wd=0.05, lr=1e-3)
+    for _ in range(STEPS):
+        images = rng.normal(size=(B, 32, 32, 3)).astype(np.float32)
+        labels = rng.integers(0, CLASSES, (B,), dtype=np.int64)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(images),
+            jnp.asarray(labels),
+        )
+        losses_j.append(float(loss))
+
+        topt.zero_grad()
+        logits = ref(torch.tensor(images.transpose(0, 3, 1, 2))).logits
+        tloss = TF.cross_entropy(logits, torch.tensor(labels))
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-3)
+    # Running statistics stayed matched across the five training steps.
+    _, ref_stats = torch_compat.convert_regnet_state_dict(ref.state_dict())
+    for (kp, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(batch_stats),
+        jax.tree.leaves(ref_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(kp),
+        )
