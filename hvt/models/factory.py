@@ -87,6 +87,11 @@ def _registry():
         "regnety_160": _lazy("regnet", "regnety_160"),
         "regnety_320": _lazy("regnet", "regnety_320"),
         "regnety_micro": _lazy("regnet", "regnety_micro"),
+        "dinov2_vits14": _lazy("dinov2", "dinov2_vits14"),
+        "dinov2_vitb14": _lazy("dinov2", "dinov2_vitb14"),
+        "dinov2_vitl14": _lazy("dinov2", "dinov2_vitl14"),
+        "dinov2_vitg14": _lazy("dinov2", "dinov2_vitg14"),
+        "dinov2_micro": _lazy("dinov2", "dinov2_micro"),
     }
 
 

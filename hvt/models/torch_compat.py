@@ -479,6 +479,107 @@ def convert_vit_state_dict(state_dict: Mapping[str, np.ndarray]) -> dict:
     return params
 
 
+def resize_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """Bicubically resize a (1, g²+1, D) position embedding to a
+    (1, new_grid²+1, D) one, keeping the class-token slot — the HF/DINOv2
+    interpolate_pos_encoding rule applied STATICALLY at load time, so the
+    compiled graph keeps static shapes."""
+    import jax
+
+    n = pos.shape[1] - 1
+    g = int(round(n ** 0.5))
+    if g * g != n:
+        raise ValueError(f"pos embed grid {n} is not square")
+    if g == new_grid:
+        return pos
+    cls, grid = pos[:, :1], pos[0, 1:].reshape(g, g, -1)
+    grid = np.asarray(jax.image.resize(
+        jnp_asarray_f32(grid), (new_grid, new_grid, grid.shape[-1]),
+        method="bicubic",
+    ), dtype=pos.dtype)
+    return np.concatenate(
+        [cls, grid.reshape(1, new_grid * new_grid, -1)], axis=1
+    )
+
+
+def jnp_asarray_f32(x: np.ndarray):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float32)
+
+
+def convert_dinov2_state_dict(
+    state_dict: Mapping[str, np.ndarray], grid: int | None = None
+) -> dict:
+    """Torch DINOv2 state dict → hvt.models.dinov2 flax params tree.
+
+    Accepts the HF transformers layout (``dinov2.embeddings.*``,
+    ``dinov2.encoder.layer.{i}.*`` — the parity oracle in
+    tests/test_dinov2.py). HF's separate q/k/v Linears concatenate into
+    the fused qkv Dense ([q;k;v] out-dim order, heads-major within each);
+    the SwiGLU layout (``mlp.weights_in|weights_out``, giant variant) and
+    the plain MLP (``mlp.fc1|fc2``) both convert. ``grid`` optionally
+    resizes the position embedding to a new patch grid (resize_pos_embed)
+    for loading patch-14 checkpoints at other resolutions.
+    """
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    sd = _strip_prefix(sd, "dinov2.")
+    params: dict = {}
+
+    def dense(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"]}
+
+    def norm(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    params["cls_token"] = sd["embeddings.cls_token"]
+    pos = sd["embeddings.position_embeddings"]
+    if grid is not None:
+        pos = resize_pos_embed(pos, grid)
+    params["pos_embed"] = pos
+    proj = "embeddings.patch_embeddings.projection"
+    params["patch_embed"] = {
+        "kernel": sd[f"{proj}.weight"].transpose(2, 3, 1, 0),  # OIHW → HWIO
+        "bias": sd[f"{proj}.bias"],
+    }
+
+    i = 0
+    while f"encoder.layer.{i}.norm1.weight" in sd:
+        p = f"encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.weight"]
+             for n in ("query", "key", "value")], axis=0)
+        qkv_b = np.concatenate(
+            [sd[f"{p}.attention.attention.{n}.bias"]
+             for n in ("query", "key", "value")], axis=0)
+        if f"{p}.mlp.weights_in.weight" in sd:  # SwiGLU (giant)
+            mlp = {"weights_in": dense(f"{p}.mlp.weights_in"),
+                   "weights_out": dense(f"{p}.mlp.weights_out")}
+        else:
+            mlp = {"fc1": dense(f"{p}.mlp.fc1"),
+                   "fc2": dense(f"{p}.mlp.fc2")}
+        params[f"block{i}"] = {
+            "norm1": norm(f"{p}.norm1"),
+            "norm2": norm(f"{p}.norm2"),
+            "attn": {
+                "qkv": {"kernel": qkv_w.T, "bias": qkv_b},
+                "proj": dense(f"{p}.attention.output.dense"),
+            },
+            "mlp": mlp,
+            "ls1": sd[f"{p}.layer_scale1.lambda1"],
+            "ls2": sd[f"{p}.layer_scale2.lambda1"],
+        }
+        i += 1
+    if i == 0:
+        raise ValueError("no encoder.layer.* keys — not a DINOv2 state dict?")
+
+    params["norm"] = norm("layernorm")
+    if "classifier.weight" in sd:
+        params["head"] = dense("classifier")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # ConvNeXt (HF transformers and timm layouts)
 # ---------------------------------------------------------------------------

@@ -787,3 +787,44 @@ def test_regnet_five_adamw_steps_match_hf_twin():
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_dinov2_five_adamw_steps_match_hf_twin():
+    """DINOv2 training-composition parity (ViT + LayerScale + the
+    concat[cls, mean-patch] head): 5 AdamW steps vs the HF twin pin
+    gradients through the LayerScale lambdas and the fused-qkv
+    conversion."""
+    import pytest
+    transformers = pytest.importorskip("transformers")
+    from hvt.models import dinov2 as D
+    from hvt.models import torch_compat
+
+    torch.manual_seed(31)
+    cfg = transformers.Dinov2Config(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        mlp_ratio=2, image_size=32, patch_size=8, num_labels=CLASSES,
+        layer_norm_eps=1e-6, layerscale_value=1.0,
+    )
+    ref = transformers.Dinov2ForImageClassification(cfg).train()
+    ours = D.Dinov2(
+        num_classes=CLASSES, patch_size=8, embed_dim=64, depth=2,
+        num_heads=4, mlp_ratio=2.0, dtype=jnp.float32,
+    )
+    params = torch_compat.convert_dinov2_state_dict(ref.state_dict())
+    topt = _hf_twin_adamw(
+        ref, wd=0.05, lr=1e-3,
+        extra_no_decay=("cls_token", "position_embeddings"),
+    )
+    params = _five_adamw_steps(ours, params, ref, topt)
+
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]).T,
+        sd["classifier.weight"].numpy(), rtol=2e-3, atol=2e-4,
+    )
+    # LayerScale lambdas trained and stayed matched.
+    np.testing.assert_allclose(
+        np.asarray(params["block0"]["ls1"]),
+        sd["dinov2.encoder.layer.0.layer_scale1.lambda1"].numpy(),
+        rtol=2e-3, atol=2e-4,
+    )
