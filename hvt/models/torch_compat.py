@@ -831,10 +831,20 @@ def load_torch_variables(uri: str) -> tuple[dict, dict]:
         return convert_swin_state_dict(sd), {}
     if any(k.startswith("layer1.") for k in sd) or "conv1.weight" in sd:
         return convert_resnet_state_dict(sd)
+    # DINOv2 before ViT: both carry cls_token/encoder.layer.* keys, but
+    # only DINOv2 has LayerScale lambdas.
+    if any("layer_scale1" in k for k in sd) or any(
+        k.startswith("dinov2.") for k in sd
+    ):
+        return convert_dinov2_state_dict(sd), {}
     if any("cls_token" in k for k in sd) or any(
         k.startswith(("encoder.layer.", "vit.encoder.layer.")) for k in sd
     ):
         return convert_vit_state_dict(sd), {}
+    # RegNet before ConvNeXt: both carry encoder.stages.* keys, but only
+    # RegNet has the embedder stem / per-stage `layers.{b}.layer.` nesting.
+    if any(k.startswith(("regnet.", "embedder.")) for k in sd):
+        return convert_regnet_state_dict(sd)
     if any(
         k.startswith(("stages.", "encoder.stages.", "convnext.")) for k in sd
     ) or "stem.0.weight" in sd:
@@ -846,6 +856,7 @@ def load_torch_variables(uri: str) -> tuple[dict, dict]:
         return convert_efficientnet_state_dict(sd)
     raise ValueError(
         f"torch checkpoint {uri!r}: unrecognized family (expected SwinV2 "
-        "'layers.*', ResNet 'layer{s}.{b}'/'conv1', ViT "
-        "'cls_token'/'encoder.layer.*', ConvNeXt 'stages.*', or EfficientNet 'encoder.blocks.*' key names)"
+        "'layers.*', ResNet 'layer{s}.{b}'/'conv1', DINOv2 'layer_scale1', ViT "
+        "'cls_token'/'encoder.layer.*', RegNet 'embedder.*', ConvNeXt "
+        "'stages.*', or EfficientNet 'encoder.blocks.*' key names)"
     )

@@ -157,3 +157,17 @@ def test_analytic_flops_vitb14_magnitude():
     flops = D.analytic_flops(model, 224)
     # ViT-B/14 at 224² (257 tokens): ~23 GMACs forward.
     assert 1.5e10 < flops < 3e10
+
+
+def test_torch_uri_family_detection(pair, tmp_path):
+    """torch://<path> auto-detects the DINOv2 layout (and does NOT fall
+    into the ViT branch, which also matches cls_token/encoder.layer.*)."""
+    tm, fm, params = pair
+    path = tmp_path / "dinov2.pt"
+    torch.save(tm.state_dict(), path)
+    p2, stats = torch_compat.load_torch_variables(f"torch://{path}")
+    assert stats == {}
+    for (kp, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(p2), jax.tree.leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kp))

@@ -190,3 +190,17 @@ def test_analytic_flops_regnety_040_magnitude():
     flops = R.analytic_flops(model, 224)
     # RegNetY-4.0GF: the design-space compute budget is 4.0 GMACs at 224².
     assert 3.5e9 < flops < 4.6e9
+
+
+def test_torch_uri_family_detection(pair, tmp_path):
+    """torch://<path> auto-detects the RegNet layout (and does NOT fall
+    into the ConvNeXt branch, which also matches encoder.stages.* keys)."""
+    tm, fm, params, stats = pair
+    path = tmp_path / "regnet.pt"
+    torch.save(tm.state_dict(), path)
+    p2, s2 = torch_compat.load_torch_variables(f"torch://{path}")
+    for (kp, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(p2), jax.tree.leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kp))
+    assert jax.tree_util.tree_structure(s2) == jax.tree_util.tree_structure(stats)
