@@ -344,9 +344,10 @@ def test_basic_resnet_warns_on_stochastic_depth():
 def test_unknown_model_error_names_reference_contract():
     from hvt.models import build_model
 
-    # vit/convnext joined the registry in round 4 — use a name that stays
-    # timm-only (EfficientNet has no hvt implementation).
-    cfg = C.loads({"model": {"name": "efficientnet_b0"}})
+    # vit/convnext/efficientnet/regnet/dinov2 joined the registry in
+    # round 4 — use a name that stays timm-only (DenseNet has no hvt
+    # implementation).
+    cfg = C.loads({"model": {"name": "densenet121"}})
     with pytest.raises(ValueError, match="timm"):
         build_model(cfg, 10)
 
