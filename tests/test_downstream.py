@@ -30,12 +30,14 @@ def ds_root(tmp_path_factory):
     return root
 
 
-def _probe_config(root, save_root, variant="linear-probe"):
+def _probe_config(root, save_root, variant="linear-probe",
+                  model="resnet_micro", model_args=None):
     return C.loads(
         {
             "run_name": "probe_test",
             "seed": 0,
-            "model": {"name": "resnet_micro", "variant": variant},
+            "model": {"name": model, "variant": variant,
+                      "args": model_args or {}},
             "machine": {"datasets": {"fix": str(root)}, "save_root": str(save_root)},
             "train_dataset": {"path": "fix", "crop_size": 32, "resize_size": 34,
                               "global_batch_size": 4},
@@ -102,6 +104,29 @@ def test_linear_probe_end_to_end(ds_root, tmp_path):
     metrics = linear_probe.main(cfg)
     assert 0.0 <= metrics["acc@1"] <= 1.0
     assert "tree-dist" in metrics
+
+
+def test_linear_probe_dinov2_end_to_end(ds_root, tmp_path):
+    """The frozen-feature story on the DINOv2 family: features_only returns
+    the concat[cls, mean-patch] vector (2*embed_dim) and the sklearn probe
+    consumes it end-to-end — the reference's timm-backbone linear-probe
+    workload (reference linear_probe.py:43-255) on the modern SSL
+    backbone."""
+    import linear_probe
+
+    feat_cfg = _probe_config(
+        ds_root, tmp_path, model="dinov2_micro",
+        model_args={"dtype": "float32"},
+    )
+    feats, _ = F.extract_features(feat_cfg, is_train=True, kind="linear-probe")
+    assert feats.shape == (20, 64)  # 2 * embed_dim(32)
+
+    cfg = _probe_config(
+        ds_root, tmp_path, variant="linear-probing",
+        model="dinov2_micro", model_args={"dtype": "float32"},
+    )
+    metrics = linear_probe.main(cfg)
+    assert 0.0 <= metrics["acc@1"] <= 1.0
 
 
 def test_simpleshot_flat_end_to_end(ds_root, tmp_path):
