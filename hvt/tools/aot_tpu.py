@@ -68,6 +68,10 @@ def _mem_dict(compiled) -> dict:
             m.argument_size_in_bytes + m.output_size_in_bytes
             + m.temp_size_in_bytes - m.alias_size_in_bytes
         ),
+        # Exact bytes for the contract assertions (micro models round to
+        # 0.0 MiB on the CPU gate).
+        "argument_bytes": int(m.argument_size_in_bytes),
+        "alias_bytes": int(m.alias_size_in_bytes),
     }
 
 
@@ -164,15 +168,31 @@ def lower_layout(
     compiled = st.lower(state_abs, imgs, lbls, msk, rng, scale=1.0).compile()
     first = _mem_dict(compiled)
     steady_mem = None
+    fixed_point = None
     if steady:
         out_state_sh = compiled.output_shardings[0]
         steady_abs = jax.tree.map(
             lambda s, d: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=d),
             abs_state, out_state_sh)
-        steady_mem = _mem_dict(
-            st.lower(steady_abs, imgs, lbls, msk, rng, scale=1.0).compile()
+        steady_compiled = st.lower(
+            steady_abs, imgs, lbls, msk, rng, scale=1.0
+        ).compile()
+        steady_mem = _mem_dict(steady_compiled)
+        # GSPMD layout fixed point, asserted on the shardings themselves
+        # (not just the memory proxy): feeding the first executable's
+        # output state layout back in must reproduce itself — otherwise
+        # every steady step recompiles / re-lays-out state (the round-4
+        # ZeRO drift bug).
+        steady_out = steady_compiled.output_shardings[0]
+        fixed_point = all(
+            jax.tree.leaves(
+                jax.tree.map(
+                    lambda a, b, s: a.is_equivalent_to(b, len(s.shape)),
+                    out_state_sh, steady_out, abs_state,
+                )
+            )
         )
-    return first, steady_mem
+    return first, steady_mem, fixed_point
 
 
 def run_layouts(devices, layouts, *, scale: dict | None = None):
@@ -218,10 +238,11 @@ def run_layouts(devices, layouts, *, scale: dict | None = None):
         ),
     }
     for name in layouts:
-        first, steady = lower_layout(devices, **defs[name])
+        first, steady, fixed_point = lower_layout(devices, **defs[name])
         out = {"layout": name, "first": first}
         if steady is not None:
             out["steady"] = steady
+            out["layout_fixed_point"] = fixed_point
         yield name, out
 
 

@@ -154,7 +154,10 @@ def measure(model_name: str, variant: str, batch_per_chip: int,
 
     for _ in range(WARMUP_STEPS):
         state, stats = train_step(state, images, labels, mask, base_rng, scale=1.0)
-    loss = float(stats["loss_sum"]) / batch  # true barrier (bench.py docstring)
+    # stats["loss_sum"] is already the batch-mean loss (the objective returns a
+    # masked mean; hvt/train/step.py sums *means* across microbatches and the
+    # MetricAccumulator later divides by 'batches') — the fetch is the barrier.
+    loss = float(stats["loss_sum"])
     assert np.isfinite(loss), f"non-finite loss {loss}"
 
     rates = []
