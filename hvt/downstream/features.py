@@ -154,7 +154,14 @@ def l2_normalize(features: np.ndarray) -> np.ndarray:
 def center(features: np.ndarray) -> np.ndarray:
     """Divides by the per-example mean — preserving the reference's quirk
     (reference simpleshot.py:148-154 divides rather than subtracting the
-    train mean; SURVEY.md §2.4 quirk 5)."""
+    train mean; SURVEY.md §2.4 quirk 5).
+
+    Degenerate on (near-)zero-mean features: post-LayerNorm backbones like
+    DINOv2 produce rows whose mean sits at float epsilon (exactly 0.0 for
+    some rows), so the division yields inf/NaN — exactly what the
+    reference would do. Use the l2n variant for such backbones
+    (configs/simpleshot/dinov2_b14.yaml); pinned in
+    tests/test_downstream.py."""
     assert features.ndim == 2
     mean = np.mean(features, axis=1, keepdims=True)
     return features / mean
