@@ -453,6 +453,185 @@ def test_resnet_blurpool_300_step_convergence_matches_torch():
     )
 
 
+@pytest.mark.slow
+def test_swin_300_step_convergence_matches_reference():
+    """Convergence-horizon parity for the flagship transformer (VERDICT r4
+    item 2): the 5-step test above pins the AdamW dynamics; this pins that
+    the hvt flax stack and the reference's own vendored torch module
+    (reference swinv2.py:390-436) stay matched over a horizon where AdamW
+    second moments, weight decay, label smoothing, and the cosine-attention
+    ``logit_scale`` clamp (reference swinv2.py:229-231) would compound.
+
+    Composition matches the reference transformer recipe (reference
+    main.py:104-131 + configs/recipes/swinv2_hot.yaml): AdamW with the
+    keyword no-decay exemptions + label smoothing. Fixture: the same
+    learnable smoothed-gaussian-prototype dataset as the ResNet test.
+
+    The clamp is deliberately made to BIND: head 0 of stage0_block0 starts
+    above log(1/0.01), so its forward is clamped and its gradient gated to
+    zero from step 0 (it must stay frozen bit-for-bit in both stacks),
+    while head 1 starts just below and trains through the identity region.
+
+    What is (and is not) assertable at this horizon: the reference
+    zero-inits the res-post-norm gammas (reference swinv2.py:441-445), so
+    every block wakes up from an exactly-disconnected state and early
+    logit_scale/qkv gradients are float-epsilon noise that AdamW
+    normalizes to full lr-size steps (m/sqrt(v) is sign-like) — element
+    trajectories are chaotic even though the LOSS dynamics are not.
+    Measured drift at 300 steps (PARITY.md "convergence horizon", SwinV2
+    row): per-window mean |dloss| <= 2.1e-3, clamped head bitwise frozen
+    in both stacks, free-head trajectories within 0.067, final accuracy
+    1.0 both — while per-element qkv drift reaches ~50% relative, which
+    is the chaotic regime doing what it does, not a stack mismatch.
+    Tolerances below carry 2-5x margin over measured.
+    """
+    import test_swinv2 as TS
+    from scipy.ndimage import gaussian_filter
+
+    STEPS, B, N = 300, 8, 64
+    LR, WD, SMOOTH = 1e-3, 0.05, 0.1
+    CLAMP = float(np.log(1.0 / 0.01))
+
+    ref, ours, params = TS._make_pair(num_classes=CLASSES, seed=11)
+    ref.train()  # all drop rates are 0 — deterministic either way
+
+    # Pin head 0 above the clamp, head 1 just below (heads axis leads the
+    # (heads, 1, 1) logit_scale).
+    ls_init = np.array([CLAMP + 0.05, CLAMP - 0.10], np.float32).reshape(2, 1, 1)
+    with torch.no_grad():
+        ref.layers[0].blocks[0].attn.logit_scale.copy_(torch.tensor(ls_init))
+    params["stage0_block0"]["attn"]["logit_scale"] = jnp.asarray(ls_init)
+
+    rng = np.random.default_rng(42)
+    protos = rng.normal(size=(CLASSES, TS.IMG, TS.IMG, 3)).astype(np.float32)
+    protos = np.stack([gaussian_filter(p, sigma=(4, 4, 0)) for p in protos]) * 4.0
+    labels_all = np.arange(N) % CLASSES
+    images_all = (
+        protos[labels_all] + 0.3 * rng.normal(size=(N, TS.IMG, TS.IMG, 3))
+    ).astype(np.float32)
+
+    no_decay_subs = tuple(ours.no_weight_decay_substrings)
+    cfg = C.loads({"optim": {"name": "adamw", "lr": LR, "weight_decay": WD}})
+    tx = optim_lib.build_optimizer(
+        cfg.optim, lambda s: jnp.asarray(1.0), no_decay_substrings=no_decay_subs
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, images, labels):
+        def loss_fn(p):
+            logits = ours.apply(
+                {"params": p}, images, train=True,
+                rngs={"dropout": jax.random.key(0)},
+            )
+            onehot = jax.nn.one_hot(labels, CLASSES)
+            smoothed = onehot * (1 - SMOOTH) + SMOOTH / CLASSES
+            return objectives.soft_cross_entropy(
+                logits, smoothed, jnp.ones((labels.shape[0],))
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    # torch twin optimizer with the reference's no-decay grouping
+    # (reference optim.py:48-58 + swinv2.py:810-816 keyword exemptions)
+    skip_names = set(ref.no_weight_decay())
+    skip_keywords = set(ref.no_weight_decay_keywords())
+    decay, no_decay = [], []
+    for name, p in ref.named_parameters():
+        if (
+            p.ndim <= 1
+            or name.endswith(".bias")
+            or name in skip_names
+            or any(k in name for k in skip_keywords)
+        ):
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    topt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": WD},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR,
+    )
+
+    losses_j, losses_t = [], []
+    ls_j, ls_t = [], []
+    for s in range(STEPS):
+        idx = (np.arange(B) + s * B) % N
+        images, labels = images_all[idx], labels_all[idx]
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses_j.append(float(loss))
+        ls_j.append(
+            np.asarray(params["stage0_block0"]["attn"]["logit_scale"]).ravel()
+        )
+
+        topt.zero_grad()
+        logits = ref(torch.tensor(images.transpose(0, 3, 1, 2)))
+        tloss = TF.cross_entropy(logits, torch.tensor(labels),
+                                 label_smoothing=SMOOTH)
+        tloss.backward()
+        topt.step()
+        losses_t.append(float(tloss.detach()))
+        ls_t.append(
+            ref.layers[0].blocks[0].attn.logit_scale.detach().numpy().ravel()
+        )
+
+    losses_j, losses_t = np.array(losses_j), np.array(losses_t)
+    ls_j, ls_t = np.array(ls_j), np.array(ls_t)
+
+    # per-50-step-window mean losses agree (drift does not compound;
+    # measured max 2.1e-3, in the steep-descent window)
+    for w0 in range(0, STEPS, 50):
+        wj = losses_j[w0:w0 + 50].mean()
+        wt = losses_t[w0:w0 + 50].mean()
+        assert abs(wj - wt) < 1e-2, (w0, wj, wt)
+
+    # the clamped head stayed frozen bit-for-bit in BOTH stacks (zero
+    # gradient through the clamp -> AdamW moments never leave zero)...
+    assert (ls_j[:, 0] == ls_init[0, 0, 0]).all()
+    assert (ls_t[:, 0] == ls_init[0, 0, 0]).all()
+    # ...while the free head genuinely trained in both, ending close
+    # (measured: moved 0.076/0.066, final |d| 0.0097, max traj |d| 0.066
+    # — the AdamW sign-noise walk bounds the gap, it cannot be exact)
+    assert np.abs(ls_j[-1, 1] - ls_init[1, 0, 0]) > 0.02
+    assert np.abs(ls_t[-1, 1] - ls_init[1, 0, 0]) > 0.02
+    assert np.abs(ls_j[-1, 1] - ls_t[-1, 1]) < 0.03
+    assert np.abs(ls_j[:, 1] - ls_t[:, 1]).max() < 0.15
+
+    # final train accuracy over the whole fixture agrees (eval mode)
+    ref.eval()
+    with torch.no_grad():
+        pred_t = (
+            ref(torch.tensor(images_all.transpose(0, 3, 1, 2)))
+            .argmax(1).numpy()
+        )
+    pred_j = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(images_all), train=False)
+    ).argmax(1)
+    acc_j = (pred_j == labels_all).mean()
+    acc_t = (pred_t == labels_all).mean()
+    assert abs(acc_j - acc_t) <= 0.02, (acc_j, acc_t)
+    assert acc_j > 0.9, acc_j  # the fixture is learnable — both converged
+
+    # final parameters: the head (fed by converged, loss-relevant
+    # features) and the res-post-norm gammas (the wake-up trajectory the
+    # zero-init makes load-bearing) stay close; deep qkv elements are
+    # chaotic (measured ~50% relative) and deliberately NOT pinned —
+    # PARITY.md quantifies all three.
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]).T,
+        sd["head.weight"].numpy(), atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["stage0_block0"]["norm1"]["scale"]),
+        sd["layers.0.blocks.0.norm1.weight"].numpy(), atol=8e-2,
+    )
+
+
 # --------------------------------------------------------------------------
 # ViT / ConvNeXt: 5 AdamW steps vs the HF transformers torch twins
 # --------------------------------------------------------------------------
