@@ -349,6 +349,15 @@ def main():
         # fused half doesn't fit VMEM.
         if os.environ.get("HVT_BENCH_FALLBACK_XLA") == "1":
             swin_args["fallback_xla"] = True
+        # NHWC direct-windowing A/B (round 5): =0 reverts the fused
+        # attention half to the windowed entry (XLA window_partition/
+        # reverse transposes at the kernel boundary).
+        if os.environ.get("HVT_BENCH_FUSE_NHWC") == "0":
+            swin_args["fuse_nhwc"] = False
+        # Chunked big-C fused MLP A/B (round 5): =0 reverts non-fitting
+        # MLPs to the XLA fallback (matters for swinv2_base+, not Tiny).
+        if os.environ.get("HVT_BENCH_MLP_CHUNKED") == "0":
+            swin_args["fuse_mlp_chunked"] = False
         swin = measure(
             {
                 "model": {"name": "swinv2_tiny", "args": swin_args},

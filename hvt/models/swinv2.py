@@ -156,6 +156,18 @@ class SwinBlock(nn.Module):
     # Default ON: measured +2.4% train (813.7 -> 833.3 img/s) and +3.8%
     # eval forward (2478 -> 2572) on the dev chip at SwinV2-T b128/b64.
     fallback_xla: bool = True
+    # NHWC direct-windowing for the fused attention half (round 5): the
+    # kernel's BlockSpec gathers windows straight from the (rolled) NHWC
+    # feature map, so the XLA window_partition/window_reverse transposes —
+    # the boundary layout copies, 13.7 ms/step at b128 (BENCH.md round 4)
+    # — never exist, in forward or backward. A/B knob for the chip
+    # measurement; falls back to the windowed entry when off.
+    fuse_nhwc: bool = True
+    # Chunked fused MLP for big-C stages (round 5): when the fused MLP's
+    # resident set exceeds VMEM, stream the 4C hidden dim in K chunks
+    # (fh.mlp_half_chunked) instead of falling back to XLA. Off = the
+    # round-4 fallback routing.
+    fuse_mlp_chunked: bool = True
     # Mixture-of-experts MLP (hvt.ops.moe, Swin-MoE style): >0 replaces
     # this block's dense MLP with `moe_experts` expert MLPs, top-1 routed
     # with static capacity. Expert weights shard over the mesh's `model`
@@ -314,7 +326,6 @@ class SwinBlock(nn.Module):
         # --- attention half ---
         shortcut = x
         shifted = jnp.roll(x, (-shift, -shift), (1, 2)) if shift > 0 else x
-        x_windows = wa.window_partition(shifted, window)
         mask = jnp.asarray(wa.shift_attn_mask((h, w), window, shift)) if shift > 0 else None
 
         if fuse_attn:
@@ -333,15 +344,27 @@ class SwinBlock(nn.Module):
             qkv_bias = jnp.concatenate(
                 [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
             )
-            branch_w = fh.attention_half_spmd(
-                x_windows, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
-                bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
-                n1["scale"], n1["bias"], self.num_heads, interpret,
-            )
+            if self.fuse_nhwc:
+                # Direct windowing: no window_partition/window_reverse —
+                # the kernel's BlockSpec gathers windows from `shifted`.
+                branch = fh.attention_half_nhwc_spmd(
+                    shifted, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
+                    bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
+                    n1["scale"], n1["bias"], window, self.num_heads,
+                    interpret,
+                )
+            else:
+                branch_w = fh.attention_half_spmd(
+                    wa.window_partition(shifted, window),
+                    ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
+                    bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
+                    n1["scale"], n1["bias"], self.num_heads, interpret,
+                )
+                branch = wa.window_reverse(branch_w, window, h, w)
         else:
-            branch_w = attn_mod(x_windows, mask)
+            branch_w = attn_mod(wa.window_partition(shifted, window), mask)
+            branch = wa.window_reverse(branch_w, window, h, w)
 
-        branch = wa.window_reverse(branch_w, window, h, w)
         if shift > 0:
             branch = jnp.roll(branch, (shift, shift), (1, 2))
         if not fuse_attn:
@@ -351,17 +374,29 @@ class SwinBlock(nn.Module):
         x = shortcut + drop_path(branch, self.drop_path_rate, deterministic, rng)
 
         # --- mlp half ---
-        if fuse_mlp:
+        # Big-C stages whose fused resident set does not fit VMEM stream
+        # the hidden dim in chunks instead of falling back to XLA
+        # (round 5; fh.mlp_half_chunked).
+        mlp_k = (
+            0 if (fuse_mlp or not self.fuse_mlp_chunked)
+            else fh.mlp_chunks(c, hidden, train=train)
+        )
+        if fuse_mlp or mlp_k > 1:
             _ = mlp_mod(jnp.zeros((1, c), x.dtype))
             mp = mlp_mod.variables["params"]
             _ = norm2(jnp.zeros((1, c), x.dtype))
             n2 = norm2.variables["params"]
-            branch2 = fh.mlp_half_spmd(
+            args = (
                 x.reshape(b * h * w, c),
                 mp["fc1"]["kernel"], mp["fc1"]["bias"],
                 mp["fc2"]["kernel"], mp["fc2"]["bias"],
-                n2["scale"], n2["bias"], interpret,
-            ).reshape(b, h, w, c)
+                n2["scale"], n2["bias"],
+            )
+            if fuse_mlp:
+                branch2 = fh.mlp_half_spmd(*args, interpret)
+            else:
+                branch2 = fh.mlp_half_chunked_spmd(*args, mlp_k, interpret)
+            branch2 = branch2.reshape(b, h, w, c)
         else:
             branch2 = norm2(mlp_mod(x, deterministic))
         rng = self.make_rng("dropout") if use_dp else None
@@ -457,6 +492,12 @@ class SwinTransformerV2(nn.Module):
     # instead of the packed Pallas kernels (SwinBlock.fallback_xla).
     # Default ON (measured win, see SwinBlock.fallback_xla / BENCH.md).
     fallback_xla: bool = True
+    # NHWC direct-windowing for fused attention (SwinBlock.fuse_nhwc,
+    # round 5): windows gathered by the kernel BlockSpec, no
+    # window_partition/reverse transposes.
+    fuse_nhwc: bool = True
+    # Chunked fused MLP for big-C stages (SwinBlock.fuse_mlp_chunked).
+    fuse_mlp_chunked: bool = True
     remat: bool = False
     # Pipeline parallelism (mesh: {pipe: N}): split the deepest stage's
     # blocks into `pipe` pipeline stages. Stage params are stacked with a
@@ -584,6 +625,8 @@ class SwinTransformerV2(nn.Module):
                     fuse=self.fuse and not block_moe,
                     fuse_attn_train=self.fuse_attn_train,
                     fallback_xla=self.fallback_xla,
+                    fuse_nhwc=self.fuse_nhwc,
+                    fuse_mlp_chunked=self.fuse_mlp_chunked,
                     moe_experts=block_moe,
                     moe_capacity=self.moe_capacity,
                     moe_aux_weight=self.moe_aux_weight,

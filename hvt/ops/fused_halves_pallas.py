@@ -342,6 +342,280 @@ mlp_half.defvjp(_mlp_half_fwd, _mlp_half_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Chunked MLP half (round 5, VERDICT r4 item 5): big-C stages whose
+# weights + f32 grad accumulators do NOT fit VMEM (SwinV2-B stage 3,
+# swinv2_large stage 4) split the 4C hidden dim into K chunks.
+#
+#   forward:  grid (rows, K) with K innermost; each step streams chunk k's
+#             (w1_k, w2_k), accumulates gelu(x@w1_k)@w2_k into an f32 VMEM
+#             scratch, and at k = K-1 adds b2, LayerNorms, and writes BOTH
+#             the branch and the pre-LN sum (the backward's residual).
+#   backward: one invocation per chunk — per-chunk resident set is
+#             6·C·(4C/K) bytes instead of 6·C·4C. The LN backward re-derives
+#             its stats from the saved pre-LN sum (one extra bf16 (T, C)
+#             write + K reads — C-width passes, 4x narrower than the
+#             hidden-width passes the XLA fallback pays); dx sums over the
+#             K per-chunk dx partials in XLA; weight grads concatenate.
+#
+# Accumulating weight grads for STREAMED chunks inside one kernel is
+# impossible under Pallas's output-revisit rule (a chunk's dw block would be
+# revisited non-consecutively across the row grid) — hence one call per
+# chunk, which also keeps every call's VMEM bounded.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_chunk_fwd_kernel(
+    nchunks: int, want_pre: bool,
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref,
+    *out_refs,
+):
+    o_ref = out_refs[0]
+    acc_ref = out_refs[-1]
+    k = pl.program_id(1)
+    x = x_ref[...]
+    pre = _dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    part = _dot(_gelu(pre), w2_ref[...])
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = part
+
+    @pl.when(k != 0)
+    def _acc():
+        acc_ref[...] = acc_ref[...] + part
+
+    @pl.when(k == nchunks - 1)
+    def _finalize():
+        out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        branch, _, _ = _ln_fwd(
+            out, lns_ref[...].astype(jnp.float32),
+            lnb_ref[...].astype(jnp.float32),
+        )
+        o_ref[...] = branch.astype(o_ref.dtype)
+        if want_pre:
+            out_refs[1][...] = out.astype(out_refs[1].dtype)
+
+
+def _mlp_chunk_bwd_kernel(
+    first_chunk: bool,
+    x_ref, w1_ref, b1_ref, w2_ref, lns_ref, pre_ref, g_ref,
+    *out_refs,
+):
+    """Backward for ONE hidden chunk, LN stats re-derived from the saved
+    pre-LN sum. Chunk 0's call additionally emits db2/dlns/dlnb (they do
+    not depend on the chunk)."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+    lns = lns_ref[...].astype(jnp.float32)
+    out = pre_ref[...].astype(jnp.float32)
+
+    mu = jnp.mean(out, axis=-1, keepdims=True)
+    xc = out - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    normed = xc * inv
+    dout = _ln_bwd(g, normed, inv, lns)
+
+    pre = _dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    hidden, dgelu = _gelu_and_grad(pre)
+    dhidden = jax.lax.dot_general(
+        dout.astype(jnp.bfloat16), w2_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpre = dhidden * dgelu
+    dx = jax.lax.dot_general(
+        dpre.astype(jnp.bfloat16), w1_ref[...].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1 = _dot_t(x, dpre)
+    db1 = jnp.sum(dpre, axis=0, keepdims=True)
+    dw2 = _dot_t(hidden, dout)
+
+    dx_ref, dw1_ref, db1_ref, dw2_ref = out_refs[:4]
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = dw1
+        db1_ref[...] = db1
+        dw2_ref[...] = dw2
+
+    @pl.when(i != 0)
+    def _acc():
+        dw1_ref[...] = dw1_ref[...] + dw1
+        db1_ref[...] = db1_ref[...] + db1
+        dw2_ref[...] = dw2_ref[...] + dw2
+
+    if first_chunk:
+        db2_ref, dlns_ref, dlnb_ref = out_refs[4:]
+        db2 = jnp.sum(dout, axis=0, keepdims=True)
+        dlns = jnp.sum(g * normed, axis=0, keepdims=True)
+        dlnb = jnp.sum(g, axis=0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init2():
+            db2_ref[...] = db2
+            dlns_ref[...] = dlns
+            dlnb_ref[...] = dlnb
+
+        @pl.when(i != 0)
+        def _acc2():
+            db2_ref[...] = db2_ref[...] + db2
+            dlns_ref[...] = dlns_ref[...] + dlns
+            dlnb_ref[...] = dlnb_ref[...] + dlnb
+
+
+def mlp_chunks(c: int, hidden: int, train: bool = True, cap: int = 4) -> int:
+    """Smallest power-of-two K (≤ cap, dividing `hidden`) whose per-chunk
+    resident set fits the fused-MLP routing threshold; 0 if none does."""
+    k = 1
+    while k <= cap:
+        if hidden % k == 0 and fits_vmem(c, 0, 0, mlp_hidden=hidden // k,
+                                         train=train):
+            return k
+        k *= 2
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("nchunks", "want_pre", "interpret"))
+def _mlp_chunked_forward(x, w1, b1, w2, b2, lns, lnb, nchunks,
+                         want_pre=False, interpret=False):
+    t, c = x.shape
+    hidden = w1.shape[1]
+    hk = hidden // nchunks
+    r, _, row, const = _mlp_specs(t, c, hk)
+    grid = (t // r, nchunks)
+    row2 = pl.BlockSpec((r, c), lambda i, k: (i, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((c, hk), lambda i, k: (0, k), memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((1, hk), lambda i, k: (0, k), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((hk, c), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+    cvec = pl.BlockSpec((1, c), lambda i, k: (0, 0), memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((t, c), x.dtype)]
+    out_specs = [row2]
+    if want_pre:
+        out_shapes.append(jax.ShapeDtypeStruct((t, c), x.dtype))
+        out_specs.append(row2)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_chunk_fwd_kernel, nchunks, want_pre),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=[row2, w1_spec, b1_spec, w2_spec, cvec, cvec, cvec],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((r, c), jnp.float32)],
+        compiler_params=_attn_compiler_params("arbitrary", "arbitrary"),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * t * c * hidden,
+            bytes_accessed=(2 + nchunks) * t * c * x.dtype.itemsize,
+            transcendentals=t * hidden,
+        ),
+        interpret=interpret,
+    )(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+      lns.reshape(1, -1), lnb.reshape(1, -1))
+    return outs if want_pre else (outs[0], None)
+
+
+@functools.partial(jax.jit, static_argnames=("first_chunk", "interpret"))
+def _mlp_chunk_backward(x, w1k, b1k, w2k, lns, pre, g, first_chunk,
+                        interpret=False):
+    t, c = x.shape
+    hk = w1k.shape[1]
+    r, grid, row, const = _mlp_specs(t, c, hk)
+    out_shapes = [
+        jax.ShapeDtypeStruct((t, c), x.dtype),        # dx partial
+        jax.ShapeDtypeStruct((c, hk), jnp.float32),   # dw1 chunk
+        jax.ShapeDtypeStruct((1, hk), jnp.float32),   # db1 chunk
+        jax.ShapeDtypeStruct((hk, c), jnp.float32),   # dw2 chunk
+    ]
+    out_specs = [row, const(c, hk), const(1, hk), const(hk, c)]
+    if first_chunk:
+        out_shapes += [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 3
+        out_specs += [const(1, c)] * 3
+    return pl.pallas_call(
+        functools.partial(_mlp_chunk_bwd_kernel, first_chunk),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=[row, const(c, hk), const(1, hk), const(hk, c),
+                  const(1, c), row, row],
+        out_specs=tuple(out_specs),
+        compiler_params=_attn_compiler_params("arbitrary"),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * t * c * hk,
+            bytes_accessed=5 * t * c * x.dtype.itemsize,
+            transcendentals=2 * t * hk,
+        ),
+        interpret=interpret,
+    )(x, w1k, b1k.reshape(1, -1), w2k, lns.reshape(1, -1), pre, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def mlp_half_chunked(x, w1, b1, w2, b2, lns, lnb, nchunks, interpret=False):
+    """branch = norm2(fc2(gelu(fc1(x)))) with the hidden dim streamed in
+    `nchunks` chunks (big-C routing; see the section comment)."""
+    out, _ = _mlp_chunked_forward(x, w1, b1, w2, b2, lns, lnb, nchunks,
+                                  want_pre=False, interpret=interpret)
+    return out
+
+
+def _mlp_chunked_fwd(x, w1, b1, w2, b2, lns, lnb, nchunks, interpret=False):
+    out, pre = _mlp_chunked_forward(x, w1, b1, w2, b2, lns, lnb, nchunks,
+                                    want_pre=True, interpret=interpret)
+    return out, (x, w1, b1, w2, b2, lns, pre)
+
+
+def _mlp_chunked_bwd(nchunks, interpret, res, g):
+    x, w1, b1, w2, b2, lns, pre = res
+    hidden = w1.shape[1]
+    hk = hidden // nchunks
+    dx = None
+    dw1s, db1s, dw2s = [], [], []
+    db2 = dlns = dlnb = None
+    for k in range(nchunks):
+        outs = _mlp_chunk_backward(
+            x, jax.lax.slice_in_dim(w1, k * hk, (k + 1) * hk, axis=1),
+            jax.lax.slice_in_dim(b1, k * hk, (k + 1) * hk, axis=0),
+            jax.lax.slice_in_dim(w2, k * hk, (k + 1) * hk, axis=0),
+            lns, pre, g, first_chunk=(k == 0), interpret=interpret,
+        )
+        dxk, dw1k, db1k, dw2k = outs[:4]
+        if k == 0:
+            db2, dlns, dlnb = outs[4:]
+            dx = dxk.astype(jnp.float32)
+        else:
+            dx = dx + dxk.astype(jnp.float32)
+        dw1s.append(dw1k)
+        db1s.append(db1k)
+        dw2s.append(dw2k)
+    return (
+        dx.astype(x.dtype),
+        jnp.concatenate(dw1s, axis=1).astype(w1.dtype),
+        jnp.concatenate(db1s, axis=1).reshape(-1).astype(b1.dtype),
+        jnp.concatenate(dw2s, axis=0).astype(w2.dtype),
+        db2.reshape(-1).astype(b2.dtype),
+        dlns.reshape(-1).astype(lns.dtype),
+        dlnb.reshape(-1).astype(lns.dtype),
+    )
+
+
+mlp_half_chunked.defvjp(_mlp_chunked_fwd, _mlp_chunked_bwd)
+
+
+def mlp_half_chunked_spmd(x, w1, b1, w2, b2, lns, lnb, nchunks,
+                          interpret=False):
+    """mlp_half_chunked, shard_mapped over the data axis when a multi-device
+    kernel mesh is active (x's flat-token dim is batch-major)."""
+    from hvt import parallel
+
+    fn = parallel.shard_map_kernel(
+        lambda *a: mlp_half_chunked(*a, nchunks, interpret),
+        batch_argnums=(0,), n_args=7,
+    )
+    return fn(x, w1, b1, w2, b2, lns, lnb)
+
+
+# ---------------------------------------------------------------------------
 # Attention half: branch = norm1(proj(window_attn(qkv(xw))))
 # on window tokens xw (nWB, N, C)
 # ---------------------------------------------------------------------------
@@ -427,6 +701,27 @@ def _heads_bwd_from_cache(
     return dqkv, jnp.stack(dzs, axis=1), jnp.concatenate(dscales, axis=0)
 
 
+def _attn_half_fwd_body(
+    heads: int, g: int, n: int, c: int,
+    xf, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
+    lns_ref, lnb_ref,
+):
+    """Shared forward body on flat padded tokens xf (g·n, C) → branch
+    (g·n, C). Op order is the contract: the blocked and NHWC kernels must
+    stay bit-identical (tests/test_fused_halves.py)."""
+    qkv_f = _dot(xf, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
+    qkv = qkv_f.reshape(g, n, 3 * c)
+    z = z_ref[...].astype(jnp.float32)
+
+    out = packed_heads_forward(qkv, z, scale_ref, heads, g, n, c)  # (g, N, C)
+    proj = _dot(out.reshape(g * n, c), wproj_ref[...])
+    proj = proj + bproj_ref[...].astype(jnp.float32)
+    branch, _, _ = _ln_fwd(
+        proj, lns_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32)
+    )
+    return branch
+
+
 def _attn_fwd_kernel(
     heads: int,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
@@ -445,37 +740,49 @@ def _attn_fwd_kernel(
     bias+mask, resident across the inner batch grid axis."""
     g, _, n, c = x_ref.shape
     xf = x_ref[...].reshape(g * n, c)
-    qkv_f = _dot(xf, wqkv_ref[...]) + bqkv_ref[...].astype(jnp.float32)
-    qkv = qkv_f.reshape(g, n, 3 * c)
-    z = z_ref[...].astype(jnp.float32)
-
-    out = packed_heads_forward(qkv, z, scale_ref, heads, g, n, c)  # (g, N, C)
-    proj = _dot(out.reshape(g * n, c), wproj_ref[...])
-    proj = proj + bproj_ref[...].astype(jnp.float32)
-    branch, _, _ = _ln_fwd(
-        proj, lns_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32)
+    branch = _attn_half_fwd_body(
+        heads, g, n, c, xf, wqkv_ref, bqkv_ref, scale_ref, z_ref,
+        wproj_ref, bproj_ref, lns_ref, lnb_ref,
     )
     o_ref[...] = branch.reshape(g, 1, n, c).astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel(
-    heads: int,
+def _attn_fwd_kernel_nhwc(
+    heads: int, npad: int,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
-    lns_ref, g_ref,
-    dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
-    dlns_ref, dlnb_ref,
+    lns_ref, lnb_ref, o_ref,
 ):
-    """Batch-blocked like the forward: x (gb, 1, n, C) = gb images' SAME
-    window id, z (1, H, n, n). Grid (nwz, nb/gb) with batch innermost, so
-    dz (indexed by the window axis) accumulates in VMEM across the batch
-    sweep; dscale/weight grads accumulate across the whole grid."""
-    wb = pl.program_id(0)
-    b = pl.program_id(1)
-    first = (b == 0) & (wb == 0)
-    g_blk, _, n, c = x_ref.shape
+    """NHWC direct-windowing forward (round 5, VERDICT r4 item 3): the
+    block is fetched straight out of the 6-d window VIEW of the NHWC
+    feature map — x_ref (gb, 1, ws, 1, ws, C) is gb images' SAME window id,
+    gathered by the BlockSpec index map — so the XLA window_partition /
+    window_reverse transposes (the boundary layout copies, BENCH.md
+    round 4) never exist. The 49→56 token pad moves INSIDE the kernel
+    (a VMEM-bandwidth concat instead of an HBM pass), everything else is
+    the same flat-matmul body."""
+    g, _, ws, _, _, c = x_ref.shape
+    nr = ws * ws
+    x = x_ref[...].reshape(g, nr, c)
+    if npad != nr:
+        x = jnp.concatenate(
+            [x, jnp.zeros((g, npad - nr, c), x.dtype)], axis=1
+        )
+    branch = _attn_half_fwd_body(
+        heads, g, npad, c, x.reshape(g * npad, c), wqkv_ref, bqkv_ref,
+        scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref,
+    )
+    branch = branch.reshape(g, npad, c)[:, :nr]
+    o_ref[...] = branch.reshape(g, 1, ws, 1, ws, c).astype(o_ref.dtype)
 
-    xf = x_ref[...].reshape(g_blk * n, c)
-    gout_f = g_ref[...].astype(jnp.float32).reshape(g_blk * n, c)
+
+def _attn_half_bwd_body(
+    heads: int, g_blk: int, n: int, c: int,
+    xf, gout_f, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
+    lns_ref,
+):
+    """Shared backward body on flat padded tokens xf/gout_f (g·n, C).
+    Returns (dx_f, dwqkv, dbqkv, dscale, dz, dwproj, dbproj, dlns, dlnb);
+    the kernels own the grid bookkeeping and accumulator writes."""
     z = z_ref[...].astype(jnp.float32)
     lns = lns_ref[...].astype(jnp.float32)
 
@@ -526,6 +833,34 @@ def _attn_bwd_kernel(
     dwqkv = _dot_t(xf, dqkv_f)
     dbqkv = jnp.sum(dqkv_f, axis=0, keepdims=True)
 
+    return (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj,
+            dlns, dlnb)
+
+
+def _attn_bwd_kernel(
+    heads: int,
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
+    lns_ref, g_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
+    dlns_ref, dlnb_ref,
+):
+    """Batch-blocked like the forward: x (gb, 1, n, C) = gb images' SAME
+    window id, z (1, H, n, n). Grid (nwz, nb/gb) with batch innermost, so
+    dz (indexed by the window axis) accumulates in VMEM across the batch
+    sweep; dscale/weight grads accumulate across the whole grid."""
+    wb = pl.program_id(0)
+    b = pl.program_id(1)
+    first = (b == 0) & (wb == 0)
+    g_blk, _, n, c = x_ref.shape
+
+    xf = x_ref[...].reshape(g_blk * n, c)
+    gout_f = g_ref[...].astype(jnp.float32).reshape(g_blk * n, c)
+    (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj, dlns,
+     dlnb) = _attn_half_bwd_body(
+        heads, g_blk, n, c, xf, gout_f, wqkv_ref, bqkv_ref, scale_ref,
+        z_ref, wproj_ref, bproj_ref, lns_ref,
+    )
+
     dx_ref[...] = dx.reshape(g_blk, 1, n, c).astype(dx_ref.dtype)
 
     @pl.when(b == 0)
@@ -533,6 +868,79 @@ def _attn_bwd_kernel(
         dz_ref[...] = dz_contrib.astype(dz_ref.dtype)
 
     @pl.when(b != 0)
+    def _acc_dz():
+        dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
+
+    @pl.when(first)
+    def _init_acc():
+        dwqkv_ref[...] = dwqkv
+        dbqkv_ref[...] = dbqkv
+        dscale_ref[...] = dscale_contrib
+        dwproj_ref[...] = dwproj
+        dbproj_ref[...] = dbproj
+        dlns_ref[...] = dlns
+        dlnb_ref[...] = dlnb
+
+    @pl.when(~first)
+    def _acc():
+        dwqkv_ref[...] = dwqkv_ref[...] + dwqkv
+        dbqkv_ref[...] = dbqkv_ref[...] + dbqkv
+        dscale_ref[...] = dscale_ref[...] + dscale_contrib
+        dwproj_ref[...] = dwproj_ref[...] + dwproj
+        dbproj_ref[...] = dbproj_ref[...] + dbproj
+        dlns_ref[...] = dlns_ref[...] + dlns
+        dlnb_ref[...] = dlnb_ref[...] + dlnb
+
+
+def _attn_bwd_kernel_nhwc(
+    heads: int, npad: int, z_shared: bool,
+    x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
+    lns_ref, g_ref,
+    dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
+    dlns_ref, dlnb_ref,
+):
+    """NHWC direct-windowing backward: x/g blocks are (gb, 1, ws, 1, ws, C)
+    fetched straight from the 6-d window view (see _attn_fwd_kernel_nhwc);
+    the in-kernel token pad feeds zeros for the padded query rows' upstream
+    gradient — exactly what the outside slice's VJP produced — and dx's
+    padded rows are sliced away before the windowed write, so gradients are
+    bit-identical to the blocked kernel's.
+
+    ``z_shared``: the no-shift-mask case, where z's leading dim is 1 and
+    ONE dz block accumulates across the ENTIRE grid (unlike the blocked
+    kernel, the window axis here is always real grid steps) — init at the
+    first grid step, not at every window's first batch step."""
+    wb = pl.program_id(0)
+    b = pl.program_id(1)
+    first = (b == 0) & (wb == 0)
+    dz_is_first = first if z_shared else (b == 0)
+    g_blk, _, ws, _, _, c = x_ref.shape
+    nr = ws * ws
+
+    x = x_ref[...].reshape(g_blk, nr, c)
+    gout = g_ref[...].astype(jnp.float32).reshape(g_blk, nr, c)
+    if npad != nr:
+        x = jnp.concatenate(
+            [x, jnp.zeros((g_blk, npad - nr, c), x.dtype)], axis=1
+        )
+        gout = jnp.concatenate(
+            [gout, jnp.zeros((g_blk, npad - nr, c), gout.dtype)], axis=1
+        )
+    (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj, dlns,
+     dlnb) = _attn_half_bwd_body(
+        heads, g_blk, npad, c, x.reshape(g_blk * npad, c),
+        gout.reshape(g_blk * npad, c), wqkv_ref, bqkv_ref, scale_ref,
+        z_ref, wproj_ref, bproj_ref, lns_ref,
+    )
+
+    dx = dx.reshape(g_blk, npad, c)[:, :nr]
+    dx_ref[...] = dx.reshape(g_blk, 1, ws, 1, ws, c).astype(dx_ref.dtype)
+
+    @pl.when(dz_is_first)
+    def _init_dz():
+        dz_ref[...] = dz_contrib.astype(dz_ref.dtype)
+
+    @pl.when(~dz_is_first)
     def _acc_dz():
         dz_ref[...] = dz_ref[...] + dz_contrib.astype(dz_ref.dtype)
 
@@ -715,6 +1123,208 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
     )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
       lns.reshape(1, -1), gv)
     return (outs[0].reshape(nwb, n, c),) + outs[1:]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "heads", "interpret"))
+def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
+                       window, heads, interpret=False):
+    """Forward over the NHWC feature map directly: grid (window id,
+    batch/gb); the x BlockSpec gathers window (wy, wx) of gb images from
+    the free 6-d view (B, H/ws, ws, W/ws, ws, C) — no window_partition."""
+    b, h, w, c = x.shape
+    ws = window
+    hb, wb_ = h // ws, w // ws
+    nwz = hb * wb_
+    npad = z.shape[-1]
+    zn = z.shape[0]  # 1 when there is no shift mask
+    gb = _fused_attn_pick(b, heads, npad, c, train=False)
+
+    xv = x.reshape(b, hb, ws, wb_, ws, c)
+    x_spec = pl.BlockSpec(
+        (gb, 1, ws, 1, ws, c),
+        lambda wd, bi: (bi, wd // wb_, 0, wd % wb_, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    z_spec = pl.BlockSpec(
+        (1, heads, npad, npad),
+        (lambda wd, bi: (0, 0, 0, 0)) if zn == 1
+        else (lambda wd, bi: (wd, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda wd, bi: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel_nhwc, heads, npad),
+        out_shape=jax.ShapeDtypeStruct((b, hb, ws, wb_, ws, c), x.dtype),
+        grid=(nwz, b // gb),
+        in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
+                  z_spec, const(c, c), const(1, c), const(1, c), const(1, c)],
+        out_specs=x_spec,
+        compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * c * c + 4 * heads * npad * (c // heads) * 2)
+            * npad * b * nwz,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * nwz * heads * npad * npad,
+        ),
+        interpret=interpret,
+    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
+      lns.reshape(1, -1), lnb.reshape(1, -1))
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "heads", "interpret"))
+def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
+                        window, heads, interpret=False):
+    b, h, w, c = x.shape
+    ws = window
+    hb, wb_ = h // ws, w // ws
+    nwz = hb * wb_
+    npad = z.shape[-1]
+    zn = z.shape[0]
+    gb = _fused_attn_pick(b, heads, npad, c, train=True)
+
+    xv = x.reshape(b, hb, ws, wb_, ws, c)
+    gv = g_out.reshape(b, hb, ws, wb_, ws, c)
+    x_spec = pl.BlockSpec(
+        (gb, 1, ws, 1, ws, c),
+        lambda wd, bi: (bi, wd // wb_, 0, wd % wb_, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    z_spec = pl.BlockSpec(
+        (1, heads, npad, npad),
+        (lambda wd, bi: (0, 0, 0, 0)) if zn == 1
+        else (lambda wd, bi: (wd, 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    const = lambda *shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda wd, bi: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_nhwc, heads, npad, zn == 1),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hb, ws, wb_, ws, c), x.dtype),  # dx
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),           # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),           # dbqkv
+            jax.ShapeDtypeStruct((heads, npad), jnp.float32),        # dscale
+            jax.ShapeDtypeStruct((zn, heads, npad, npad), jnp.float32),  # dz
+            jax.ShapeDtypeStruct((c, c), jnp.float32),               # dwproj
+            jax.ShapeDtypeStruct((1, c), jnp.float32),               # dbproj
+            jax.ShapeDtypeStruct((1, c), jnp.float32),               # dlns
+            jax.ShapeDtypeStruct((1, c), jnp.float32),               # dlnb
+        ),
+        grid=(nwz, b // gb),
+        in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
+                  z_spec, const(c, c), const(1, c), const(1, c), x_spec],
+        out_specs=(
+            x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, npad),
+            z_spec, const(c, c), const(1, c), const(1, c), const(1, c),
+        ),
+        compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
+        cost_estimate=pl.CostEstimate(
+            flops=(24 * c * c + 10 * heads * npad * (c // heads))
+            * npad * b * nwz,
+            bytes_accessed=4 * x.size * x.dtype.itemsize,
+            transcendentals=2 * b * nwz * heads * npad * npad,
+        ),
+        interpret=interpret,
+    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
+      lns.reshape(1, -1), gv)
+    return (outs[0].reshape(b, h, w, c),) + outs[1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
+                              bproj, lns, lnb, window, heads,
+                              interpret=False):
+    """NHWC core on the PRE-PADDED (H, NP, NP) bias / optional (nW, NP, NP)
+    mask (see attention_half_nhwc)."""
+    scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
+    z = _merge_bias_mask(bias, mask)
+    return _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns,
+                              lnb, window, heads, interpret=interpret)
+
+
+def _attn_half_nhwc_fwd(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
+                        lns, lnb, window, heads, interpret=False):
+    out = _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask,
+                                    wproj, bproj, lns, lnb, window, heads,
+                                    interpret)
+    return out, (x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns)
+
+
+def _attn_half_nhwc_bwd(window, heads, interpret, res, g_out):
+    x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns = res
+    ls32 = logit_scale.astype(jnp.float32)
+    clamp = jnp.log(100.0)
+    scale = jnp.exp(jnp.minimum(ls32, clamp))
+    z = _merge_bias_mask(bias, mask)
+
+    (dx, dwqkv, dbqkv, dscale, dz, dwproj, dbproj, dlns, dlnb) = (
+        _attn_backward_nhwc(
+            x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, window, heads,
+            interpret=interpret,
+        )
+    )
+    dscale = jnp.sum(dscale, axis=1).reshape(-1, 1, 1)
+    dbias = jnp.sum(dz, axis=0).astype(bias.dtype)
+    dls = (dscale * scale * (ls32 < clamp)).astype(logit_scale.dtype)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (
+        dx.astype(x.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv.reshape(-1).astype(bqkv.dtype),
+        dls,
+        dbias,
+        dmask,
+        dwproj.astype(wproj.dtype),
+        dbproj.reshape(-1).astype(bproj.dtype),
+        dlns.reshape(-1).astype(lns.dtype),
+        dlnb.reshape(-1).astype(lns.dtype),
+    )
+
+
+_attention_half_nhwc_core.defvjp(_attn_half_nhwc_fwd, _attn_half_nhwc_bwd)
+
+
+def attention_half_nhwc(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
+                        lns, lnb, window, heads, interpret=False):
+    """attention_half on the (possibly pre-rolled) NHWC feature map x
+    (B, H, W, C) directly — the BlockSpec index map does the window
+    gathering, so the window_partition / window_reverse transposes (and
+    their backward twins) never hit HBM (VERDICT r4 item 3). The token pad
+    to a multiple of 8 happens inside the kernel; the bias/mask pad (with
+    -1e9 key columns, exactly as attention_half) stays out here so its
+    VJP un-pads dbias."""
+    n = window * window
+    npad = -(-n // 8) * 8
+    if npad != n:
+        pad = npad - n
+        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
+                       constant_values=-1e9)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
+    return _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask,
+                                     wproj, bproj, lns, lnb, window, heads,
+                                     interpret)
+
+
+def attention_half_nhwc_spmd(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
+                             bproj, lns, lnb, window, heads, interpret=False):
+    """attention_half_nhwc, shard_mapped over the data axis when a
+    multi-device kernel mesh is active; x (B, H, W, C) splits on batch."""
+    from hvt import parallel
+
+    fn = parallel.shard_map_kernel(
+        lambda x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_: attention_half_nhwc(
+            x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, window, heads,
+            interpret
+        ),
+        batch_argnums=(0,),
+        n_args=10,
+    )
+    return fn(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns, lnb)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))

@@ -24,6 +24,7 @@ def stage_table(
     fuse: bool = True,
     fuse_attn_train: bool = True,
     fallback_xla: bool = True,
+    fuse_mlp_chunked: bool = True,
     train: bool = True,
 ) -> list[dict]:
     """→ one row per stage: shapes, fits-VMEM verdicts, chosen routes."""
@@ -53,7 +54,11 @@ def stage_table(
                 attn_route = "xla"
             else:
                 attn_route = "packed-pallas"
-            mlp_route = "fused-half" if mlp_fits else "xla"
+            if mlp_fits:
+                mlp_route = "fused-half"
+            else:
+                k = fh.mlp_chunks(c, hidden, train=train) if fuse_mlp_chunked else 0
+                mlp_route = f"fused-chunked-{k}" if k > 1 else "xla"
         rows.append({
             "stage": stage,
             "blocks": depth,

@@ -160,10 +160,92 @@ def account(batch: int = 256, image: int = 224, num_classes: int = 10000):
     return model, n_params, traffic, opt, total
 
 
+def floor(batch: int = 256, image: int = 224, num_classes: int = 10000):
+    """Count-each-tensor-once MINIMUM for the R50 train step (round 5,
+    VERDICT r4 item 6): the floor an *ideally fused* program pays, against
+    which hvt's measured 74 GB/step is judged.
+
+    The model (per tensor, per necessary pass):
+
+      conv fwd:  read input once + weights once, write the post-BN+ReLU
+                 output once (BN statistics and ReLU ride the conv output
+                 write as multi-output fusion — exactly what hvt's measured
+                 convert_reduce_fusions do, BENCH.md roofline).
+      conv bwd:  read grad_out once (dgrad+wgrad in one fused pass), read
+                 the saved input once (wgrad + BN/ReLU-grad recompute),
+                 read weights once, write grad_in once, write the f32
+                 weight grad once.
+      BN:        zero activation bytes (fused); running/batch stats are
+                 C-sized f32 — counted, negligible.
+      ReLU:      zero (the mask recomputes from the saved activation read
+                 already counted in conv bwd).
+      residual:  write the sum once, both fwd consumers read once; bwd
+                 aliases (gradient of add is identity into both branches).
+      optimizer: decoupled-SGDW momentum — read grad + param + momentum,
+                 write param + momentum, all f32 (5 passes); EMA every
+                 20 steps amortized.
+
+    Anything below this double-counts nothing: every activation is written
+    exactly once and read exactly once per direction that mathematically
+    needs it."""
+    model = TorchR50(num_classes)
+    n_params = sum(p.numel() for p in model.parameters())
+
+    fl = {"conv": 0, "bn-stats": 0, "add": 0, "pool": 0, "fc": 0}
+
+    def nbytes(t):
+        return t.numel() * BF16
+
+    def hook(mod, inp, out):
+        i, o = nbytes(inp[0]), nbytes(out)
+        w = sum(p.numel() for p in mod.parameters()) * BF16
+        dw = sum(p.numel() for p in mod.parameters()) * F32
+        if isinstance(mod, nn.Conv2d):
+            fl["conv"] += (i + w + o) + (o + i + w + i + dw)
+        elif isinstance(mod, nn.BatchNorm2d):
+            c = out.shape[1]
+            fl["bn-stats"] += 8 * c * F32  # stats in/out, fwd+bwd
+        elif isinstance(mod, (nn.MaxPool2d, nn.AdaptiveAvgPool2d)):
+            fl["pool"] += (i + o) + (o + i)
+        elif isinstance(mod, nn.Linear):
+            fl["fc"] += (i + o + w) + (o + i + w + i + dw)
+
+    hooks = [m.register_forward_hook(hook) for m in model.modules()
+             if isinstance(m, (nn.Conv2d, nn.BatchNorm2d, nn.MaxPool2d,
+                               nn.AdaptiveAvgPool2d, nn.Linear))]
+    with torch.no_grad():
+        model.eval()
+        model(torch.zeros(batch, 3, image, image))
+    for h in hooks:
+        h.remove()
+
+    shapes = [(batch, 256, 56, 56)] * 3 + [(batch, 512, 28, 28)] * 4 + \
+             [(batch, 1024, 14, 14)] * 6 + [(batch, 2048, 7, 7)] * 3
+    for s in shapes:
+        fl["add"] += 3 * int(np.prod(s)) * BF16
+
+    opt = 5 * n_params * F32 + (4 * n_params * F32) // 20  # SGDW + EMA/20
+    total = sum(fl.values()) + opt
+    return n_params, fl, opt, total
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--floor", action="store_true",
+                    help="print the count-each-tensor-once minimum instead")
     args = ap.parse_args()
+    if args.floor:
+        n_params, fl, opt, total = floor(args.batch)
+        print(f"R50 params: {n_params/1e6:.2f} M")
+        for k, v in fl.items():
+            print(f"  {k:10s} {v/2**30:8.2f} GiB/step")
+        print(f"  {'optimizer':10s} {opt/2**30:8.2f} GiB/step")
+        print(f"count-each-tensor-once floor ≈ {total/2**30:.1f} GiB/step "
+              f"({total/args.batch/2**20:.1f} MiB/image) at batch {args.batch}")
+        print("hvt measured (BENCH.md round 3): 74 GB/step = 289 MB/image")
+        print(f"measured / floor: {74e9 / total:.2f}x")
+        return
     model, n_params, traffic, opt, total = account(args.batch)
     print(f"torch R50 params: {n_params/1e6:.2f} M")
     for k, v in traffic.items():

@@ -26,6 +26,18 @@ serve:
 loader-bench:
 	python -m hvt.tools.loader_bench --threads 1,2,4
 
+bench-hierarchy:
+	python -m hvt.tools.bench_hierarchy --model resnet50 --variant flat
+	python -m hvt.tools.bench_hierarchy --model resnet50 --variant multitask
+	python -m hvt.tools.bench_hierarchy --model resnet50 --variant hxe
+	python -m hvt.tools.bench_hierarchy --model swinv2_tiny --variant flat
+	python -m hvt.tools.bench_hierarchy --model swinv2_tiny --variant multitask
+	python -m hvt.tools.bench_hierarchy --model swinv2_tiny --variant hxe
+
+input-bench:
+	python -m hvt.tools.train_input_bench --regime host-bound
+	python -m hvt.tools.train_input_bench --regime device-bound
+
 serve-bench:
 	python -m hvt.tools.serve_bench --machine configs/machines/local.yaml \
 		--exp configs/pretrain/debug_synthetic.yaml --clients 8 --requests 10 --batch 8

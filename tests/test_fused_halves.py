@@ -125,6 +125,58 @@ def test_attention_half_matches_reference(shifted):
         _assert_close(a, b, 0.03, f"attn {name}")
 
 
+@pytest.mark.parametrize("ws,h,w,shift", [
+    (4, 8, 8, 0), (4, 8, 8, 2),      # no in-kernel token pad (16 % 8 == 0)
+    (7, 14, 14, 0), (7, 14, 14, 3),  # production window: 49 -> 56 pad
+])
+def test_attention_half_nhwc_matches_windowed(ws, h, w, shift):
+    """NHWC direct windowing (round 5, VERDICT r4 item 3): the 6-d
+    BlockSpec gather + in-kernel token pad must reproduce the windowed
+    entry (partition -> attention_half -> reverse) bit-for-bit on the
+    forward and dx; weight/bias grads may differ only by f32 accumulation
+    order (the no-mask case blocks the grid differently)."""
+    rng = np.random.default_rng(2)
+    b, c, heads = 4, 16, 2
+    n = ws * ws
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(heads, 1, 1)) * 0.5 + 1.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
+    mask = (
+        jnp.asarray(wa.shift_attn_mask((h, w), ws, shift)) if shift else None
+    )
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+
+    def windowed(x_, wv, bb):
+        xw = wa.window_partition(x_, ws)
+        bw = fh.attention_half(xw, wv, bqkv, ls, bb, mask, wproj, bproj,
+                               lns, lnb, heads, True)
+        return wa.window_reverse(bw, ws, h, w)
+
+    def nhwc(x_, wv, bb):
+        return fh.attention_half_nhwc(x_, wv, bqkv, ls, bb, mask, wproj,
+                                      bproj, lns, lnb, ws, heads, True)
+
+    np.testing.assert_array_equal(
+        np.asarray(windowed(x, wqkv, bias)), np.asarray(nhwc(x, wqkv, bias))
+    )
+    gx0 = jax.grad(lambda x_: jnp.sum(windowed(x_, wqkv, bias) ** 2))(x)
+    gx1 = jax.grad(lambda x_: jnp.sum(nhwc(x_, wqkv, bias) ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
+    gw0 = jax.grad(lambda wv: jnp.sum(windowed(x, wv, bias) ** 2))(wqkv)
+    gw1 = jax.grad(lambda wv: jnp.sum(nhwc(x, wv, bias) ** 2))(wqkv)
+    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
+                               rtol=5e-4, atol=1e-4)
+    gb0 = jax.grad(lambda bb: jnp.sum(windowed(x, wqkv, bb) ** 2))(bias)
+    gb1 = jax.grad(lambda bb: jnp.sum(nhwc(x, wqkv, bb) ** 2))(bias)
+    np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1),
+                               rtol=5e-4, atol=1e-4)
+
+
 def test_attention_half_production_shift_layout():
     """Stage-1-shaped shifted case (nwz = 64 shift-mask windows, N = 49,
     C = 96, heads = 3) at a reduced batch: pins the z-block index maps and
@@ -192,9 +244,12 @@ def test_swinblock_stage4_fallback_parity(monkeypatch):
     )
 
     def block(fuse):
+        # fuse_mlp_chunked off: this test pins the PURE-fallback wiring
+        # (round 5 routes non-fitting MLPs through the chunked kernels by
+        # default — covered by test_swinblock_big_c_mlp_chunked_route).
         return swinv2.SwinBlock(
             dim=c, num_heads=heads, window=7, shift=0, dtype=jnp.float32,
-            fuse=fuse, fallback_xla=True,
+            fuse=fuse, fallback_xla=True, fuse_mlp_chunked=False,
         )
 
     v = block(False).init(jax.random.key(0), x)
@@ -230,6 +285,56 @@ def test_swinblock_stage4_fallback_parity(monkeypatch):
     ):
         name = "/".join(str(p) for p in path)
         _assert_close(b, a, 1e-5, f"stage4 fallback grad {name}")
+
+
+def test_swinblock_big_c_mlp_chunked_route(monkeypatch):
+    """Round 5 (VERDICT r4 item 5): a big-C block whose fused MLP does NOT
+    fit VMEM routes through the CHUNKED kernels (hidden dim streamed in K
+    chunks) instead of falling back to XLA, and matches the fuse=False
+    path at bf16-matmul tolerance. Pinned at the round-3 10 MiB budget
+    where SwinV2-T stage 4 (C=768, hidden 3072) needs K=2."""
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "10")
+    c, heads = 768, 24
+    assert not fh.fits_vmem(c, heads, 49, mlp_hidden=4 * c, train=True)
+    k = fh.mlp_chunks(c, 4 * c, train=True)
+    assert k == 2, k
+    # swinv2_large stage 4 (C=1536) chunks too at the round-4 default.
+    monkeypatch.delenv("HVT_FUSED_VMEM_MB", raising=False)
+    assert fh.mlp_chunks(1536, 4 * 1536, train=True) in (2, 4)
+    monkeypatch.setenv("HVT_FUSED_VMEM_MB", "10")
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 7, 7, c)) * 0.1, jnp.float32
+    )
+
+    def block(fuse):
+        return swinv2.SwinBlock(
+            dim=c, num_heads=heads, window=7, shift=0, dtype=jnp.float32,
+            fuse=fuse, fallback_xla=True,
+        )
+
+    v = block(False).init(jax.random.key(0), x)
+    o_std = block(False).apply(v, x, deterministic=False)
+    o_fused = block(True).apply(v, x, deterministic=False)
+    _assert_close(o_fused, o_std, 0.02, "chunked-mlp fwd")
+
+    ct = jnp.asarray(
+        np.random.default_rng(1).normal(size=o_std.shape), jnp.float32
+    )
+
+    def loss(params, fuse):
+        return jnp.vdot(
+            block(fuse).apply({"params": params}, x, deterministic=False), ct
+        )
+
+    g_std = jax.grad(loss)(v["params"], False)
+    g_fused = jax.grad(loss)(v["params"], True)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_std),
+        jax.tree_util.tree_leaves(g_fused),
+    ):
+        name = "/".join(str(p) for p in path)
+        _assert_close(b, a, 0.03, f"chunked-mlp grad {name}")
 
 
 def test_swinblock_fuse_flag_parity():

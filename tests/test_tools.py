@@ -117,6 +117,11 @@ def test_kernel_routing_matches_model_defaults():
     large = KR.stage_table("swinv2_large", 224)
     assert [r["attn"] for r in large] == ["fused-half"] * 3 + ["xla"]
     assert large[3]["c"] == 1536 and not large[3]["attn_fits_vmem"]
+    # Round 5: the big-C MLP streams its hidden dim in chunks instead of
+    # falling back (VERDICT r4 item 5); the knob reverts to round-4 xla.
+    assert large[3]["mlp"].startswith("fused-chunked-")
+    assert KR.stage_table("swinv2_large", 224,
+                          fuse_mlp_chunked=False)[3]["mlp"] == "xla"
 
     legacy = KR.stage_table("swinv2_large", 224, fallback_xla=False)
     assert legacy[3]["attn"] == "packed-pallas"
@@ -129,6 +134,22 @@ def test_kernel_routing_matches_model_defaults():
     from hvt.models import swinv2
     m = swinv2.swinv2_tiny(10)
     assert m.fuse_attn_train and m.fallback_xla  # defaults the table assumes
+
+
+def test_train_input_bench_smoke_cpu(tmp_path):
+    """train_input_bench (round 5, VERDICT r4 item 4) runs end-to-end on a
+    tiny fixture: all three rates positive, predictions bracket sanely.
+    On the CPU backend device work IS host work, so combined ~ serial —
+    the overlap claim itself is chip-only (BENCH.md)."""
+    from hvt.tools import train_input_bench as T
+
+    root = T.make_fixture(str(tmp_path / "ds"), 16, (64, 48))
+    row = T.measure(root, batch=8, steps=3, workers=1, image=32,
+                    model_name="resnet_micro", classes=4)
+    assert row["host_only_img_s"] > 0
+    assert row["device_only_img_s"] > 0
+    assert row["combined_img_s"] > 0
+    assert row["predicted_serial_img_s"] <= row["predicted_overlap_img_s"]
 
 
 def test_roofline_probes_smoke_cpu():
