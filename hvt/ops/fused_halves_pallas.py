@@ -750,29 +750,39 @@ def _attn_fwd_kernel(
 def _attn_fwd_kernel_nhwc(
     heads: int, npad: int,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
-    lns_ref, lnb_ref, o_ref,
+    lns_ref, lnb_ref, o_ref, xw_ref,
 ):
     """NHWC direct-windowing forward (round 5, VERDICT r4 item 3): the
     block is fetched straight out of the 6-d window VIEW of the NHWC
     feature map — x_ref (gb, 1, ws, 1, ws, C) is gb images' SAME window id,
     gathered by the BlockSpec index map — so the XLA window_partition /
     window_reverse transposes (the boundary layout copies, BENCH.md
-    round 4) never exist. The 49→56 token pad moves INSIDE the kernel
-    (a VMEM-bandwidth concat instead of an HBM pass), everything else is
-    the same flat-matmul body."""
+    round 4) never exist.
+
+    Token layout: Mosaic cannot shape-cast the (ws, ws) grid into a flat
+    ws² token dim (7-sublane merges move rows across 8-row tiles — the
+    real-TPU lowering rejects what interpret mode accepted), so window
+    row r lands at the 8-ALIGNED slot [r·slot, r·slot+ws) of the
+    (gb, npad = ws·slot, C) VMEM scratch via plain sliced stores; the
+    slack rows are zeros and the caller permutes bias/mask to the slotted
+    token order (attention_half_nhwc). For window-7 npad is 56 — the same
+    padded width the blocked kernel uses, so the matmul/VPU shapes are
+    unchanged; only the pad rows are interleaved instead of trailing."""
     g, _, ws, _, _, c = x_ref.shape
-    nr = ws * ws
-    x = x_ref[...].reshape(g, nr, c)
-    if npad != nr:
-        x = jnp.concatenate(
-            [x, jnp.zeros((g, npad - nr, c), x.dtype)], axis=1
-        )
+    slot = npad // ws
+    for r in range(ws):
+        xw_ref[:, r * slot : r * slot + ws, :] = x_ref[:, 0, r, 0, :, :]
+        if slot != ws:
+            xw_ref[:, r * slot + ws : (r + 1) * slot, :] = jnp.zeros(
+                (g, slot - ws, c), xw_ref.dtype
+            )
     branch = _attn_half_fwd_body(
-        heads, g, npad, c, x.reshape(g * npad, c), wqkv_ref, bqkv_ref,
-        scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref,
+        heads, g, npad, c, xw_ref[...].reshape(g * npad, c), wqkv_ref,
+        bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref,
     )
-    branch = branch.reshape(g, npad, c)[:, :nr]
-    o_ref[...] = branch.reshape(g, 1, ws, 1, ws, c).astype(o_ref.dtype)
+    br = branch.reshape(g, npad, c).astype(o_ref.dtype)
+    for r in range(ws):
+        o_ref[:, 0, r, 0, :, :] = br[:, r * slot : r * slot + ws, :]
 
 
 def _attn_half_bwd_body(
@@ -897,14 +907,15 @@ def _attn_bwd_kernel_nhwc(
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
     lns_ref, g_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
-    dlns_ref, dlnb_ref,
+    dlns_ref, dlnb_ref, xw_ref, gw_ref,
 ):
     """NHWC direct-windowing backward: x/g blocks are (gb, 1, ws, 1, ws, C)
-    fetched straight from the 6-d window view (see _attn_fwd_kernel_nhwc);
-    the in-kernel token pad feeds zeros for the padded query rows' upstream
-    gradient — exactly what the outside slice's VJP produced — and dx's
-    padded rows are sliced away before the windowed write, so gradients are
-    bit-identical to the blocked kernel's.
+    fetched straight from the 6-d window view and repacked into the
+    8-aligned slotted token layout (see _attn_fwd_kernel_nhwc); the slack
+    rows carry zeros for BOTH x and the upstream gradient (exactly what
+    the blocked kernel's outside slice-VJP fed), so pad positions
+    contribute nothing to any gradient; dx's slack rows are dropped by the
+    slotted per-row stores.
 
     ``z_shared``: the no-shift-mask case, where z's leading dim is 1 and
     ONE dz block accumulates across the ENTIRE grid (unlike the blocked
@@ -915,26 +926,27 @@ def _attn_bwd_kernel_nhwc(
     first = (b == 0) & (wb == 0)
     dz_is_first = first if z_shared else (b == 0)
     g_blk, _, ws, _, _, c = x_ref.shape
-    nr = ws * ws
+    slot = npad // ws
 
-    x = x_ref[...].reshape(g_blk, nr, c)
-    gout = g_ref[...].astype(jnp.float32).reshape(g_blk, nr, c)
-    if npad != nr:
-        x = jnp.concatenate(
-            [x, jnp.zeros((g_blk, npad - nr, c), x.dtype)], axis=1
-        )
-        gout = jnp.concatenate(
-            [gout, jnp.zeros((g_blk, npad - nr, c), gout.dtype)], axis=1
-        )
+    for r in range(ws):
+        xw_ref[:, r * slot : r * slot + ws, :] = x_ref[:, 0, r, 0, :, :]
+        gw_ref[:, r * slot : r * slot + ws, :] = g_ref[:, 0, r, 0, :, :]
+        if slot != ws:
+            zpad = jnp.zeros((g_blk, slot - ws, c), xw_ref.dtype)
+            xw_ref[:, r * slot + ws : (r + 1) * slot, :] = zpad
+            gw_ref[:, r * slot + ws : (r + 1) * slot, :] = zpad.astype(
+                gw_ref.dtype
+            )
     (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj, dlns,
      dlnb) = _attn_half_bwd_body(
-        heads, g_blk, npad, c, x.reshape(g_blk * npad, c),
-        gout.reshape(g_blk * npad, c), wqkv_ref, bqkv_ref, scale_ref,
-        z_ref, wproj_ref, bproj_ref, lns_ref,
+        heads, g_blk, npad, c, xw_ref[...].reshape(g_blk * npad, c),
+        gw_ref[...].astype(jnp.float32).reshape(g_blk * npad, c),
+        wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref,
     )
 
-    dx = dx.reshape(g_blk, npad, c)[:, :nr]
-    dx_ref[...] = dx.reshape(g_blk, 1, ws, 1, ws, c).astype(dx_ref.dtype)
+    dxs = dx.reshape(g_blk, npad, c).astype(dx_ref.dtype)
+    for r in range(ws):
+        dx_ref[:, 0, r, 0, :, :] = dxs[:, r * slot : r * slot + ws, :]
 
     @pl.when(dz_is_first)
     def _init_dz():
@@ -1161,6 +1173,7 @@ def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
         in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
                   z_spec, const(c, c), const(1, c), const(1, c), const(1, c)],
         out_specs=x_spec,
+        scratch_shapes=[pltpu.VMEM((gb, npad, c), x.dtype)],
         compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
         cost_estimate=pl.CostEstimate(
             flops=(8 * c * c + 4 * heads * npad * (c // heads) * 2)
@@ -1221,6 +1234,8 @@ def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
             x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, npad),
             z_spec, const(c, c), const(1, c), const(1, c), const(1, c),
         ),
+        scratch_shapes=[pltpu.VMEM((gb, npad, c), x.dtype),
+                        pltpu.VMEM((gb, npad, c), g_out.dtype)],
         compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
         cost_estimate=pl.CostEstimate(
             flops=(24 * c * c + 10 * heads * npad * (c // heads))
@@ -1288,23 +1303,38 @@ def _attn_half_nhwc_bwd(window, heads, interpret, res, g_out):
 _attention_half_nhwc_core.defvjp(_attn_half_nhwc_fwd, _attn_half_nhwc_bwd)
 
 
+def nhwc_token_perm(window: int):
+    """Token index → slotted row in the kernel's (npad = ws·slot, C)
+    buffer: window row r occupies the 8-aligned slot [r·slot, r·slot+ws)
+    (see _attn_fwd_kernel_nhwc). Returns (perm (ws²,), npad)."""
+    import numpy as np
+
+    slot = -(-window // 8) * 8
+    i = np.arange(window * window)
+    return (i // window) * slot + (i % window), window * slot
+
+
 def attention_half_nhwc(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
                         lns, lnb, window, heads, interpret=False):
     """attention_half on the (possibly pre-rolled) NHWC feature map x
     (B, H, W, C) directly — the BlockSpec index map does the window
     gathering, so the window_partition / window_reverse transposes (and
-    their backward twins) never hit HBM (VERDICT r4 item 3). The token pad
-    to a multiple of 8 happens inside the kernel; the bias/mask pad (with
-    -1e9 key columns, exactly as attention_half) stays out here so its
-    VJP un-pads dbias."""
+    their backward twins) never hit HBM (VERDICT r4 item 3). Tokens live
+    in the kernels' 8-aligned slotted layout (nhwc_token_perm), so the
+    bias/mask are scattered to the slotted order here, with -1e9 filling
+    the slack KEY columns exactly as attention_half's trailing pad did;
+    the scatter's VJP gathers dbias back to the (H, ws², ws²) layout."""
     n = window * window
-    npad = -(-n // 8) * 8
+    perm, npad = nhwc_token_perm(window)
     if npad != n:
-        pad = npad - n
-        bias = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)),
-                       constant_values=-1e9)
+        perm = jnp.asarray(perm)
+        bias = jnp.full(
+            (bias.shape[0], npad, npad), -1e9, bias.dtype
+        ).at[:, perm[:, None], perm[None, :]].set(bias)
         if mask is not None:
-            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, pad)))
+            mask = jnp.zeros(
+                (mask.shape[0], npad, npad), mask.dtype
+            ).at[:, perm[:, None], perm[None, :]].set(mask)
     return _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask,
                                      wproj, bproj, lns, lnb, window, heads,
                                      interpret)

@@ -131,10 +131,12 @@ def test_attention_half_matches_reference(shifted):
 ])
 def test_attention_half_nhwc_matches_windowed(ws, h, w, shift):
     """NHWC direct windowing (round 5, VERDICT r4 item 3): the 6-d
-    BlockSpec gather + in-kernel token pad must reproduce the windowed
-    entry (partition -> attention_half -> reverse) bit-for-bit on the
-    forward and dx; weight/bias grads may differ only by f32 accumulation
-    order (the no-mask case blocks the grid differently)."""
+    BlockSpec gather + slotted in-kernel token layout must reproduce the
+    windowed entry (partition -> attention_half -> reverse) to f32
+    round-off — the slotted layout permutes the softmax/matmul summation
+    order (real-TPU Mosaic rejects the 7x7 -> 49 shape cast that would
+    have kept it bitwise, see _attn_fwd_kernel_nhwc), so exact equality
+    is not expected anywhere."""
     rng = np.random.default_rng(2)
     b, c, heads = 4, 16, 2
     n = ws * ws
@@ -161,20 +163,21 @@ def test_attention_half_nhwc_matches_windowed(ws, h, w, shift):
         return fh.attention_half_nhwc(x_, wv, bqkv, ls, bb, mask, wproj,
                                       bproj, lns, lnb, ws, heads, True)
 
-    np.testing.assert_array_equal(
-        np.asarray(windowed(x, wqkv, bias)), np.asarray(nhwc(x, wqkv, bias))
-    )
+    # Tolerances are bf16-requantization scale: the slotted token order
+    # shifts f32 epsilon differences across bf16 rounding boundaries
+    # before the proj matmul, giving isolated ~2e-4-relative outliers
+    # (measured); everything else is f32 round-off.
+    _assert_close(nhwc(x, wqkv, bias), windowed(x, wqkv, bias), 2e-3,
+                  "nhwc fwd")
     gx0 = jax.grad(lambda x_: jnp.sum(windowed(x_, wqkv, bias) ** 2))(x)
     gx1 = jax.grad(lambda x_: jnp.sum(nhwc(x_, wqkv, bias) ** 2))(x)
-    np.testing.assert_array_equal(np.asarray(gx0), np.asarray(gx1))
+    _assert_close(gx1, gx0, 5e-3, "nhwc dx")
     gw0 = jax.grad(lambda wv: jnp.sum(windowed(x, wv, bias) ** 2))(wqkv)
     gw1 = jax.grad(lambda wv: jnp.sum(nhwc(x, wv, bias) ** 2))(wqkv)
-    np.testing.assert_allclose(np.asarray(gw0), np.asarray(gw1),
-                               rtol=5e-4, atol=1e-4)
+    _assert_close(gw1, gw0, 5e-3, "nhwc dwqkv")
     gb0 = jax.grad(lambda bb: jnp.sum(windowed(x, wqkv, bb) ** 2))(bias)
     gb1 = jax.grad(lambda bb: jnp.sum(nhwc(x, wqkv, bb) ** 2))(bias)
-    np.testing.assert_allclose(np.asarray(gb0), np.asarray(gb1),
-                               rtol=5e-4, atol=1e-4)
+    _assert_close(gb1, gb0, 5e-3, "nhwc dbias")
 
 
 def test_attention_half_production_shift_layout():
