@@ -62,7 +62,8 @@ def make_fixture(root: str, num_images: int, size) -> str:
 
 
 def _build(root: str, batch: int, workers: int, image: int,
-           model_name: str = "resnet50", classes: int = 10000):
+           model_name: str = "resnet50", classes: int = 10000,
+           prefetch: int = 2):
     from hvt import config as config_lib
     from hvt import objectives, parallel
     from hvt.data import DevicePrep
@@ -91,7 +92,7 @@ def _build(root: str, batch: int, workers: int, image: int,
                           "crop_size": image},
         "eval_dataset": {"path": "bench", "global_batch_size": batch},
         "machine": {"datasets": {"bench": root}},
-        "loader": {"num_workers": workers, "prefetch_batches": 2},
+        "loader": {"num_workers": workers, "prefetch_batches": prefetch},
     })
     algos = parse_algorithms(cfg)
     mesh = parallel.make_mesh(cfg.mesh)
@@ -122,7 +123,7 @@ def _build(root: str, batch: int, workers: int, image: int,
     sharded = parallel.batch_sharding(mesh)
     replicated = parallel.replicated(mesh)
     rng_key = jax.jit(lambda: jax.random.key(0), out_shardings=replicated)()
-    return train_step, state, ldr, sharded, rng_key
+    return train_step, state, ldr, sharded, rng_key, mesh
 
 
 def _batches(ldr, steps: int):
@@ -139,9 +140,11 @@ def _batches(ldr, steps: int):
 
 def measure(root: str, batch: int, steps: int, workers: int,
             image: int = 224, model_name: str = "resnet50",
-            classes: int = 10000) -> dict:
-    train_step, state, ldr, sharded, rng_key = _build(
-        root, batch, workers, image, model_name, classes
+            classes: int = 10000, prefetch: int = 2) -> dict:
+    from hvt import parallel
+
+    train_step, state, ldr, sharded, rng_key, mesh = _build(
+        root, batch, workers, image, model_name, classes, prefetch
     )
 
     # warm: compile + thread-pool spin-up + device touch
@@ -169,25 +172,51 @@ def measure(root: str, batch: int, steps: int, workers: int,
     float(stats["loss_sum"])
     device_rate = steps * batch / (time.perf_counter() - t0)
 
-    # combined: the real loader-fed loop (H2D included)
+    # h2d-only: transfer pre-decoded host batches, no loader, no step.
+    # One fused sum over every transferred image array is the barrier
+    # (fetching each would add the tunnel's ~0.25 s latency per batch).
+    host_batches = list(_batches(ldr, min(steps, 8)))
+    t0 = time.perf_counter()
+    puts = [parallel.put_batch(mesh, b) for b in host_batches]
+    total = jax.jit(
+        lambda *xs: sum(x.astype(jnp.int32).sum() for x in xs)
+    )(*[p[0] for p in puts])
+    int(total)
+    h2d_rate = len(puts) * batch / (time.perf_counter() - t0)
+
+    # h2d+step: the double-buffered transfer queue feeding the step from
+    # pre-decoded host batches — H2D↔compute overlap with the loader out
+    # of the picture.
+    t0 = time.perf_counter()
+    for _b, (im, lb, mk) in parallel.prefetch_to_device(
+            iter(host_batches), mesh, depth=prefetch):
+        state, stats = train_step(state, im, lb, mk, rng_key, scale=1.0)
+    float(stats["loss_sum"])
+    h2d_step_rate = len(host_batches) * batch / (time.perf_counter() - t0)
+
+    # combined: the real Trainer-fed loop — the loader's decode threads AND
+    # the double-buffered H2D queue (parallel.prefetch_to_device, the exact
+    # path hvt/train/loop.py runs; raw per-step device_put measured 36%
+    # BELOW even the serial prediction on this tunnel, whose blocking H2D
+    # round trip is ~0.25 s — the queue is what hides it).
     t0 = time.perf_counter()
     n = 0
-    for b in _batches(ldr, steps):
-        images = jax.device_put(b.images, sharded)
-        labels = jax.device_put(b.labels.astype(np.int32), sharded)
-        mask = jax.device_put(b.mask.astype(np.float32), sharded)
+    for _b, (images, labels, mask) in parallel.prefetch_to_device(
+            _batches(ldr, steps), mesh, depth=prefetch):
         state, stats = train_step(state, images, labels, mask, rng_key,
                                   scale=1.0)
         n += batch
     float(stats["loss_sum"])
     combined = n / (time.perf_counter() - t0)
 
-    overlap = 1.0 / max(1.0 / host_rate, 1.0 / device_rate)
-    serial = 1.0 / (1.0 / host_rate + 1.0 / device_rate)
+    overlap = 1.0 / max(1.0 / host_rate, 1.0 / device_rate, 1.0 / h2d_rate)
+    serial = 1.0 / (1.0 / host_rate + 1.0 / device_rate + 1.0 / h2d_rate)
     eff = (combined - serial) / max(overlap - serial, 1e-9)
     return {
         "host_only_img_s": round(host_rate, 1),
         "device_only_img_s": round(device_rate, 1),
+        "h2d_only_img_s": round(h2d_rate, 1),
+        "h2d_step_img_s": round(h2d_step_rate, 1),
         "combined_img_s": round(combined, 1),
         "predicted_overlap_img_s": round(overlap, 1),
         "predicted_serial_img_s": round(serial, 1),
@@ -206,6 +235,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="device-transfer queue depth (loader prefetch too)")
     args = ap.parse_args()
 
     from hvt.utils import compile_cache
@@ -217,7 +248,8 @@ def main():
         root = make_fixture("/tmp/hvt-input-bench-big", 512, (500, 375))
     else:
         root = make_fixture("/tmp/hvt-input-bench-small", 512, (150, 112))
-    row = measure(root, args.batch, args.steps, args.workers)
+    row = measure(root, args.batch, args.steps, args.workers,
+                  prefetch=args.prefetch)
     row["regime"] = args.regime
     print(json.dumps(row))
 
