@@ -362,6 +362,10 @@ def main():
         # MLPs to the XLA fallback (matters for swinv2_base+, not Tiny).
         if os.environ.get("HVT_BENCH_MLP_CHUNKED") == "0":
             swin_args["fuse_mlp_chunked"] = False
+        # Fused residual + drop-path in the NHWC attention epilogue
+        # (round 5): =0 reverts to the XLA-side drop-path+add.
+        if os.environ.get("HVT_BENCH_FUSE_RESID") == "0":
+            swin_args["fuse_resid"] = False
         swin = measure(
             {
                 "model": {"name": "swinv2_tiny", "args": swin_args},

@@ -168,6 +168,13 @@ class SwinBlock(nn.Module):
     # (fh.mlp_half_chunked) instead of falling back to XLA. Off = the
     # round-4 fallback routing.
     fuse_mlp_chunked: bool = True
+    # Fused residual + stochastic depth for the NHWC attention half
+    # (round 5): the kernel epilogue computes x + s·branch with the
+    # per-image drop-path scale s, so the XLA-side drop-path+add pass over
+    # the feature map (and the layout flips XLA wraps around that boundary
+    # op) disappears in forward AND backward. Only active on the
+    # fuse_nhwc route; A/B knob for the chip measurement.
+    fuse_resid: bool = True
     # Mixture-of-experts MLP (hvt.ops.moe, Swin-MoE style): >0 replaces
     # this block's dense MLP with `moe_experts` expert MLPs, top-1 routed
     # with static capacity. Expert weights shard over the mesh's `model`
@@ -344,6 +351,33 @@ class SwinBlock(nn.Module):
             qkv_bias = jnp.concatenate(
                 [ap["q_bias"], jnp.zeros_like(ap["q_bias"]), ap["v_bias"]]
             )
+            if self.fuse_nhwc and self.fuse_resid:
+                # Direct windowing + fused residual: the kernel returns
+                # shifted_x + s·branch (s = per-image drop-path scale);
+                # rolls commute with the add, so un-rolling the SUM below
+                # lands exactly on shortcut + drop_path(un-rolled branch).
+                use_dp = self.drop_path_rate > 0.0 and not deterministic
+                rng = self.make_rng("dropout") if use_dp else None
+                if use_dp:
+                    keep = 1.0 - self.drop_path_rate
+                    m = jax.random.bernoulli(rng, keep, (b, 1, 1, 1))
+                    s = m.reshape(b).astype(jnp.float32) / keep
+                else:
+                    s = jnp.ones((b,), jnp.float32)
+                out = fh.attention_half_nhwc_spmd(
+                    shifted, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
+                    bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
+                    n1["scale"], n1["bias"], window, self.num_heads,
+                    interpret, dp=jnp.broadcast_to(s[:, None], (b, 128)),
+                )
+                x = (
+                    jnp.roll(out, (shift, shift), (1, 2)) if shift > 0
+                    else out
+                )
+                return self._mlp_half_fused(
+                    x, b, h, w, c, hidden, fuse_mlp, mlp_mod, norm2,
+                    deterministic, interpret, train,
+                )
             if self.fuse_nhwc:
                 # Direct windowing: no window_partition/window_reverse —
                 # the kernel's BlockSpec gathers windows from `shifted`.
@@ -372,11 +406,20 @@ class SwinBlock(nn.Module):
         use_dp = self.drop_path_rate > 0.0 and not deterministic
         rng = self.make_rng("dropout") if use_dp else None
         x = shortcut + drop_path(branch, self.drop_path_rate, deterministic, rng)
+        return self._mlp_half_fused(
+            x, b, h, w, c, hidden, fuse_mlp, mlp_mod, norm2, deterministic,
+            interpret, train,
+        )
 
-        # --- mlp half ---
-        # Big-C stages whose fused resident set does not fit VMEM stream
-        # the hidden dim in chunks instead of falling back to XLA
-        # (round 5; fh.mlp_half_chunked).
+    def _mlp_half_fused(self, x, b, h, w, c, hidden, fuse_mlp, mlp_mod,
+                        norm2, deterministic, interpret, train):
+        """MLP half of the fused route (shared tail — the fused-residual
+        attention path returns through here after folding its residual
+        into the kernel epilogue). Big-C stages whose fused resident set
+        does not fit VMEM stream the hidden dim in chunks instead of
+        falling back to XLA (round 5; fh.mlp_half_chunked)."""
+        from hvt.ops import fused_halves_pallas as fh
+
         mlp_k = (
             0 if (fuse_mlp or not self.fuse_mlp_chunked)
             else fh.mlp_chunks(c, hidden, train=train)
@@ -399,6 +442,7 @@ class SwinBlock(nn.Module):
             branch2 = branch2.reshape(b, h, w, c)
         else:
             branch2 = norm2(mlp_mod(x, deterministic))
+        use_dp = self.drop_path_rate > 0.0 and not deterministic
         rng = self.make_rng("dropout") if use_dp else None
         return x + drop_path(branch2, self.drop_path_rate, deterministic, rng)
 
@@ -498,6 +542,9 @@ class SwinTransformerV2(nn.Module):
     fuse_nhwc: bool = True
     # Chunked fused MLP for big-C stages (SwinBlock.fuse_mlp_chunked).
     fuse_mlp_chunked: bool = True
+    # Fused residual + stochastic depth in the NHWC attention-half
+    # epilogue (SwinBlock.fuse_resid, round 5).
+    fuse_resid: bool = True
     remat: bool = False
     # Pipeline parallelism (mesh: {pipe: N}): split the deepest stage's
     # blocks into `pipe` pipeline stages. Stage params are stacked with a
@@ -627,6 +674,7 @@ class SwinTransformerV2(nn.Module):
                     fallback_xla=self.fallback_xla,
                     fuse_nhwc=self.fuse_nhwc,
                     fuse_mlp_chunked=self.fuse_mlp_chunked,
+                    fuse_resid=self.fuse_resid,
                     moe_experts=block_moe,
                     moe_capacity=self.moe_capacity,
                     moe_aux_weight=self.moe_aux_weight,

@@ -748,9 +748,9 @@ def _attn_fwd_kernel(
 
 
 def _attn_fwd_kernel_nhwc(
-    heads: int, npad: int,
+    heads: int, npad: int, resid: bool,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
-    lns_ref, lnb_ref, o_ref, xw_ref,
+    lns_ref, lnb_ref, *rest,
 ):
     """NHWC direct-windowing forward (round 5, VERDICT r4 item 3): the
     block is fetched straight out of the 6-d window VIEW of the NHWC
@@ -767,7 +767,20 @@ def _attn_fwd_kernel_nhwc(
     slack rows are zeros and the caller permutes bias/mask to the slotted
     token order (attention_half_nhwc). For window-7 npad is 56 — the same
     padded width the blocked kernel uses, so the matmul/VPU shapes are
-    unchanged; only the pad rows are interleaved instead of trailing."""
+    unchanged; only the pad rows are interleaved instead of trailing.
+
+    ``resid`` (round 5): the residual add — and stochastic-depth's
+    per-image branch scale s_i = mask_i/keep, fed as the (gb, 128)
+    broadcast dp_ref — runs in the epilogue: out = x + s·branch. x is
+    already resident in VMEM, so the XLA-side drop-path+add pass (2-3
+    HBM sweeps of the feature map per half, plus the layout flips XLA
+    wraps around the boundary op) disappears. Rolls commute with the
+    elementwise add, so shifted blocks fuse identically — the caller
+    un-rolls the SUM instead of the branch."""
+    if resid:
+        dp_ref, o_ref, xw_ref = rest
+    else:
+        o_ref, xw_ref = rest
     g, _, ws, _, _, c = x_ref.shape
     slot = npad // ws
     for r in range(ws):
@@ -780,9 +793,18 @@ def _attn_fwd_kernel_nhwc(
         heads, g, npad, c, xw_ref[...].reshape(g * npad, c), wqkv_ref,
         bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref, lnb_ref,
     )
-    br = branch.reshape(g, npad, c).astype(o_ref.dtype)
-    for r in range(ws):
-        o_ref[:, 0, r, 0, :, :] = br[:, r * slot : r * slot + ws, :]
+    br = branch.reshape(g, npad, c)
+    if resid:
+        s = dp_ref[:, 0:1].astype(jnp.float32).reshape(g, 1, 1)
+        for r in range(ws):
+            o_ref[:, 0, r, 0, :, :] = (
+                x_ref[:, 0, r, 0, :, :].astype(jnp.float32)
+                + s * br[:, r * slot : r * slot + ws, :]
+            ).astype(o_ref.dtype)
+    else:
+        brc = br.astype(o_ref.dtype)
+        for r in range(ws):
+            o_ref[:, 0, r, 0, :, :] = brc[:, r * slot : r * slot + ws, :]
 
 
 def _attn_half_bwd_body(
@@ -903,11 +925,9 @@ def _attn_bwd_kernel(
 
 
 def _attn_bwd_kernel_nhwc(
-    heads: int, npad: int, z_shared: bool,
+    heads: int, npad: int, z_shared: bool, resid: bool,
     x_ref, wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref,
-    lns_ref, g_ref,
-    dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref, dbproj_ref,
-    dlns_ref, dlnb_ref, xw_ref, gw_ref,
+    lns_ref, g_ref, *rest,
 ):
     """NHWC direct-windowing backward: x/g blocks are (gb, 1, ws, 1, ws, C)
     fetched straight from the 6-d window view and repacked into the
@@ -920,7 +940,19 @@ def _attn_bwd_kernel_nhwc(
     ``z_shared``: the no-shift-mask case, where z's leading dim is 1 and
     ONE dz block accumulates across the ENTIRE grid (unlike the blocked
     kernel, the window axis here is always real grid steps) — init at the
-    first grid step, not at every window's first batch step."""
+    first grid step, not at every window's first batch step.
+
+    ``resid``: the VJP of out = x + s·branch(x) (see _attn_fwd_kernel_nhwc):
+    the branch backward runs on s·g (chain rule through the per-image
+    stochastic-depth scale, so every weight gradient picks up s exactly as
+    the XLA drop-path backward did), and dx adds the residual pass-through
+    g in the epilogue — the upstream gradient never makes a second HBM
+    round trip through an XLA add."""
+    if resid:
+        dp_ref = rest[0]
+        rest = rest[1:]
+    (dx_ref, dwqkv_ref, dbqkv_ref, dscale_ref, dz_ref, dwproj_ref,
+     dbproj_ref, dlns_ref, dlnb_ref, xw_ref, gw_ref) = rest
     wb = pl.program_id(0)
     b = pl.program_id(1)
     first = (b == 0) & (wb == 0)
@@ -937,16 +969,28 @@ def _attn_bwd_kernel_nhwc(
             gw_ref[:, r * slot + ws : (r + 1) * slot, :] = zpad.astype(
                 gw_ref.dtype
             )
+    gout = gw_ref[...].astype(jnp.float32).reshape(g_blk, npad, c)
+    if resid:
+        s = dp_ref[:, 0:1].astype(jnp.float32).reshape(g_blk, 1, 1)
+        gout = s * gout
     (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj, dlns,
      dlnb) = _attn_half_bwd_body(
         heads, g_blk, npad, c, xw_ref[...].reshape(g_blk * npad, c),
-        gw_ref[...].astype(jnp.float32).reshape(g_blk * npad, c),
+        gout.reshape(g_blk * npad, c),
         wqkv_ref, bqkv_ref, scale_ref, z_ref, wproj_ref, bproj_ref, lns_ref,
     )
 
-    dxs = dx.reshape(g_blk, npad, c).astype(dx_ref.dtype)
-    for r in range(ws):
-        dx_ref[:, 0, r, 0, :, :] = dxs[:, r * slot : r * slot + ws, :]
+    dxs = dx.reshape(g_blk, npad, c)
+    if resid:
+        for r in range(ws):
+            dx_ref[:, 0, r, 0, :, :] = (
+                g_ref[:, 0, r, 0, :, :].astype(jnp.float32)
+                + dxs[:, r * slot : r * slot + ws, :]
+            ).astype(dx_ref.dtype)
+    else:
+        dxc = dxs.astype(dx_ref.dtype)
+        for r in range(ws):
+            dx_ref[:, 0, r, 0, :, :] = dxc[:, r * slot : r * slot + ws, :]
 
     @pl.when(dz_is_first)
     def _init_dz():
@@ -1139,10 +1183,12 @@ def _attn_backward(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, heads,
 
 @functools.partial(jax.jit, static_argnames=("window", "heads", "interpret"))
 def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
-                       window, heads, interpret=False):
+                       window, heads, interpret=False, dp=None):
     """Forward over the NHWC feature map directly: grid (window id,
     batch/gb); the x BlockSpec gathers window (wy, wx) of gb images from
-    the free 6-d view (B, H/ws, ws, W/ws, ws, C) — no window_partition."""
+    the free 6-d view (B, H/ws, ws, W/ws, ws, C) — no window_partition.
+    ``dp`` (B, 128) f32, optional: per-image branch scales; when given the
+    kernel returns x + dp·branch (fused residual + stochastic depth)."""
     b, h, w, c = x.shape
     ws = window
     hb, wb_ = h // ws, w // ws
@@ -1166,12 +1212,20 @@ def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda wd, bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    in_specs = [x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
+                z_spec, const(c, c), const(1, c), const(1, c), const(1, c)]
+    args = [xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj,
+            bproj.reshape(1, -1), lns.reshape(1, -1), lnb.reshape(1, -1)]
+    if dp is not None:
+        in_specs.append(pl.BlockSpec(
+            (gb, 128), lambda wd, bi: (bi, 0), memory_space=pltpu.VMEM
+        ))
+        args.append(dp)
     out = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel_nhwc, heads, npad),
+        functools.partial(_attn_fwd_kernel_nhwc, heads, npad, dp is not None),
         out_shape=jax.ShapeDtypeStruct((b, hb, ws, wb_, ws, c), x.dtype),
         grid=(nwz, b // gb),
-        in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
-                  z_spec, const(c, c), const(1, c), const(1, c), const(1, c)],
+        in_specs=in_specs,
         out_specs=x_spec,
         scratch_shapes=[pltpu.VMEM((gb, npad, c), x.dtype)],
         compiler_params=_attn_compiler_params("arbitrary", "arbitrary", n_inputs=9),
@@ -1182,14 +1236,13 @@ def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
             transcendentals=b * nwz * heads * npad * npad,
         ),
         interpret=interpret,
-    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
-      lns.reshape(1, -1), lnb.reshape(1, -1))
+    )(*args)
     return out.reshape(b, h, w, c)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "heads", "interpret"))
 def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
-                        window, heads, interpret=False):
+                        window, heads, interpret=False, dp=None):
     b, h, w, c = x.shape
     ws = window
     hb, wb_ = h // ws, w // ws
@@ -1214,8 +1267,19 @@ def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
         shape, lambda wd, bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    in_specs = [x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
+                z_spec, const(c, c), const(1, c), const(1, c), x_spec]
+    args = [xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj,
+            bproj.reshape(1, -1), lns.reshape(1, -1), gv]
+    if dp is not None:
+        in_specs.append(pl.BlockSpec(
+            (gb, 128), lambda wd, bi: (bi, 0), memory_space=pltpu.VMEM
+        ))
+        args.append(dp)
     outs = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_nhwc, heads, npad, zn == 1),
+        functools.partial(
+            _attn_bwd_kernel_nhwc, heads, npad, zn == 1, dp is not None
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b, hb, ws, wb_, ws, c), x.dtype),  # dx
             jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),           # dwqkv
@@ -1228,8 +1292,7 @@ def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
             jax.ShapeDtypeStruct((1, c), jnp.float32),               # dlnb
         ),
         grid=(nwz, b // gb),
-        in_specs=[x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, 1, 1),
-                  z_spec, const(c, c), const(1, c), const(1, c), x_spec],
+        in_specs=in_specs,
         out_specs=(
             x_spec, const(c, 3 * c), const(1, 3 * c), const(heads, npad),
             z_spec, const(c, c), const(1, c), const(1, c), const(1, c),
@@ -1244,33 +1307,35 @@ def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
             transcendentals=2 * b * nwz * heads * npad * npad,
         ),
         interpret=interpret,
-    )(xv, wqkv, bqkv.reshape(1, -1), scale, z, wproj, bproj.reshape(1, -1),
-      lns.reshape(1, -1), gv)
+    )(*args)
     return (outs[0].reshape(b, h, w, c),) + outs[1:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
-                              bproj, lns, lnb, window, heads,
+                              bproj, lns, lnb, dp, window, heads,
                               interpret=False):
     """NHWC core on the PRE-PADDED (H, NP, NP) bias / optional (nW, NP, NP)
-    mask (see attention_half_nhwc)."""
+    mask (see attention_half_nhwc). ``dp`` (B, 128) f32 or None: fused
+    residual — out = x + dp·branch (dp is a constant per-image
+    stochastic-depth scale; its cotangent is None like mask's)."""
     scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
     z = _merge_bias_mask(bias, mask)
     return _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns,
-                              lnb, window, heads, interpret=interpret)
+                              lnb, window, heads, interpret=interpret, dp=dp)
 
 
 def _attn_half_nhwc_fwd(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
-                        lns, lnb, window, heads, interpret=False):
+                        lns, lnb, dp, window, heads, interpret=False):
     out = _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask,
-                                    wproj, bproj, lns, lnb, window, heads,
-                                    interpret)
-    return out, (x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns)
+                                    wproj, bproj, lns, lnb, dp, window,
+                                    heads, interpret)
+    return out, (x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns,
+                 dp)
 
 
 def _attn_half_nhwc_bwd(window, heads, interpret, res, g_out):
-    x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns = res
+    x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns, dp = res
     ls32 = logit_scale.astype(jnp.float32)
     clamp = jnp.log(100.0)
     scale = jnp.exp(jnp.minimum(ls32, clamp))
@@ -1279,13 +1344,14 @@ def _attn_half_nhwc_bwd(window, heads, interpret, res, g_out):
     (dx, dwqkv, dbqkv, dscale, dz, dwproj, dbproj, dlns, dlnb) = (
         _attn_backward_nhwc(
             x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out, window, heads,
-            interpret=interpret,
+            interpret=interpret, dp=dp,
         )
     )
     dscale = jnp.sum(dscale, axis=1).reshape(-1, 1, 1)
     dbias = jnp.sum(dz, axis=0).astype(bias.dtype)
     dls = (dscale * scale * (ls32 < clamp)).astype(logit_scale.dtype)
     dmask = None if mask is None else jnp.zeros_like(mask)
+    ddp = None if dp is None else jnp.zeros_like(dp)
     return (
         dx.astype(x.dtype),
         dwqkv.astype(wqkv.dtype),
@@ -1297,6 +1363,7 @@ def _attn_half_nhwc_bwd(window, heads, interpret, res, g_out):
         dbproj.reshape(-1).astype(bproj.dtype),
         dlns.reshape(-1).astype(lns.dtype),
         dlnb.reshape(-1).astype(lns.dtype),
+        ddp,
     )
 
 
@@ -1315,7 +1382,7 @@ def nhwc_token_perm(window: int):
 
 
 def attention_half_nhwc(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
-                        lns, lnb, window, heads, interpret=False):
+                        lns, lnb, window, heads, interpret=False, dp=None):
     """attention_half on the (possibly pre-rolled) NHWC feature map x
     (B, H, W, C) directly — the BlockSpec index map does the window
     gathering, so the window_partition / window_reverse transposes (and
@@ -1336,25 +1403,43 @@ def attention_half_nhwc(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,
                 (mask.shape[0], npad, npad), mask.dtype
             ).at[:, perm[:, None], perm[None, :]].set(mask)
     return _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask,
-                                     wproj, bproj, lns, lnb, window, heads,
-                                     interpret)
+                                     wproj, bproj, lns, lnb, dp, window,
+                                     heads, interpret)
 
 
 def attention_half_nhwc_spmd(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
-                             bproj, lns, lnb, window, heads, interpret=False):
+                             bproj, lns, lnb, window, heads, interpret=False,
+                             dp=None):
     """attention_half_nhwc, shard_mapped over the data axis when a
-    multi-device kernel mesh is active; x (B, H, W, C) splits on batch."""
+    multi-device kernel mesh is active; x (B, H, W, C) — and the optional
+    per-image dp scale (B, 128) — split on batch."""
     from hvt import parallel
 
+    if dp is None:
+        fn = parallel.shard_map_kernel(
+            lambda x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_: (
+                attention_half_nhwc(
+                    x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, window,
+                    heads, interpret
+                )
+            ),
+            batch_argnums=(0,),
+            n_args=10,
+        )
+        return fn(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns,
+                  lnb)
     fn = parallel.shard_map_kernel(
-        lambda x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_: attention_half_nhwc(
-            x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, window, heads,
-            interpret
+        lambda x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, d_: (
+            attention_half_nhwc(
+                x_, wq_, bq_, ls_, b_, m_, wp_, bp_, s_, o_, window, heads,
+                interpret, dp=d_
+            )
         ),
-        batch_argnums=(0,),
-        n_args=10,
+        batch_argnums=(0, 10),
+        n_args=11,
     )
-    return fn(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns, lnb)
+    return fn(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj, lns, lnb,
+              dp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))

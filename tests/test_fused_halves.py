@@ -180,6 +180,74 @@ def test_attention_half_nhwc_matches_windowed(ws, h, w, shift):
     _assert_close(gb1, gb0, 5e-3, "nhwc dbias")
 
 
+@pytest.mark.parametrize("ws,h,w,shift", [
+    (4, 8, 8, 0), (7, 14, 14, 3),
+])
+def test_attention_half_nhwc_fused_residual(ws, h, w, shift):
+    """Fused residual + stochastic depth (round 5): the kernel epilogue's
+    out = x + s·branch must reproduce the XLA composition
+    x + s·attention_half_nhwc(x) — per-image s covers the three live
+    cases (kept 1/keep, dropped 0, eval 1) — in forward and in every
+    gradient (the branch backward runs on s·g; dx adds the pass-through
+    g in the epilogue)."""
+    rng = np.random.default_rng(3)
+    b, c, heads = 4, 16, 2
+    n = ws * ws
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    wqkv = jnp.asarray(rng.normal(size=(c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.normal(size=(3 * c,)) * 0.1, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(heads, 1, 1)) * 0.5 + 1.5, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
+    mask = (
+        jnp.asarray(wa.shift_attn_mask((h, w), ws, shift)) if shift else None
+    )
+    wproj = jnp.asarray(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    # drop-path scales: image 0 dropped, 1-2 kept at 1/keep, 3 eval-style 1
+    s = jnp.asarray([0.0, 1.25, 1.25, 1.0], jnp.float32)
+    dp = jnp.broadcast_to(s[:, None], (b, 128))
+
+    def fused(x_, wv):
+        return fh.attention_half_nhwc(x_, wv, bqkv, ls, bias, mask, wproj,
+                                      bproj, lns, lnb, ws, heads, True,
+                                      dp=dp)
+
+    def composed(x_, wv):
+        br = fh.attention_half_nhwc(x_, wv, bqkv, ls, bias, mask, wproj,
+                                    bproj, lns, lnb, ws, heads, True)
+        return x_ + s[:, None, None, None] * br
+
+    _assert_close(fused(x, wqkv), composed(x, wqkv), 2e-3, "resid fwd")
+    gx0 = jax.grad(lambda x_: jnp.sum(composed(x_, wqkv) ** 2))(x)
+    gx1 = jax.grad(lambda x_: jnp.sum(fused(x_, wqkv) ** 2))(x)
+    _assert_close(gx1, gx0, 5e-3, "resid dx")
+    gw0 = jax.grad(lambda wv: jnp.sum(composed(x, wv) ** 2))(wqkv)
+    gw1 = jax.grad(lambda wv: jnp.sum(fused(x, wv) ** 2))(wqkv)
+    _assert_close(gw1, gw0, 5e-3, "resid dwqkv")
+
+
+def test_swinblock_fuse_resid_eval_matches_unfused_route():
+    """Model-level: fuse_resid must not change eval numerics (s = 1 —
+    out = x + branch exactly), across shifted and unshifted blocks."""
+    from hvt.models.swinv2 import SwinTransformerV2
+
+    def build(fr):
+        return SwinTransformerV2(
+            depths=(2,), num_heads=(2,), embed_dim=16, window_size=4,
+            num_classes=8, fuse=True, fuse_resid=fr, drop_path_rate=0.2,
+        )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    m1, m0 = build(True), build(False)
+    v = m1.init({"params": jax.random.key(0)}, x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    y0 = m0.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+
+
 def test_attention_half_production_shift_layout():
     """Stage-1-shaped shifted case (nwz = 64 shift-mask windows, N = 49,
     C = 96, heads = 3) at a reduced batch: pins the z-block index maps and
