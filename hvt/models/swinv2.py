@@ -424,6 +424,10 @@ class SwinBlock(nn.Module):
             0 if (fuse_mlp or not self.fuse_mlp_chunked)
             else fh.mlp_chunks(c, hidden, train=train)
         )
+        resid_mlp = (
+            fuse_mlp and self.fuse_resid
+            and fh.mlp_resid_images_per_block(b * h * w, h * w, c, hidden) > 0
+        )
         if fuse_mlp or mlp_k > 1:
             _ = mlp_mod(jnp.zeros((1, c), x.dtype))
             mp = mlp_mod.variables["params"]
@@ -435,6 +439,22 @@ class SwinBlock(nn.Module):
                 mp["fc2"]["kernel"], mp["fc2"]["bias"],
                 n2["scale"], n2["bias"],
             )
+            if resid_mlp:
+                # Fused residual + stochastic depth (round 5): the kernel
+                # returns x + s·branch over image-aligned row blocks.
+                use_dp = self.drop_path_rate > 0.0 and not deterministic
+                rng = self.make_rng("dropout") if use_dp else None
+                if use_dp:
+                    keep = 1.0 - self.drop_path_rate
+                    m = jax.random.bernoulli(rng, keep, (b, 1, 1, 1))
+                    s = m.reshape(b).astype(jnp.float32) / keep
+                else:
+                    s = jnp.ones((b,), jnp.float32)
+                out = fh.mlp_half_spmd(
+                    *args, interpret, tpi=h * w,
+                    dp=jnp.broadcast_to(s[:, None], (b, 128)),
+                )
+                return out.reshape(b, h, w, c)
             if fuse_mlp:
                 branch2 = fh.mlp_half_spmd(*args, interpret)
             else:

@@ -160,7 +160,24 @@ def _rows_per_block(t: int, target: int = 512) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref, o_ref):
+def _mlp_row_scales(dp_ref, m: int, tpi: int):
+    """Per-row branch scales for a block of m whole images × tpi tokens:
+    dp_ref (m, 128) carries each image's stochastic-depth scale broadcast
+    along lanes; expand to (m·tpi, 1) for the row-wise multiply (sublane
+    broadcast + leading-dim merge — no lane-dim shape casts)."""
+    s = dp_ref[:, 0:1].astype(jnp.float32).reshape(m, 1, 1)
+    return jnp.broadcast_to(s, (m, tpi, 1)).reshape(m * tpi, 1)
+
+
+def _mlp_fwd_kernel(resid, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref,
+                    lnb_ref, *rest):
+    """``resid`` = None, or (m, tpi): fused residual — the block is m whole
+    images and the epilogue computes x + s·branch (s from the extra dp_ref
+    input; see mlp_half)."""
+    if resid is not None:
+        dp_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     x = x_ref[...]
     pre = _dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
     hidden = _gelu(pre)
@@ -168,16 +185,30 @@ def _mlp_fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, lnb_ref, o_r
     branch, _, _ = _ln_fwd(
         out, lns_ref[...].astype(jnp.float32), lnb_ref[...].astype(jnp.float32)
     )
-    o_ref[...] = branch.astype(o_ref.dtype)
+    if resid is not None:
+        s = _mlp_row_scales(dp_ref, *resid)
+        o_ref[...] = (x.astype(jnp.float32) + s * branch).astype(o_ref.dtype)
+    else:
+        o_ref[...] = branch.astype(o_ref.dtype)
 
 
 def _mlp_bwd_kernel(
+    resid,
     x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref, g_ref,
-    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlns_ref, dlnb_ref,
+    *rest,
 ):
+    if resid is not None:
+        dp_ref = rest[0]
+        rest = rest[1:]
+    (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlns_ref, dlnb_ref) = rest
     i = pl.program_id(0)
     x = x_ref[...]
-    g = g_ref[...].astype(jnp.float32)
+    g_raw = g_ref[...].astype(jnp.float32)
+    if resid is not None:
+        s = _mlp_row_scales(dp_ref, *resid)
+        g = s * g_raw
+    else:
+        g = g_raw
     lns = lns_ref[...].astype(jnp.float32)
 
     # Recompute forward (nothing was saved); gelu and its derivative share
@@ -213,7 +244,10 @@ def _mlp_bwd_kernel(
     dw1 = _dot_t(x, dpre)
     db1 = jnp.sum(dpre, axis=0, keepdims=True)
 
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    if resid is not None:
+        dx_ref[...] = (g_raw + dx).astype(dx_ref.dtype)
+    else:
+        dx_ref[...] = dx.astype(dx_ref.dtype)
 
     @pl.when(i == 0)
     def _init():
@@ -247,8 +281,31 @@ def _mlp_target_rows(c: int, hidden: int) -> int:
     return int(max(64, (512 * 96) // c, min(rows, 8192)))
 
 
-def _mlp_specs(t: int, c: int, hidden: int):
-    r = _rows_per_block(t, target=_mlp_target_rows(c, hidden))
+def mlp_resid_images_per_block(t: int, tpi: int, c: int, hidden: int) -> int:
+    """Images per row block for the fused-residual MLP: the block must hold
+    WHOLE images (rb = m·tpi with m | t/tpi) so the per-image drop-path
+    scale is constant over each image's rows, stay under the VMEM row
+    target, and keep 8-aligned sublanes. 0 = unsupported (caller keeps the
+    XLA-side residual)."""
+    if tpi <= 0 or tpi % 8 or t % tpi:
+        return 0
+    b_loc = t // tpi
+    target = _mlp_target_rows(c, hidden)
+    if tpi > target:  # even one image's rows blow the VMEM row budget
+        return 0
+    for m in range(min(b_loc, target // tpi), 0, -1):
+        if b_loc % m == 0:
+            return m
+    return 0
+
+
+def _mlp_specs(t: int, c: int, hidden: int, tpi: int = 0):
+    if tpi:
+        m = mlp_resid_images_per_block(t, tpi, c, hidden)
+        assert m > 0, (t, tpi)
+        r = m * tpi
+    else:
+        r = _rows_per_block(t, target=_mlp_target_rows(c, hidden))
     grid = (t // r,)
     row = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -257,17 +314,28 @@ def _mlp_specs(t: int, c: int, hidden: int):
     return r, grid, row, const
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tpi"))
+def _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0,
+                 dp=None):
     t, c = x.shape
     hidden = w1.shape[1]
-    r, grid, row, const = _mlp_specs(t, c, hidden)
+    r, grid, row, const = _mlp_specs(t, c, hidden, tpi)
+    resid = (r // tpi, tpi) if dp is not None else None
+    in_specs = [row, const(c, hidden), const(1, hidden), const(hidden, c),
+                const(1, c), const(1, c), const(1, c)]
+    args = [x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+            lns.reshape(1, -1), lnb.reshape(1, -1)]
+    if dp is not None:
+        m = r // tpi
+        in_specs.append(pl.BlockSpec(
+            (m, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ))
+        args.append(dp)
     return pl.pallas_call(
-        _mlp_fwd_kernel,
+        functools.partial(_mlp_fwd_kernel, resid),
         out_shape=jax.ShapeDtypeStruct((t, c), x.dtype),
         grid=grid,
-        in_specs=[row, const(c, hidden), const(1, hidden), const(hidden, c),
-                  const(1, c), const(1, c), const(1, c)],
+        in_specs=in_specs,
         out_specs=row,
         compiler_params=_attn_compiler_params(),
         cost_estimate=pl.CostEstimate(
@@ -276,17 +344,28 @@ def _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=False):
             transcendentals=t * hidden,
         ),
         interpret=interpret,
-    )(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
-      lns.reshape(1, -1), lnb.reshape(1, -1))
+    )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tpi"))
+def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False, tpi=0,
+                  dp=None):
     t, c = x.shape
     hidden = w1.shape[1]
-    r, grid, row, const = _mlp_specs(t, c, hidden)
+    r, grid, row, const = _mlp_specs(t, c, hidden, tpi)
+    resid = (r // tpi, tpi) if dp is not None else None
+    in_specs = [row, const(c, hidden), const(1, hidden), const(hidden, c),
+                const(1, c), const(1, c), row]
+    args = [x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+            lns.reshape(1, -1), g]
+    if dp is not None:
+        m = r // tpi
+        in_specs.append(pl.BlockSpec(
+            (m, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ))
+        args.append(dp)
     return pl.pallas_call(
-        _mlp_bwd_kernel,
+        functools.partial(_mlp_bwd_kernel, resid),
         out_shape=(
             jax.ShapeDtypeStruct((t, c), x.dtype),          # dx
             jax.ShapeDtypeStruct((c, hidden), jnp.float32),  # dw1
@@ -297,8 +376,7 @@ def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False):
             jax.ShapeDtypeStruct((1, c), jnp.float32),       # dlnb
         ),
         grid=grid,
-        in_specs=[row, const(c, hidden), const(1, hidden), const(hidden, c),
-                  const(1, c), const(1, c), row],
+        in_specs=in_specs,
         out_specs=(row, const(c, hidden), const(1, hidden), const(hidden, c),
                    const(1, c), const(1, c), const(1, c)),
         compiler_params=_attn_compiler_params("arbitrary"),
@@ -308,24 +386,32 @@ def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False):
             transcendentals=2 * t * hidden,
         ),
         interpret=interpret,
-    )(x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), lns.reshape(1, -1), g)
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def mlp_half(x, w1, b1, w2, b2, lns, lnb, interpret=False):
-    """branch = norm2(fc2(gelu(fc1(x)))) for flat tokens x (T, C)."""
-    return _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def mlp_half(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0, dp=None):
+    """branch = norm2(fc2(gelu(fc1(x)))) for flat tokens x (T, C).
+
+    ``dp`` (B, 128) f32 + ``tpi`` (tokens per image, static): fused
+    residual — returns x + dp·branch with image-aligned row blocks (see
+    mlp_resid_images_per_block); dp's cotangent is None (constant
+    stochastic-depth scales)."""
+    return _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=interpret,
+                        tpi=tpi, dp=dp)
 
 
-def _mlp_half_fwd(x, w1, b1, w2, b2, lns, lnb, interpret=False):
-    out = _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=interpret)
-    return out, (x, w1, b1, w2, b2, lns)
+def _mlp_half_fwd(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0,
+                  dp=None):
+    out = _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=interpret,
+                       tpi=tpi, dp=dp)
+    return out, (x, w1, b1, w2, b2, lns, dp)
 
 
-def _mlp_half_bwd(interpret, res, g):
-    x, w1, b1, w2, b2, lns = res
+def _mlp_half_bwd(interpret, tpi, res, g):
+    x, w1, b1, w2, b2, lns, dp = res
     dx, dw1, db1, dw2, db2, dlns, dlnb = _mlp_backward(
-        x, w1, b1, w2, b2, lns, g, interpret=interpret
+        x, w1, b1, w2, b2, lns, g, interpret=interpret, tpi=tpi, dp=dp
     )
     return (
         dx.astype(x.dtype),
@@ -335,6 +421,7 @@ def _mlp_half_bwd(interpret, res, g):
         db2.reshape(-1).astype(b2.dtype),
         dlns.reshape(-1).astype(lns.dtype),
         dlnb.reshape(-1).astype(lns.dtype),
+        None if dp is None else jnp.zeros_like(dp),
     )
 
 
@@ -1521,16 +1608,24 @@ def _attn_half_bwd(heads, interpret, res, g_out):
 _attention_half_core.defvjp(_attn_half_fwd, _attn_half_bwd)
 
 
-def mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, interpret=False):
+def mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0,
+                  dp=None):
     """mlp_half, shard_mapped over the data axis when a multi-device kernel
     mesh is active (see hvt.parallel.shard_map_kernel). x's leading flat-token
-    dim is batch-major, so sharding it over 'data' splits whole images."""
+    dim is batch-major, so sharding it over 'data' splits whole images —
+    and the optional per-image dp scale (B, 128) splits the same way."""
     from hvt import parallel
 
+    if dp is None:
+        fn = parallel.shard_map_kernel(
+            lambda *a: mlp_half(*a, interpret), batch_argnums=(0,), n_args=7
+        )
+        return fn(x, w1, b1, w2, b2, lns, lnb)
     fn = parallel.shard_map_kernel(
-        lambda *a: mlp_half(*a, interpret), batch_argnums=(0,), n_args=7
+        lambda *a: mlp_half(*a[:7], interpret, tpi, dp=a[7]),
+        batch_argnums=(0, 7), n_args=8,
     )
-    return fn(x, w1, b1, w2, b2, lns, lnb)
+    return fn(x, w1, b1, w2, b2, lns, lnb, dp)
 
 
 def attention_half_spmd(x, wqkv, bqkv, logit_scale, bias, mask, wproj, bproj,

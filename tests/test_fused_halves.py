@@ -60,6 +60,42 @@ def test_mlp_half_matches_reference():
         _assert_close(a, b, 0.03, f"mlp {name}")
 
 
+def test_mlp_half_fused_residual_matches_composition():
+    """Fused residual + stochastic depth for the MLP half (round 5): with
+    image-aligned row blocks (tpi tokens per image), the kernel's
+    out = x + s·branch must reproduce the XLA composition for per-image
+    scales covering dropped / kept / eval cases — forward and gradients
+    (the branch backward runs on s·g; dx adds the pass-through g)."""
+    rng = np.random.default_rng(5)
+    b, tpi, c, hidden = 4, 16, 64, 256
+    t = b * tpi
+    assert fh.mlp_resid_images_per_block(t, tpi, c, hidden) > 0
+    x = jnp.asarray(rng.normal(size=(t, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, hidden)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(hidden,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(hidden, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    s = jnp.asarray([0.0, 1.25, 1.25, 1.0], jnp.float32)
+    dp = jnp.broadcast_to(s[:, None], (b, 128))
+    s_rows = jnp.repeat(s, tpi)[:, None]
+
+    def fused(x_, wv):
+        return fh.mlp_half(x_, wv, b1, w2, b2, lns, lnb, True, tpi, dp=dp)
+
+    def composed(x_, wv):
+        return x_ + s_rows * _mlp_ref(x_, wv, b1, w2, b2, lns, lnb)
+
+    _assert_close(fused(x, w1), composed(x, w1), 0.02, "mlp resid fwd")
+    gx0 = jax.grad(lambda x_: jnp.sum(composed(x_, w1) ** 2))(x)
+    gx1 = jax.grad(lambda x_: jnp.sum(fused(x_, w1) ** 2))(x)
+    _assert_close(gx1, gx0, 0.03, "mlp resid dx")
+    gw0 = jax.grad(lambda wv: jnp.sum(composed(x, wv) ** 2))(w1)
+    gw1 = jax.grad(lambda wv: jnp.sum(fused(x, wv) ** 2))(w1)
+    _assert_close(gw1, gw0, 0.03, "mlp resid dw1")
+
+
 def _attn_ref(xw, wqkv, bqkv, ls, bias, mask, wproj, bproj, lns, lnb, heads):
     nwb, n, c = xw.shape
     d = c // heads
