@@ -101,6 +101,70 @@ def test_mlp_half_sharded_matches_unsharded(mesh8):
         assert err <= 5e-3 * scale, f"{name}: rel err {err / scale}"
 
 
+def test_fused_residual_halves_sharded_match_unsharded(mesh8):
+    """Round 5: the fused-residual entry points thread the per-image dp
+    scale through shard_map as a batch-split arg (batch_argnums includes
+    the dp position). Outputs and gradients on the 8-device mesh must
+    match the unsharded call — incl. the psum'd replicated-weight grads
+    under a batch-dependent per-image scale."""
+    rng = np.random.default_rng(6)
+    b, tpi, c, hidden = 8, 16, 32, 64
+    t = b * tpi
+    x = jnp.asarray(rng.normal(size=(t, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, hidden)) * 0.1, jnp.float32)
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(hidden, c)) * 0.1, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    lns = jnp.ones((c,), jnp.float32)
+    lnb = jnp.zeros((c,), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.0, 1.3, (b,)), jnp.float32)
+    dp = jnp.broadcast_to(s[:, None, None], (b, 8, 128))
+
+    def loss(x, w1, w2, dp):
+        return jnp.sum(
+            fh.mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, True, tpi=tpi,
+                             dp=dp) ** 2
+        )
+
+    x_s = _put(mesh8, x)
+    dp_s = _put(mesh8, dp)
+    val_s, g_s = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+        x_s, w1, w2, dp_s
+    )
+    parallel.set_kernel_mesh(None)
+    val_r, g_r = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))(
+        x, w1, w2, dp
+    )
+    parallel.set_kernel_mesh(mesh8)
+    assert abs(float(val_s) - float(val_r)) <= 1e-3 * abs(float(val_r))
+    for name, a, b_ in zip(["dx", "dw1", "dw2"], g_s, g_r):
+        err = float(jnp.abs(a - b_).max())
+        scale = float(jnp.abs(b_).max()) + 1e-9
+        assert err <= 5e-3 * scale, f"mlp resid {name}: rel err {err / scale}"
+
+    # Attention half: model-level drive on the mesh (dp rides the spmd
+    # wrapper at position 10) — value parity vs the meshless trace.
+    from hvt.models.swinv2 import SwinTransformerV2
+
+    model = SwinTransformerV2(depths=(2,), num_heads=(2,), embed_dim=16,
+                              window_size=4, num_classes=8, fuse=True,
+                              drop_path_rate=0.2)
+    xs = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    v = model.init({"params": jax.random.key(0)}, xs, train=False)
+
+    def fwd(v, xs, key):
+        return jnp.sum(
+            model.apply(v, xs, train=True, rngs={"dropout": key}) ** 2
+        )
+
+    key = jax.random.key(7)
+    y_s = jax.jit(fwd)(v, _put(mesh8, xs), key)
+    parallel.set_kernel_mesh(None)
+    y_r = jax.jit(fwd)(v, xs, key)
+    parallel.set_kernel_mesh(mesh8)
+    assert abs(float(y_s) - float(y_r)) <= 1e-3 * abs(float(y_r))
+
+
 def test_fused_eval_param_materialization_survives_mesh(mesh8, monkeypatch):
     """Regression: the fused-eval branch materializes the attention params
     with a (1, N, C) dummy call. Routed through the Pallas dispatch under a
