@@ -364,11 +364,13 @@ class SwinBlock(nn.Module):
                     s = m.reshape(b).astype(jnp.float32) / keep
                 else:
                     s = jnp.ones((b,), jnp.float32)
+                rows8 = -(-window // 8) * 8  # kernels slice (g, ws, 1)
                 out = fh.attention_half_nhwc_spmd(
                     shifted, ap["qkv_kernel"], qkv_bias, ap["logit_scale"],
                     bias, mask, ap["proj"]["kernel"], ap["proj"]["bias"],
                     n1["scale"], n1["bias"], window, self.num_heads,
-                    interpret, dp=jnp.broadcast_to(s[:, None], (b, 128)),
+                    interpret,
+                    dp=jnp.broadcast_to(s[:, None, None], (b, rows8, 128)),
                 )
                 x = (
                     jnp.roll(out, (shift, shift), (1, 2)) if shift > 0
@@ -452,7 +454,7 @@ class SwinBlock(nn.Module):
                     s = jnp.ones((b,), jnp.float32)
                 out = fh.mlp_half_spmd(
                     *args, interpret, tpi=h * w,
-                    dp=jnp.broadcast_to(s[:, None], (b, 128)),
+                    dp=jnp.broadcast_to(s[:, None, None], (b, 8, 128)),
                 )
                 return out.reshape(b, h, w, c)
             if fuse_mlp:

@@ -162,11 +162,15 @@ def _rows_per_block(t: int, target: int = 512) -> int:
 
 def _mlp_row_scales(dp_ref, m: int, tpi: int):
     """Per-row branch scales for a block of m whole images × tpi tokens:
-    dp_ref (m, 128) carries each image's stochastic-depth scale broadcast
-    along lanes; expand to (m·tpi, 1) for the row-wise multiply (sublane
+    dp_ref (m, 8, 128) carries each image's stochastic-depth scale
+    broadcast over an aligned (8, 128) tile (real-TPU Mosaic requires the
+    minor two block dims 8/128-divisible, so the per-image scale rides a
+    full tile); expand to (m·tpi, 1) for the row-wise multiply (sublane
     broadcast + leading-dim merge — no lane-dim shape casts)."""
-    s = dp_ref[:, 0:1].astype(jnp.float32).reshape(m, 1, 1)
-    return jnp.broadcast_to(s, (m, tpi, 1)).reshape(m * tpi, 1)
+    s = jnp.broadcast_to(
+        dp_ref[:, 0:1, 0:1].astype(jnp.float32), (m, tpi, 1)
+    )
+    return s.reshape(m * tpi, 1)
 
 
 def _mlp_fwd_kernel(resid, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, lns_ref,
@@ -328,7 +332,7 @@ def _mlp_forward(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0,
     if dp is not None:
         m = r // tpi
         in_specs.append(pl.BlockSpec(
-            (m, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (m, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ))
         args.append(dp)
     return pl.pallas_call(
@@ -361,7 +365,7 @@ def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False, tpi=0,
     if dp is not None:
         m = r // tpi
         in_specs.append(pl.BlockSpec(
-            (m, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (m, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ))
         args.append(dp)
     return pl.pallas_call(
@@ -393,7 +397,7 @@ def _mlp_backward(x, w1, b1, w2, b2, lns, g, interpret=False, tpi=0,
 def mlp_half(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0, dp=None):
     """branch = norm2(fc2(gelu(fc1(x)))) for flat tokens x (T, C).
 
-    ``dp`` (B, 128) f32 + ``tpi`` (tokens per image, static): fused
+    ``dp`` (B, 8, 128) f32 + ``tpi`` (tokens per image, static): fused
     residual — returns x + dp·branch with image-aligned row blocks (see
     mlp_resid_images_per_block); dp's cotangent is None (constant
     stochastic-depth scales)."""
@@ -857,7 +861,7 @@ def _attn_fwd_kernel_nhwc(
     unchanged; only the pad rows are interleaved instead of trailing.
 
     ``resid`` (round 5): the residual add — and stochastic-depth's
-    per-image branch scale s_i = mask_i/keep, fed as the (gb, 128)
+    per-image branch scale s_i = mask_i/keep, fed as the (gb, 8, 128)
     broadcast dp_ref — runs in the epilogue: out = x + s·branch. x is
     already resident in VMEM, so the XLA-side drop-path+add pass (2-3
     HBM sweeps of the feature map per half, plus the layout flips XLA
@@ -882,7 +886,12 @@ def _attn_fwd_kernel_nhwc(
     )
     br = branch.reshape(g, npad, c)
     if resid:
-        s = dp_ref[:, 0:1].astype(jnp.float32).reshape(g, 1, 1)
+        # Mosaic cannot broadcast (g,1,1) across sublanes AND lanes in one
+        # op (and folds staged broadcasts back together) — so dp arrives
+        # replicated over a full (rows8, 128) tile and the kernel SLICES
+        # the (g, ws, 1) scale column it needs; the multiply below then
+        # broadcasts on lanes only.
+        s = dp_ref[:, 0:ws, 0:1].astype(jnp.float32)
         for r in range(ws):
             o_ref[:, 0, r, 0, :, :] = (
                 x_ref[:, 0, r, 0, :, :].astype(jnp.float32)
@@ -1047,9 +1056,21 @@ def _attn_bwd_kernel_nhwc(
     g_blk, _, ws, _, _, c = x_ref.shape
     slot = npad // ws
 
+    if resid:
+        # s·g computed at pack time — the (g, ws, 1) scale column sliced
+        # from the replicated dp tile lane-broadcasts against each row's
+        # (g, ws, C) slice (both-axes broadcasts are unimplemented in
+        # Mosaic); the bf16 rounding of s·g matches the XLA drop-path
+        # backward, which also scales at the activation dtype.
+        s_ws = dp_ref[:, 0:ws, 0:1].astype(jnp.float32)
     for r in range(ws):
         xw_ref[:, r * slot : r * slot + ws, :] = x_ref[:, 0, r, 0, :, :]
-        gw_ref[:, r * slot : r * slot + ws, :] = g_ref[:, 0, r, 0, :, :]
+        if resid:
+            gw_ref[:, r * slot : r * slot + ws, :] = (
+                s_ws * g_ref[:, 0, r, 0, :, :].astype(jnp.float32)
+            ).astype(gw_ref.dtype)
+        else:
+            gw_ref[:, r * slot : r * slot + ws, :] = g_ref[:, 0, r, 0, :, :]
         if slot != ws:
             zpad = jnp.zeros((g_blk, slot - ws, c), xw_ref.dtype)
             xw_ref[:, r * slot + ws : (r + 1) * slot, :] = zpad
@@ -1057,9 +1078,6 @@ def _attn_bwd_kernel_nhwc(
                 gw_ref.dtype
             )
     gout = gw_ref[...].astype(jnp.float32).reshape(g_blk, npad, c)
-    if resid:
-        s = dp_ref[:, 0:1].astype(jnp.float32).reshape(g_blk, 1, 1)
-        gout = s * gout
     (dx, dwqkv, dbqkv, dscale_contrib, dz_contrib, dwproj, dbproj, dlns,
      dlnb) = _attn_half_bwd_body(
         heads, g_blk, npad, c, xw_ref[...].reshape(g_blk * npad, c),
@@ -1274,7 +1292,7 @@ def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
     """Forward over the NHWC feature map directly: grid (window id,
     batch/gb); the x BlockSpec gathers window (wy, wx) of gb images from
     the free 6-d view (B, H/ws, ws, W/ws, ws, C) — no window_partition.
-    ``dp`` (B, 128) f32, optional: per-image branch scales; when given the
+    ``dp`` (B, 8, 128) f32, optional: per-image branch scales; when given the
     kernel returns x + dp·branch (fused residual + stochastic depth)."""
     b, h, w, c = x.shape
     ws = window
@@ -1305,7 +1323,8 @@ def _attn_forward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, lnb,
             bproj.reshape(1, -1), lns.reshape(1, -1), lnb.reshape(1, -1)]
     if dp is not None:
         in_specs.append(pl.BlockSpec(
-            (gb, 128), lambda wd, bi: (bi, 0), memory_space=pltpu.VMEM
+            (gb, dp.shape[1], 128), lambda wd, bi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
         ))
         args.append(dp)
     out = pl.pallas_call(
@@ -1360,7 +1379,8 @@ def _attn_backward_nhwc(x, wqkv, bqkv, scale, z, wproj, bproj, lns, g_out,
             bproj.reshape(1, -1), lns.reshape(1, -1), gv]
     if dp is not None:
         in_specs.append(pl.BlockSpec(
-            (gb, 128), lambda wd, bi: (bi, 0), memory_space=pltpu.VMEM
+            (gb, dp.shape[1], 128), lambda wd, bi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
         ))
         args.append(dp)
     outs = pl.pallas_call(
@@ -1403,7 +1423,7 @@ def _attention_half_nhwc_core(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
                               bproj, lns, lnb, dp, window, heads,
                               interpret=False):
     """NHWC core on the PRE-PADDED (H, NP, NP) bias / optional (nW, NP, NP)
-    mask (see attention_half_nhwc). ``dp`` (B, 128) f32 or None: fused
+    mask (see attention_half_nhwc). ``dp`` (B, 8, 128) f32 or None: fused
     residual — out = x + dp·branch (dp is a constant per-image
     stochastic-depth scale; its cotangent is None like mask's)."""
     scale = jnp.exp(jnp.minimum(logit_scale.astype(jnp.float32), jnp.log(100.0)))
@@ -1499,7 +1519,7 @@ def attention_half_nhwc_spmd(x, wqkv, bqkv, logit_scale, bias, mask, wproj,
                              dp=None):
     """attention_half_nhwc, shard_mapped over the data axis when a
     multi-device kernel mesh is active; x (B, H, W, C) — and the optional
-    per-image dp scale (B, 128) — split on batch."""
+    per-image dp scale (B, 8, 128) — split on batch."""
     from hvt import parallel
 
     if dp is None:
@@ -1613,7 +1633,7 @@ def mlp_half_spmd(x, w1, b1, w2, b2, lns, lnb, interpret=False, tpi=0,
     """mlp_half, shard_mapped over the data axis when a multi-device kernel
     mesh is active (see hvt.parallel.shard_map_kernel). x's leading flat-token
     dim is batch-major, so sharding it over 'data' splits whole images —
-    and the optional per-image dp scale (B, 128) splits the same way."""
+    and the optional per-image dp scale (B, 8, 128) splits the same way."""
     from hvt import parallel
 
     if dp is None:

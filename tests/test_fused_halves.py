@@ -78,7 +78,7 @@ def test_mlp_half_fused_residual_matches_composition():
     lns = jnp.asarray(rng.normal(size=(c,)) * 0.5 + 1.0, jnp.float32)
     lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
     s = jnp.asarray([0.0, 1.25, 1.25, 1.0], jnp.float32)
-    dp = jnp.broadcast_to(s[:, None], (b, 128))
+    dp = jnp.broadcast_to(s[:, None, None], (b, 8, 128))
     s_rows = jnp.repeat(s, tpi)[:, None]
 
     def fused(x_, wv):
@@ -243,7 +243,7 @@ def test_attention_half_nhwc_fused_residual(ws, h, w, shift):
     lnb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
     # drop-path scales: image 0 dropped, 1-2 kept at 1/keep, 3 eval-style 1
     s = jnp.asarray([0.0, 1.25, 1.25, 1.0], jnp.float32)
-    dp = jnp.broadcast_to(s[:, None], (b, 128))
+    dp = jnp.broadcast_to(s[:, None, None], (b, 8, 128))
 
     def fused(x_, wv):
         return fh.attention_half_nhwc(x_, wv, bqkv, ls, bias, mask, wproj,
